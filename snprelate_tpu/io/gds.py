@@ -1,0 +1,339 @@
+"""Reader for CoreArray GDS files (the gdsfmt container used by SNPRelate).
+
+SNPRelate stores SNP genotype data in GDS files (see reference
+``R/AllUtilities.R:32-175`` for the expected node layout and
+``vignettes/SNPRelate.Rmd:88-135`` for the format description). The container
+itself is produced by the external gdsfmt package; this module is a clean-room
+reader reverse-engineered from the bundled ``hapmap_geno.gds``:
+
+File layout::
+
+    [12B magic "COREARRAYx0A"] [2B version] [4B entry block id]
+    fragment*  — each fragment:
+        [6B little-endian size | flag bit 47 = head fragment]
+        head:        [6B next-fragment pos][4B block id][6B block size][data]
+        continuation:[6B next-fragment pos][data]
+
+A *block* is the concatenated data of its fragment chain; fragment capacity
+may exceed the block size (slack bytes are stale). Node blocks start with a
+6-byte used-size, then a sequence of property records. Property names are
+stored 7-bit-packed (LSB first), so known properties are matched as fixed
+byte tokens; class names are length-prefixed 7-bit-packed ASCII strings
+(e.g. ``dBit2`` -> ``64 61 9a 2e 03``).
+
+Genotype coding matches the reference (vignettes/SNPRelate.Rmd:104):
+2-bit value = count of A allele (0,1,2); 3 = missing. Orientation is flagged
+by a ``snp.order`` (snp-major) or ``sample.order`` (sample-major) attribute
+on the genotype node (R/AllUtilities.R:136-147).
+"""
+
+from __future__ import annotations
+
+import lzma
+import struct
+import zlib
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+import numpy as np
+
+MAGIC = b"COREARRAYx0A"
+
+# --- property tokens: [type byte] + 7-bit packed property name ---
+TOK_NCHILD = bytes.fromhex("08c643754ef601")  # folder: u32 child count
+TOK_DIRBLOB = bytes.fromhex("01c7437517e57d")  # folder: 6B size + entries
+TOK_NATTR = bytes.fromhex("0807f37d9d937d")  # u32 attribute count
+TOK_ATTRBLOB = bytes.fromhex("0108f37ddd45791f")  # 6B size + attr records
+TOK_CODER = bytes.fromhex("15c4466d10")  # [1B len][coder name]
+TOK_NDIM = bytes.fromhex("07c4e3641f")  # u16 ndim
+TOK_DIMS = bytes.fromhex("02c3436104")  # hmm: [1B nbytes] part of next
+TOK_DIMS_PFX = bytes.fromhex("02c34361")  # [1B nbytes][u32 x ndim]
+TOK_PTR = bytes.fromhex("09c4c37c0c")  # u32 data block id
+TOK_SIZES = bytes.fromhex("e051250410")  # [u64 total bytes][u64 stored bytes]
+
+
+def _unpack7(b: bytes, nchar: int) -> str:
+    v = int.from_bytes(b, "little")
+    return "".join(chr((v >> (7 * i)) & 0x7F) for i in range(nchar))
+
+
+def _u48(b: bytes, off: int = 0) -> int:
+    return int.from_bytes(b[off : off + 6], "little")
+
+
+@dataclass
+class GDSNode:
+    """One node of the GDS hierarchy."""
+
+    name: str
+    classname: str  # "" for folders
+    blockid: int
+    is_folder: bool
+    dims: tuple[int, ...] = ()
+    coder: str = ""
+    total_bytes: int = -1
+    stored_bytes: int = -1
+    data_blockid: int = -1
+    attributes: dict[str, Any] = field(default_factory=dict)
+    children: "dict[str, GDSNode]" = field(default_factory=dict)
+    _file: "Optional[GDSFile]" = None
+
+    def index(self, path: str) -> "GDSNode":
+        node = self
+        for part in path.split("/"):
+            node = node.children[part]
+        return node
+
+    def read(self) -> Any:
+        """Decode this node's data into numpy / list-of-str."""
+        assert self._file is not None
+        return self._file._read_node_data(self)
+
+    def ls(self) -> list[str]:
+        return list(self.children)
+
+
+class GDSFile:
+    """A parsed CoreArray GDS file. Read-only."""
+
+    def __init__(self, path: str):
+        self.path = path
+        with open(path, "rb") as f:
+            self._data = f.read()
+        if self._data[:12] != MAGIC:
+            raise ValueError(f"{path}: not a GDS file (bad magic)")
+        self.version = struct.unpack_from("<H", self._data, 12)[0]
+        self.entry_id = struct.unpack_from("<I", self._data, 14)[0]
+        self._blocks = self._scan_blocks()
+        self.root = self._parse_node(self.entry_id, name="")
+
+    # --- low-level ---
+
+    def _scan_blocks(self) -> dict[int, bytes]:
+        data = self._data
+        heads: dict[int, tuple[int, int, int]] = {}  # id -> (pos, size, next)
+        conts: dict[int, tuple[int, int]] = {}  # pos -> (size, next)
+        pos = 18
+        while pos < len(data):
+            v = _u48(data, pos)
+            head = bool(v & 0x800000000000)
+            size = v & 0x7FFFFFFFFFFF
+            if size == 0:
+                break
+            nxt = _u48(data, pos + 6)
+            if head:
+                bid = struct.unpack_from("<I", data, pos + 12)[0]
+                heads[bid] = (pos, size, nxt)
+            else:
+                conts[pos] = (size, nxt)
+            pos += size
+        blocks: dict[int, bytes] = {}
+        for bid, (pos, size, nxt) in heads.items():
+            bsize = _u48(data, pos + 16)
+            chunks = [data[pos + 22 : pos + size]]
+            got = size - 22
+            while nxt and got < bsize:
+                csize, cnext = conts[nxt]
+                chunks.append(data[nxt + 12 : nxt + csize])
+                got += csize - 12
+                nxt = cnext
+            blocks[bid] = b"".join(chunks)[:bsize]
+        return blocks
+
+    # --- node parsing ---
+
+    def _parse_node(self, blockid: int, name: str) -> GDSNode:
+        raw = self._blocks[blockid]
+        used = _u48(raw, 0)
+        b = raw[:used]
+        is_folder = len(b) >= 10 and b[8:10] != b"\x00\x01"
+        classname = ""
+        if not is_folder:
+            nlen = b[10]
+            nbytes = (7 * nlen + 7) // 8
+            classname = _unpack7(b[11 : 11 + nbytes], nlen)
+        node = GDSNode(name=name, classname=classname, blockid=blockid,
+                       is_folder=is_folder, _file=self)
+
+        i = b.find(TOK_CODER)
+        if i >= 0:
+            clen = b[i + len(TOK_CODER)]
+            node.coder = b[i + len(TOK_CODER) + 1 : i + len(TOK_CODER) + 1 + clen].decode()
+        i = b.find(TOK_SIZES)
+        if i >= 0:
+            off = i + len(TOK_SIZES)
+            node.total_bytes = struct.unpack_from("<Q", b, off)[0]
+            node.stored_bytes = struct.unpack_from("<Q", b, off + 8)[0]
+        i = b.find(TOK_DIMS_PFX)
+        if i >= 0:
+            off = i + len(TOK_DIMS_PFX)
+            nbytes = b[off]
+            ndim = nbytes // 4
+            dims = struct.unpack_from(f"<{ndim}I", b, off + 1)
+            node.dims = tuple(int(x) for x in dims)
+        i = b.find(TOK_PTR)
+        if i >= 0:
+            node.data_blockid = struct.unpack_from("<I", b, i + len(TOK_PTR))[0]
+        i = b.find(TOK_ATTRBLOB)
+        if i >= 0:
+            off = i + len(TOK_ATTRBLOB)
+            asize = _u48(b, off)
+            node.attributes = _parse_attrs(b[off + 6 : off + asize])
+        if is_folder:
+            i = b.find(TOK_DIRBLOB)
+            if i >= 0:
+                off = i + len(TOK_DIRBLOB)
+                dsize = _u48(b, off)
+                for cname, cid, _flags in _parse_dir(b[off + 6 : off + dsize]):
+                    node.children[cname] = self._parse_node(cid, cname)
+        return node
+
+    # --- data decoding ---
+
+    _DTYPES = {
+        "dInt8": np.int8, "dUInt8": np.uint8,
+        "dInt16": np.int16, "dUInt16": np.uint16,
+        "dInt32": np.int32, "dUInt32": np.uint32,
+        "dInt64": np.int64, "dUInt64": np.uint64,
+        "dFloat32": np.float32, "dFloat64": np.float64,
+    }
+
+    def _raw_stream(self, node: GDSNode) -> bytes:
+        if node.data_blockid < 0:
+            return b""
+        raw = self._blocks[node.data_blockid]
+        if node.coder == "":
+            return raw
+        if node.coder.startswith("ZIP_RA") or node.coder.startswith("LZ4") \
+                or node.coder.startswith("LZMA_RA"):
+            raise NotImplementedError(f"GDS coder {node.coder!r} not supported yet")
+        if node.coder.startswith("ZIP"):
+            d = zlib.decompressobj()
+            return d.decompress(raw)
+        if node.coder.startswith("LZMA"):
+            return lzma.decompress(raw)
+        raise NotImplementedError(f"GDS coder {node.coder!r}")
+
+    def _read_node_data(self, node: GDSNode) -> Any:
+        stream = self._raw_stream(node)
+        cname = node.classname
+        n = int(np.prod(node.dims)) if node.dims else 0
+        if cname in self._DTYPES:
+            arr = np.frombuffer(stream, dtype=self._DTYPES[cname], count=n)
+            return arr.reshape(node.dims)
+        if cname == "dBit2":
+            nbytes = (n + 3) // 4
+            packed = np.frombuffer(stream, dtype=np.uint8, count=nbytes)
+            vals = _unpack_bit2(packed, n)
+            return vals.reshape(node.dims)
+        if cname == "dBit1":
+            nbytes = (n + 7) // 8
+            packed = np.frombuffer(stream, dtype=np.uint8, count=nbytes)
+            bits = np.unpackbits(packed, bitorder="little")[:n]
+            return bits.reshape(node.dims)
+        if cname in ("dVStr8", "dStr8"):
+            parts = stream.split(b"\x00")
+            out = [p.decode("utf-8", errors="replace") for p in parts[:n]]
+            return out
+        if cname.startswith("dFStr"):
+            width = node.total_bytes // max(n, 1)
+            out = [stream[i * width : (i + 1) * width].rstrip(b"\x00").decode(
+                "utf-8", errors="replace") for i in range(n)]
+            return out
+        if cname == "dPackedReal16":
+            arr = np.frombuffer(stream, dtype=np.int16, count=n).astype(np.float64)
+            scale = float(node.attributes.get("scale", 0.0001))
+            offset = float(node.attributes.get("offset", 0.0))
+            out = arr * scale + offset
+            out[arr == -32768] = np.nan
+            return out.reshape(node.dims)
+        if cname == "dPackedReal24":
+            b3 = np.frombuffer(stream, dtype=np.uint8, count=3 * n).reshape(n, 3)
+            v = (b3[:, 0].astype(np.int32) | (b3[:, 1].astype(np.int32) << 8)
+                 | (b3[:, 2].astype(np.int32) << 16))
+            v = np.where(v >= 1 << 23, v - (1 << 24), v)
+            scale = float(node.attributes.get("scale", 0.00001))
+            offset = float(node.attributes.get("offset", 0.0))
+            out = v.astype(np.float64) * scale + offset
+            out[v == -(1 << 23)] = np.nan
+            return out.reshape(node.dims)
+        raise NotImplementedError(f"GDS class {cname!r} not supported yet")
+
+    # --- convenience ---
+
+    def index(self, path: str) -> GDSNode:
+        return self.root.index(path)
+
+    def ls(self) -> list[str]:
+        return self.root.ls()
+
+
+def _unpack_bit2(packed: np.ndarray, n: int) -> np.ndarray:
+    """Unpack 2-bit values, first value in the low bits of each byte."""
+    out = np.empty(packed.size * 4, dtype=np.uint8)
+    out[0::4] = packed & 0x03
+    out[1::4] = (packed >> 2) & 0x03
+    out[2::4] = (packed >> 4) & 0x03
+    out[3::4] = (packed >> 6) & 0x03
+    return out[:n]
+
+
+def _parse_dir(blob: bytes):
+    """Folder directory: sequence of [6B size][fixed header][name] entries."""
+    pos = 0
+    while pos + 6 <= len(blob):
+        esize = _u48(blob, pos)
+        if esize < 31:
+            break
+        e = blob[pos : pos + esize]
+        blockid = struct.unpack_from("<I", e, 12)[0]
+        flags = struct.unpack_from("<I", e, 21)[0]
+        nlen = e[30]
+        name = e[31 : 31 + nlen].decode("utf-8", errors="replace")
+        yield name, blockid, flags
+        pos += esize
+
+
+# Attribute value type codes observed in gdsfmt streams
+def _parse_attrs(blob: bytes) -> dict[str, Any]:
+    out: dict[str, Any] = {}
+    pos = 0
+    while pos < len(blob):
+        nlen = blob[pos]
+        pos += 1
+        name = blob[pos : pos + nlen].decode("utf-8", errors="replace")
+        pos += nlen
+        if pos >= len(blob):
+            out[name] = None
+            break
+        t = blob[pos]
+        pos += 1
+        if t == 0x00:  # NULL / flag attribute
+            out[name] = None
+        elif t == 0x01:  # int8
+            out[name] = struct.unpack_from("<b", blob, pos)[0]; pos += 1
+        elif t == 0x03:  # int16
+            out[name] = struct.unpack_from("<h", blob, pos)[0]; pos += 2
+        elif t == 0x05:  # int32
+            out[name] = struct.unpack_from("<i", blob, pos)[0]; pos += 4
+        elif t == 0x07:  # int64
+            out[name] = struct.unpack_from("<q", blob, pos)[0]; pos += 8
+        elif t == 0x0B:  # float32
+            out[name] = struct.unpack_from("<f", blob, pos)[0]; pos += 4
+        elif t == 0x0C:  # float64
+            out[name] = struct.unpack_from("<d", blob, pos)[0]; pos += 8
+        elif t == 0x0E:  # string, 1-byte length
+            slen = blob[pos]; pos += 1
+            out[name] = blob[pos : pos + slen].decode("utf-8", errors="replace")
+            pos += slen
+        elif t == 0x12:  # bool
+            out[name] = bool(blob[pos]); pos += 1
+        else:
+            raise NotImplementedError(
+                f"GDS attribute value type 0x{t:02x} for {name!r} "
+                f"(context: {blob[max(0,pos-8):pos+16].hex()})")
+    return out
+
+
+def open_gds(path: str) -> GDSFile:
+    return GDSFile(path)
