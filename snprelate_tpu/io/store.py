@@ -1,0 +1,208 @@
+"""In-memory genotype store: the TPU-native analog of the reference's
+GDS-backed workspace data (``src/dGenGWAS.h:80-186``).
+
+Genotypes are held packed 2 bits/call (snp-major), the same coding as the
+reference (vignettes/SNPRelate.Rmd:104): value = count of the A allele
+(0,1,2), 3 = missing. Dense views are materialized per SNP chunk only; the
+device-side decode happens in ``ops/decode.py``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Optional, Sequence
+
+import numpy as np
+
+
+def pack2bit(geno: np.ndarray) -> np.ndarray:
+    """Pack a (n_snp, n_samp) uint8 genotype matrix (values 0..3) to 2-bit,
+    4 samples/byte, first sample in the low bits. Pads the sample axis to a
+    multiple of 4 with missing (3)."""
+    geno = np.asarray(geno, dtype=np.uint8)
+    n_snp, n_samp = geno.shape
+    pad = (-n_samp) % 4
+    if pad:
+        geno = np.concatenate(
+            [geno, np.full((n_snp, pad), 3, np.uint8)], axis=1)
+    g = geno.reshape(n_snp, -1, 4)
+    return (g[:, :, 0] | (g[:, :, 1] << 2) | (g[:, :, 2] << 4)
+            | (g[:, :, 3] << 6)).astype(np.uint8)
+
+
+def unpack2bit(packed: np.ndarray, n_samp: int) -> np.ndarray:
+    """Inverse of :func:`pack2bit` -> (n_snp, n_samp) uint8."""
+    packed = np.asarray(packed, dtype=np.uint8)
+    n_snp = packed.shape[0]
+    out = np.empty((n_snp, packed.shape[1] * 4), dtype=np.uint8)
+    out[:, 0::4] = packed & 3
+    out[:, 1::4] = (packed >> 2) & 3
+    out[:, 2::4] = (packed >> 4) & 3
+    out[:, 3::4] = (packed >> 6) & 3
+    return out[:, :n_samp]
+
+
+@dataclass
+class SNPData:
+    """A SNP dataset: the analog of an opened SNP GDS file.
+
+    ``genotype_packed`` is (n_snp, ceil(n_samp/4)) uint8, snp-major.
+    """
+
+    sample_id: np.ndarray  # object/str array, unique
+    snp_id: np.ndarray  # unique
+    genotype_packed: np.ndarray
+    n_samp: int
+    snp_position: np.ndarray  # int
+    snp_chromosome: np.ndarray  # int32 codes or strings
+    snp_allele: Optional[np.ndarray] = None  # "A/B" strings
+    snp_rs_id: Optional[np.ndarray] = None
+    sample_annot: dict[str, np.ndarray] = field(default_factory=dict)
+    # chromosome coding (snpgdsOption, R/AllUtilities.R:1910-1990)
+    autosome_start: int = 1
+    autosome_end: int = 22
+    chrom_codes: dict[str, int] = field(
+        default_factory=lambda: {"X": 23, "XY": 24, "Y": 25, "M": 26, "MT": 26})
+
+    @property
+    def n_snp(self) -> int:
+        return len(self.snp_id)
+
+    def geno(self, snp_idx: Optional[np.ndarray] = None,
+             samp_idx: Optional[np.ndarray] = None) -> np.ndarray:
+        """Dense (n_snp_sel, n_samp_sel) uint8 genotypes (3 = missing)."""
+        packed = self.genotype_packed
+        if snp_idx is not None:
+            packed = packed[snp_idx]
+        dense = unpack2bit(packed, self.n_samp)
+        if samp_idx is not None:
+            dense = dense[:, samp_idx]
+        return dense
+
+    def packed_subset(self, snp_idx: np.ndarray, samp_idx: np.ndarray) -> np.ndarray:
+        """Repack the selected submatrix (snp-major, samples padded to x4)."""
+        return pack2bit(self.geno(snp_idx, samp_idx))
+
+    @property
+    def numeric_chromosome(self) -> np.ndarray:
+        """Chromosome as int codes; strings parsed like gnrChromParse
+        (SNPRelate.cpp:982-1097): numeric strings -> value, known codes via
+        chrom_codes, otherwise -1."""
+        chrom = self.snp_chromosome
+        if np.issubdtype(np.asarray(chrom).dtype, np.number):
+            return np.asarray(chrom, dtype=np.int32)
+        out = np.full(len(chrom), -1, np.int32)
+        for i, c in enumerate(chrom):
+            s = str(c).strip()
+            if s.startswith("chr"):
+                s = s[3:]
+            if s in self.chrom_codes:
+                out[i] = self.chrom_codes[s]
+            else:
+                try:
+                    out[i] = int(s)
+                except ValueError:
+                    out[i] = -1
+        return out
+
+    def is_autosome(self) -> np.ndarray:
+        c = self.numeric_chromosome
+        return (c >= self.autosome_start) & (c <= self.autosome_end)
+
+
+def create_geno(genotype: np.ndarray, sample_id: Sequence[Any],
+                snp_id: Sequence[Any], snp_position: Sequence[int],
+                snp_chromosome: Sequence[Any],
+                snp_allele: Optional[Sequence[str]] = None,
+                snpfirstdim: bool = True, **kw) -> SNPData:
+    """snpgdsCreateGeno analog (R/AllUtilities.R:1033): build a SNPData from
+    arrays. ``genotype`` is (n_snp, n_samp) if snpfirstdim else transposed;
+    values outside 0..3 are treated as missing (3)."""
+    g = np.asarray(genotype)
+    if not snpfirstdim:
+        g = g.T
+    g = np.where((g >= 0) & (g <= 3), g, 3).astype(np.uint8)
+    n_snp, n_samp = g.shape
+    sample_id = np.asarray(sample_id, dtype=object)
+    snp_id = np.asarray(snp_id)
+    if len(sample_id) != n_samp or len(snp_id) != n_snp:
+        raise ValueError("genotype dimensions do not match sample.id/snp.id")
+    if len(np.unique(sample_id)) != n_samp:
+        raise ValueError("sample.id must be unique")
+    if len(np.unique(snp_id)) != n_snp:
+        raise ValueError("snp.id must be unique")
+    return SNPData(
+        sample_id=sample_id, snp_id=snp_id, genotype_packed=pack2bit(g),
+        n_samp=n_samp, snp_position=np.asarray(snp_position),
+        snp_chromosome=np.asarray(snp_chromosome),
+        snp_allele=None if snp_allele is None else np.asarray(snp_allele, dtype=object),
+        **kw)
+
+
+def open_snp_gds(path: str) -> SNPData:
+    """Load a SNP GDS file (snpgdsOpen analog, R/AllUtilities.R:32-175)."""
+    from .gds import open_gds
+
+    f = open_gds(path)
+    root = f.root
+    if root.attributes.get("FileFormat", "SNP_ARRAY") != "SNP_ARRAY":
+        raise ValueError(f"{path}: FileFormat is not SNP_ARRAY")
+    sample_id = np.asarray(root.index("sample.id").read(), dtype=object)
+    snp_id = np.asarray(root.index("snp.id").read())
+    gnode = root.index("genotype")
+    geno = gnode.read()
+    # orientation: snp.order attr -> stored (sample, snp); sample.order ->
+    # stored (snp, sample) in C order (R/AllUtilities.R:136-147; R reports
+    # column-major dims, we read row-major).
+    snpfirstdim = True
+    if "snp.order" in gnode.attributes:
+        snpfirstdim = True
+    if "sample.order" in gnode.attributes:
+        snpfirstdim = False
+    if snpfirstdim:  # R dim (snp, samp) -> C layout (samp, snp)
+        geno = np.ascontiguousarray(geno.T)
+    g = np.where(geno <= 3, geno, 3).astype(np.uint8)
+    n_samp = len(sample_id)
+    if g.shape != (len(snp_id), n_samp):
+        raise ValueError(f"{path}: genotype dims {g.shape} do not match "
+                         f"({len(snp_id)}, {n_samp})")
+
+    chrom_node = root.index("snp.chromosome")
+    chrom = np.asarray(chrom_node.read())
+    attrs = chrom_node.attributes
+    kw: dict[str, Any] = {}
+    if "autosome.start" in attrs:
+        kw["autosome_start"] = int(attrs["autosome.start"])
+    if "autosome.end" in attrs:
+        kw["autosome_end"] = int(attrs["autosome.end"])
+    codes = {k: int(v) for k, v in attrs.items()
+             if k in ("X", "XY", "Y", "M", "MT")}
+    if codes:
+        kw["chrom_codes"] = codes
+
+    def _opt(name):
+        try:
+            v = root.index(name).read()
+            return np.asarray(v, dtype=object) if isinstance(v, list) else np.asarray(v)
+        except KeyError:
+            return None
+
+    annot = {}
+    if "sample.annot" in root.children:
+        for c in root.index("sample.annot").children.values():
+            v = c.read()
+            annot[c.name] = np.asarray(v, dtype=object) if isinstance(v, list) \
+                else np.asarray(v)
+
+    return SNPData(
+        sample_id=sample_id, snp_id=snp_id, genotype_packed=pack2bit(g),
+        n_samp=n_samp,
+        snp_position=np.asarray(root.index("snp.position").read()),
+        snp_chromosome=chrom,
+        snp_allele=_opt("snp.allele"), snp_rs_id=_opt("snp.rs.id"),
+        sample_annot=annot, **kw)
+
+
+def example_filename() -> str:
+    """snpgdsExampleFileName analog — the bundled HapMap subset."""
+    return "/root/reference/inst/extdata/hapmap_geno.gds"

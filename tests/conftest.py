@@ -1,0 +1,44 @@
+import os
+
+# Tests run on a virtual 8-device CPU mesh with float64 enabled so that
+# numerics match the reference's f64 accumulation; TPU runs are exercised by
+# bench.py / __graft_entry__.py on real hardware.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("JAX_ENABLE_X64", "1")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+REF = "/root/reference"
+HAPMAP_GDS = f"{REF}/inst/extdata/hapmap_geno.gds"
+VALID = f"{REF}/inst/unitTests/valid"
+
+
+@pytest.fixture(scope="session")
+def hapmap():
+    from snprelate_tpu.io.store import open_snp_gds
+    return open_snp_gds(HAPMAP_GDS)
+
+
+@pytest.fixture(scope="session")
+def golden():
+    """Golden values from the reference test suite (inst/unitTests/valid)."""
+    from snprelate_tpu.io.rdata import parse_rdata
+
+    def unwrap(x):
+        return x.value if hasattr(x, "value") else x
+
+    out = {}
+    for name, var in [("IBS", "ibs"), ("PCA", ".rv"), ("MoM", "ibd"),
+                      ("KING", ".king"), ("Beta", ".beta"),
+                      ("EIGMIX", ".eigmix")]:
+        d = parse_rdata(f"{VALID}/Validate.{name}.RData")
+        v = unwrap(d[var])
+        if isinstance(v, list):
+            v = [unwrap(x) for x in v]
+        out[name] = v
+    return out
