@@ -1,0 +1,25 @@
+"""snprelate_tpu — a TPU-native relatedness & PCA engine with the
+capabilities of SNPRelate (Bioconductor), built on JAX/XLA/Pallas.
+
+Public API mirrors the reference's exported snpgds* functions with snake_case
+names; `snpgds*` aliases are provided for discoverability.
+"""
+
+from .io.store import SNPData, create_geno, open_snp_gds, example_filename
+from .workspace import Workspace, init_workspace, snp_stats
+from .models.ibs import ibs, ibs_num
+from .models.pca import pca
+from .models.grm import grm
+from .models.king import ibd_king
+
+# Reference-style aliases
+snpgdsOpen = open_snp_gds
+snpgdsCreateGeno = create_geno
+snpgdsExampleFileName = example_filename
+snpgdsIBS = ibs
+snpgdsIBSNum = ibs_num
+snpgdsPCA = pca
+snpgdsGRM = grm
+snpgdsIBDKING = ibd_king
+
+__version__ = "0.1.0"

@@ -1,0 +1,108 @@
+"""Golden-value relatedness tests, mirroring the reference's
+inst/unitTests/test_rel.R: re-run each analysis on the bundled hapmap GDS
+(first 60-90 samples, missing.rate=NaN) and compare to the stored results.
+"""
+
+import numpy as np
+import pytest
+
+
+def test_ibs_golden(hapmap, golden):
+    """test_rel.R:97-124 — snpgdsIBS on samples[:90], missing.rate=NaN."""
+    from snprelate_tpu import ibs
+
+    res = ibs(hapmap, sample_id=hapmap.sample_id[:90], missing_rate=np.nan)
+    assert list(res.sample_id) == list(golden["IBS"]["sample.id"])
+    assert np.array_equal(res.snp_id, golden["IBS"]["snp.id"])
+    np.testing.assert_allclose(res.ibs, golden["IBS"]["ibs"], rtol=0, atol=1e-12)
+
+
+def test_ibs_chunk_invariance(hapmap):
+    """Analog of the reference's num.thread 1-vs-2 determinism contract
+    (test_rel.R:107-120): results identical across chunkings."""
+    from snprelate_tpu import ibs_num
+
+    a = ibs_num(hapmap, sample_id=hapmap.sample_id[:60], chunk=512)
+    b = ibs_num(hapmap, sample_id=hapmap.sample_id[:60], chunk=4096)
+    assert np.array_equal(a.ibs0, b.ibs0)
+    assert np.array_equal(a.ibs1, b.ibs1)
+    assert np.array_equal(a.ibs2, b.ibs2)
+    # symmetry and diagonal sanity
+    assert np.array_equal(a.ibs0, a.ibs0.T)
+    assert (np.diag(a.ibs0) == 0).all()
+
+
+def test_pca_genmat_golden(hapmap, golden):
+    """test_rel.R:128-189 — snpgdsPCA genmat on samples[:90]."""
+    from snprelate_tpu import pca
+
+    res = pca(hapmap, sample_id=hapmap.sample_id[:90], need_genmat=True,
+              eigen_cnt=8, missing_rate=np.nan)
+    np.testing.assert_allclose(res.genmat, golden["PCA"]["genmat"],
+                               rtol=1e-9, atol=1e-9)
+    # eigenvalues: genmat is deterministic, so eigvals must match its spectrum
+    w = np.linalg.eigvalsh(golden["PCA"]["genmat"])[::-1]
+    np.testing.assert_allclose(res.eigenval[:8], w[:8], rtol=1e-8)
+    assert res.eigenvect.shape == (90, 8)
+    np.testing.assert_allclose(res.varprop[:8] * np.trace(res.genmat),
+                               res.eigenval[:8], rtol=1e-8)
+
+
+def test_grm_gcta_vs_numpy(hapmap):
+    """Cross-validate GCTA GRM against a direct dense float64 NumPy
+    implementation of genPCA.cpp:1148-1237 (independent-implementation
+    check, the reference's own test style in test_GRM.R)."""
+    from snprelate_tpu import grm
+    from snprelate_tpu.workspace import init_workspace
+
+    ws, _ = init_workspace(hapmap, sample_id=hapmap.sample_id[:60])
+    g = ws.geno().astype(np.float64)  # (nsnp, 60)
+    valid = g < 3
+    num = valid.sum(1)
+    gsum = np.where(valid, g, 0).sum(1)
+    avg = np.where(num > 0, gsum / num, 0)
+    s = avg / 2
+    scale = np.where((s > 0) & (s < 1), 1 / np.sqrt(s * (1 - s)), 0)
+    x = (np.where(valid, g, avg[:, None]) - avg[:, None]) * scale[:, None]
+    cov = x.T @ x
+    poly = (gsum > 0) & (gsum < 2 * num)
+    vp = (valid & poly[:, None]).astype(np.float64)
+    expected = cov / (2 * (vp.T @ vp))
+
+    res = grm(hapmap, sample_id=hapmap.sample_id[:60], method="GCTA")
+    np.testing.assert_allclose(res.grm, expected, rtol=1e-8, atol=1e-12)
+
+
+def test_grm_eigenstrat_matches_pca_genmat(hapmap):
+    from snprelate_tpu import grm, pca
+
+    res = grm(hapmap, sample_id=hapmap.sample_id[:60], method="Eigenstrat",
+              missing_rate=np.nan)
+    p = pca(hapmap, sample_id=hapmap.sample_id[:60], need_genmat=True,
+            genmat_only=True, missing_rate=np.nan)
+    np.testing.assert_allclose(res.grm, p.genmat, rtol=1e-12)
+
+
+def test_grm_corr_unit_diag(hapmap):
+    from snprelate_tpu import grm
+
+    res = grm(hapmap, sample_id=hapmap.sample_id[:60], method="Corr")
+    np.testing.assert_allclose(np.diag(res.grm), 1.0)
+    assert np.allclose(res.grm, res.grm.T)
+
+
+def test_king_golden(hapmap, golden):
+    """test_rel.R:228-273 — KING robust + homo on samples[:60]."""
+    from snprelate_tpu import ibd_king
+
+    v1, v2 = golden["KING"]
+    rob = ibd_king(hapmap, sample_id=hapmap.sample_id[:60],
+                   missing_rate=np.nan, type="KING-robust")
+    assert np.array_equal(rob.snp_id, v1["snp.id"])
+    np.testing.assert_allclose(rob.IBS0, v1["IBS0"], rtol=0, atol=1e-12)
+    np.testing.assert_allclose(rob.kinship, v1["kinship"], rtol=1e-12)
+
+    hom = ibd_king(hapmap, sample_id=hapmap.sample_id[:60],
+                   missing_rate=np.nan, type="KING-homo")
+    np.testing.assert_allclose(hom.k0, v2["k0"], rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(hom.k1, v2["k1"], rtol=1e-9, atol=1e-12)
