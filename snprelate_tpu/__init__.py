@@ -11,6 +11,10 @@ from .models.ibs import ibs, ibs_num
 from .models.pca import pca
 from .models.grm import grm
 from .models.king import ibd_king
+from .models.ibd_mom import ibd_mom
+from .models.beta import indiv_beta, indiv_beta_rel
+from .models.eigmix import eigmix
+from .models.diss import diss
 
 # Reference-style aliases
 snpgdsOpen = open_snp_gds
@@ -21,5 +25,10 @@ snpgdsIBSNum = ibs_num
 snpgdsPCA = pca
 snpgdsGRM = grm
 snpgdsIBDKING = ibd_king
+snpgdsIBDMoM = ibd_mom
+snpgdsIndivBeta = indiv_beta
+snpgdsIndivBetaRel = indiv_beta_rel
+snpgdsEIGMIX = eigmix
+snpgdsDiss = diss
 
 __version__ = "0.1.0"

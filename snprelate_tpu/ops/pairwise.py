@@ -54,14 +54,21 @@ def chunk_snp_stats(geno: jax.Array):
     return gsum, gnum, valid
 
 
+def _cross_grams(planes: jax.Array) -> jax.Array:
+    """(3, S, N) planes -> (3, 3, N, N) cross-grams via ONE (3N, S) x (S, 3N)
+    MXU matmul (a single large contraction tiles better than 9 small ones)."""
+    p3, s, n = planes.shape
+    flat = planes.transpose(0, 2, 1).reshape(p3 * n, s)
+    c = jnp.matmul(flat, flat.T, preferred_element_type=jnp.int32)
+    return c.reshape(p3, n, p3, n).transpose(0, 2, 1, 3)
+
+
 @functools.partial(jax.jit, donate_argnums=0)
 def _plane_gram_step(carry: jax.Array, packed: jax.Array) -> jax.Array:
     """carry (3,3,N,N) int32 += cross-grams of one chunk."""
     geno = decode2bit(packed)  # (S, Npad)
     planes = genotype_planes(geno)  # (3, S, N)
-    c = jnp.einsum("asi,bsj->abij", planes, planes,
-                   preferred_element_type=jnp.int32)
-    return carry + c
+    return carry + _cross_grams(planes)
 
 
 def plane_grams(chunks: Iterable[np.ndarray], n_samp_padded: int) -> np.ndarray:
@@ -124,7 +131,7 @@ class PairCounts:
         return self.C[0, 0] + self.C[2, 2]
 
 
-def pair_counts(ws, chunk: int = 2048, pad_to: int = 4) -> PairCounts:
+def pair_counts(ws, chunk: int = 2048, pad_to: int = 128) -> PairCounts:
     """Run the integer pairwise engine over a Workspace selection."""
     n_pad = -(-ws.n_samp // pad_to) * pad_to
     first = True
@@ -193,7 +200,7 @@ def _stream(ws, chunk, n_pad):
 
 
 def pca_covariance(ws, bayesian: bool = False, chunk: int = 2048,
-                   pad_to: int = 4) -> np.ndarray:
+                   pad_to: int = 128) -> np.ndarray:
     """Exact-PCA genetic covariance (unscaled; CExactPCA::Run)."""
     n_pad = -(-ws.n_samp // pad_to) * pad_to
     fdt = _default_float_dtype()
@@ -203,7 +210,7 @@ def pca_covariance(ws, bayesian: bool = False, chunk: int = 2048,
     return np.asarray(cov)[: ws.n_samp, : ws.n_samp].astype(np.float64)
 
 
-def gcta_grm_parts(ws, chunk: int = 2048, pad_to: int = 4):
+def gcta_grm_parts(ws, chunk: int = 2048, pad_to: int = 128):
     """GCTA GRM numerator + per-pair denominators (CGCTA_AlgArith::Run):
     GRM = Cov / (2 * (nLocus - Denom)) with Denom = nLocus - VpVp^T."""
     n_pad = -(-ws.n_samp // pad_to) * pad_to
@@ -229,8 +236,7 @@ def _king_homo_step(carry, packed):
     fdt = waf.dtype
     geno = decode2bit(packed)
     planes = genotype_planes(geno)
-    grams = grams + jnp.einsum("asi,bsj->abij", planes, planes,
-                               preferred_element_type=jnp.int32)
+    grams = grams + _cross_grams(planes)
     gsum, gnum, valid = chunk_snp_stats(geno)
     # p = 0.5*sum/num, 0 when num == 0 (genKING.cpp:246-251)
     p = jnp.where(gnum > 0, 0.5 * gsum.astype(fdt) / gnum.astype(fdt), 0.0)
@@ -243,7 +249,7 @@ def _king_homo_step(carry, packed):
     return grams, waf, waf2
 
 
-def king_homo_counts(ws, chunk: int = 2048, pad_to: int = 4):
+def king_homo_counts(ws, chunk: int = 2048, pad_to: int = 128):
     """Returns (PairCounts, SumAFreq, SumAFreq2) for KING-homo."""
     n_pad = -(-ws.n_samp // pad_to) * pad_to
     fdt = _default_float_dtype()
@@ -257,3 +263,40 @@ def king_homo_counts(ws, chunk: int = 2048, pad_to: int = 4):
     return (PairCounts(np.asarray(grams)[:, :, :n, :n].astype(np.int64)),
             np.asarray(waf)[:n, :n].astype(np.float64),
             np.asarray(waf2)[:n, :n].astype(np.float64))
+
+
+# ---------------------------------------------------------------------------
+# EIGMIX: centered (unscaled) covariance + AF-weighted validity gram +
+# per-sample het counts (CEigMix_AlgArith::Run, genEIGMIX.cpp:43-157)
+
+
+@functools.partial(jax.jit, donate_argnums=0)
+def _eigmix_step(carry, packed):
+    cov, wvg, hetcnt, afsum = carry
+    fdt = cov.dtype
+    geno = decode2bit(packed)
+    gsum, gnum, valid = chunk_snp_stats(geno)
+    avg = jnp.where(gnum > 0, gsum.astype(fdt) / gnum.astype(fdt), 0.0)
+    x = jnp.where(valid, geno.astype(fdt), avg[:, None]) - avg[:, None]
+    cov = cov + jnp.matmul(x.T, x, preferred_element_type=fdt)
+    af = 0.5 * avg
+    d = 4.0 * af * (1.0 - af)  # per-SNP denominator weight
+    v = valid.astype(fdt)
+    wvg = wvg + jnp.matmul((v * d[:, None]).T, v, preferred_element_type=fdt)
+    hetcnt = hetcnt + (geno == 1).sum(axis=0, dtype=jnp.int32)
+    return cov, wvg, hetcnt, afsum + d.sum()
+
+
+def eigmix_parts(ws, chunk: int = 2048, pad_to: int = 128):
+    """Returns (num=XX^T, denom=(V.d)V^T, het per sample, afreq per snp)."""
+    n_pad = -(-ws.n_samp // pad_to) * pad_to
+    fdt = _default_float_dtype()
+    carry = (jnp.zeros((n_pad, n_pad), fdt), jnp.zeros((n_pad, n_pad), fdt),
+             jnp.zeros((n_pad,), jnp.int32), jnp.zeros((), fdt))
+    for packed in _stream(ws, chunk, n_pad):
+        carry = _eigmix_step(carry, packed)
+    cov, wvg, hetcnt, _ = carry
+    n = ws.n_samp
+    return (np.asarray(cov)[:n, :n].astype(np.float64),
+            np.asarray(wvg)[:n, :n].astype(np.float64),
+            np.asarray(hetcnt)[:n].astype(np.int64))

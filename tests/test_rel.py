@@ -106,3 +106,46 @@ def test_king_golden(hapmap, golden):
                    missing_rate=np.nan, type="KING-homo")
     np.testing.assert_allclose(hom.k0, v2["k0"], rtol=1e-9, atol=1e-12)
     np.testing.assert_allclose(hom.k1, v2["k1"], rtol=1e-9, atol=1e-12)
+
+
+def test_mom_golden(hapmap, golden):
+    """test_rel.R:193-224 — snpgdsIBDMoM on samples[:90]."""
+    from snprelate_tpu import ibd_mom
+
+    res = ibd_mom(hapmap, sample_id=hapmap.sample_id[:90], missing_rate=np.nan)
+    g = golden["MoM"]
+    assert np.array_equal(res.snp_id, g["snp.id"])
+    np.testing.assert_allclose(res.afreq, g["afreq"], rtol=0, atol=1e-12)
+    np.testing.assert_allclose(res.k0, g["k0"], rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(res.k1, g["k1"], rtol=1e-10, atol=1e-12)
+
+
+def test_beta_golden(hapmap, golden):
+    """test_rel.R:277-304 — snpgdsIndivBeta on samples[:90]."""
+    from snprelate_tpu import indiv_beta
+
+    res = indiv_beta(hapmap, sample_id=hapmap.sample_id[:90],
+                     missing_rate=np.nan)
+    g = golden["Beta"]
+    assert np.array_equal(res.snp_id, g["snp.id"])
+    np.testing.assert_allclose(res.beta, g["beta"], rtol=1e-12, atol=1e-14)
+
+
+def test_eigmix_golden(hapmap, golden):
+    """test_rel.R:308-329 — snpgdsEIGMIX ibd matrix on samples[:90]."""
+    from snprelate_tpu import eigmix
+
+    res = eigmix(hapmap, sample_id=hapmap.sample_id[:90], eigen_cnt=0,
+                 ibdmat=True, missing_rate=np.nan)
+    np.testing.assert_allclose(res.ibd, golden["EIGMIX"], rtol=1e-8,
+                               atol=1e-9)
+
+
+def test_diss_sanity(hapmap):
+    from snprelate_tpu import diss
+
+    res = diss(hapmap, sample_id=hapmap.sample_id[:40])
+    d = res.diss
+    assert np.allclose(d, d.T)
+    assert np.isfinite(d).all()
+    assert (d >= 0).all()
