@@ -15,6 +15,7 @@ from .models.ibd_mom import ibd_mom
 from .models.beta import indiv_beta, indiv_beta_rel
 from .models.eigmix import eigmix
 from .models.diss import diss
+from .models.pca_ext import pca_corr, pca_snp_loading, pca_samp_loading
 
 # Reference-style aliases
 snpgdsOpen = open_snp_gds
@@ -30,5 +31,8 @@ snpgdsIndivBeta = indiv_beta
 snpgdsIndivBetaRel = indiv_beta_rel
 snpgdsEIGMIX = eigmix
 snpgdsDiss = diss
+snpgdsPCACorr = pca_corr
+snpgdsPCASNPLoading = pca_snp_loading
+snpgdsPCASampLoading = pca_samp_loading
 
 __version__ = "0.1.0"

@@ -137,3 +137,47 @@ def samp_loadings(ws, sload_scaled: np.ndarray, avgfreq: np.ndarray,
                                    jnp.asarray(af, fdt), jnp.asarray(sc, fdt))
         start += chunk
     return np.asarray(carry)[: ws.n_samp].astype(np.float64)
+
+
+@jax.jit
+def _snp_loading_provided_step(packed, eig, avg2p, scale):
+    """SNP loadings with externally provided center/scale per SNP
+    (CEigMix_SNPLoad::thread_loading, genEIGMIX.cpp:456-479)."""
+    fdt = eig.dtype
+    geno = decode2bit(packed)
+    valid = geno < 3
+    x = jnp.where(valid, (geno.astype(fdt) - avg2p[:, None]) * scale[:, None],
+                  0.0)
+    return jnp.matmul(x, eig, preferred_element_type=fdt)
+
+
+def eigmix_snp_loadings(ws, eigenvect: np.ndarray, afreq: np.ndarray,
+                        chunk: int = 4096) -> np.ndarray:
+    """(K, n_snp) EIGMIX SNP loadings: centered by 2p, uniform scale
+    1/sqrt(sum 4p(1-p)) (genEIGMIX.cpp:502-509)."""
+    fdt = _default_float_dtype()
+    n_pad = -(-ws.n_samp // 128) * 128
+    e = np.zeros((n_pad, eigenvect.shape[1]), np.float64)
+    e[: ws.n_samp] = eigenvect
+    e = jnp.asarray(e, fdt)
+    afscale = 1.0 / np.sqrt(np.sum(4.0 * afreq * (1.0 - afreq)))
+    out = np.empty((ws.n_snp, eigenvect.shape[1]))
+    start = 0
+    for packed in _stream(ws, chunk, n_pad):
+        take = min(chunk, ws.n_snp - start)
+        a2p = np.zeros(chunk)
+        a2p[:take] = 2.0 * afreq[start : start + take]
+        sc = np.full(chunk, afscale)
+        lo = _snp_loading_provided_step(packed, e, jnp.asarray(a2p, fdt),
+                                        jnp.asarray(sc, fdt))
+        out[start : start + take] = np.asarray(lo)[:take]
+        start += chunk
+    return out.T
+
+
+def eigmix_samp_loadings(ws, sload_scaled: np.ndarray, afreq: np.ndarray,
+                         chunk: int = 4096) -> np.ndarray:
+    """Project samples with EIGMIX normalization (genEIGMIX.cpp:535-620)."""
+    afscale = 1.0 / np.sqrt(np.sum(4.0 * afreq * (1.0 - afreq)))
+    return samp_loadings(ws, sload_scaled, 2.0 * afreq,
+                         np.full(len(afreq), afscale), chunk=chunk)

@@ -149,3 +149,39 @@ def test_diss_sanity(hapmap):
     assert np.allclose(d, d.T)
     assert np.isfinite(d).all()
     assert (d >= 0).all()
+
+
+def test_pca_corr_loading_sampload_golden(hapmap, golden):
+    """test_rel.R:128-189 — corr (eig 1:2), snploading (8 comps, 3 d.p.),
+    sample-loading projection onto samples[:100] (4 d.p.). Eigenvector signs
+    are solver-dependent; flips are resolved per component and applied
+    consistently across all three outputs."""
+    from snprelate_tpu import pca, pca_corr, pca_snp_loading, pca_samp_loading
+
+    res = pca(hapmap, sample_id=hapmap.sample_id[:90], need_genmat=True,
+              eigen_cnt=8, missing_rate=np.nan)
+    g = golden["PCA"]
+
+    load = pca_snp_loading(res, hapmap)
+    # per-component sign flips vs golden
+    flips = np.ones(8)
+    for k in range(8):
+        a, b = load.snploading[k], g["snploading"][k]
+        flips[k] = 1.0 if np.nansum(np.abs(a - b)) <= \
+            np.nansum(np.abs(a + b)) else -1.0
+    np.testing.assert_allclose(
+        np.round(load.snploading * flips[:, None], 3), g["snploading"],
+        rtol=0, atol=0.00101)
+
+    corr = pca_corr(res, hapmap, eig_which=[1, 2])
+    assert corr.snpcorr.shape == (2, 9088)
+    mine = np.round(corr.snpcorr * flips[:2, None], 3)
+    both = np.isfinite(mine) & np.isfinite(g["corr"])
+    assert np.isnan(mine).sum() == np.isnan(g["corr"]).sum()
+    np.testing.assert_allclose(mine[both], g["corr"][both], rtol=0,
+                               atol=0.00101)
+
+    sl = pca_samp_loading(load, hapmap, sample_id=hapmap.sample_id[:100])
+    np.testing.assert_allclose(
+        np.round(sl.eigenvect * flips[None, :], 4), g["samploading"],
+        rtol=0, atol=0.000101)
