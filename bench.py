@@ -1,0 +1,87 @@
+"""Benchmark: fused GRM+IBS pairwise-kernel throughput on one chip.
+
+Runs the flagship fused step (plane cross-grams -> IBS/KING/Beta counts,
+plus Eigenstrat-normalized covariance -> GRM/PCA) over a synthetic cohort
+staged in HBM, and reports genotype-pair-SNP comparisons per second per chip.
+
+vs_baseline = fraction of int8-MXU speed-of-light for the same contraction
+volume (the driver's north-star metric; the reference publishes no numbers,
+BASELINE.md). Peak used: TPU v5e 394.5 int8 TOPS / 197 bf16 TFLOPS.
+
+Output: one JSON line {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from snprelate_tpu.ops.decode import decode2bit, genotype_planes
+    from snprelate_tpu.ops.pairwise import _cross_grams, make_pca_block
+
+    n_samp = int(os.environ.get("BENCH_NSAMP", 4096))
+    n_snp = int(os.environ.get("BENCH_NSNP", 524288))
+    chunk = int(os.environ.get("BENCH_CHUNK", 16384))
+    n_chunks = n_snp // chunk
+
+    rng = np.random.default_rng(1)
+    packed = rng.integers(0, 256, (n_chunks, chunk, n_samp // 4), np.uint8)
+    packed_d = jax.device_put(jnp.asarray(packed))
+
+    def fused_step(carry, pk):
+        grams, cov = carry
+        geno = decode2bit(pk)
+        grams = grams + _cross_grams(genotype_planes(geno))
+        x, _ = make_pca_block(geno, False)
+        cov = cov + jnp.matmul(x.T, x, preferred_element_type=jnp.float32)
+        return (grams, cov), ()
+
+    @jax.jit
+    def run(pk_all):
+        init = (jnp.zeros((3, 3, n_samp, n_samp), jnp.int32),
+                jnp.zeros((n_samp, n_samp), jnp.float32))
+        (grams, cov), _ = jax.lax.scan(fused_step, init, pk_all)
+        return grams, cov
+
+    def materialize(g, c):
+        # block_until_ready does not wait for execution on the axon tunnel
+        # backend; a device->host copy of a small dependent slice does.
+        return np.asarray(g[0, 0, :2, :2]), np.asarray(c[:2, :2])
+
+    # warmup/compile
+    g, c = run(packed_d)
+    materialize(g, c)
+    reps = int(os.environ.get("BENCH_REPS", 3))
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        g, c = run(packed_d)
+        materialize(g, c)
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+
+    pair_snp = 0.5 * n_samp * (n_samp + 1) * n_snp  # pair-SNP comparisons
+    value = pair_snp / dt
+
+    # speed-of-light model: 9 int8 grams (2*9*N^2*M ops) + 1 f32 cov matmul
+    # (2*N^2*M flops, executed at bf16 rate on the MXU by default)
+    int8_ops = 2.0 * 9 * n_samp * n_samp * n_snp
+    f32_ops = 2.0 * n_samp * n_samp * n_snp
+    sol_t = int8_ops / 394.5e12 + f32_ops / 197e12
+    vs_baseline = sol_t / dt
+
+    print(json.dumps({
+        "metric": "fused GRM+IBS pairwise throughput (1 chip)",
+        "value": round(value / 1e12, 4),
+        "unit": "Tera pair-SNP comparisons/s/chip",
+        "vs_baseline": round(vs_baseline, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,15 +1,11 @@
-import os
-
 # Tests run on a virtual 8-device CPU mesh with float64 enabled so that
 # numerics match the reference's f64 accumulation; TPU runs are exercised by
-# bench.py / __graft_entry__.py on real hardware.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+# bench.py / __graft_entry__.py on real hardware. Note: this JAX build does
+# not honor JAX_PLATFORMS/JAX_ENABLE_X64 env vars — use the config API.
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_enable_x64", True)
 
 import numpy as np  # noqa: E402
