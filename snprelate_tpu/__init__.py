@@ -16,6 +16,7 @@ from .models.beta import indiv_beta, indiv_beta_rel
 from .models.eigmix import eigmix
 from .models.diss import diss
 from .models.pca_ext import pca_corr, pca_snp_loading, pca_samp_loading
+from .models.ld import ld_pair, ld_mat, ld_pruning, apart_selection
 
 # Reference-style aliases
 snpgdsOpen = open_snp_gds
@@ -34,5 +35,9 @@ snpgdsDiss = diss
 snpgdsPCACorr = pca_corr
 snpgdsPCASNPLoading = pca_snp_loading
 snpgdsPCASampLoading = pca_samp_loading
+snpgdsLDpair = ld_pair
+snpgdsLDMat = ld_mat
+snpgdsLDpruning = ld_pruning
+snpgdsApartSelection = apart_selection
 
 __version__ = "0.1.0"

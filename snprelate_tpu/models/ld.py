@@ -1,0 +1,238 @@
+"""LD analyses (reference: R/LD.R + src/genLD.cpp).
+
+- ld_pair: snpgdsLDpair (R/LD.R:22-45)
+- ld_mat: snpgdsLDMat full or banded/sliding (R/LD.R:53-92, genLD.cpp:588-718)
+- ld_pruning: snpgdsLDpruning bidirectional per-chromosome scan
+  (R/LD.R:100-243, Perform_LD_Pruning genLD.cpp:810-925)
+- apart_selection: snpgdsApartSelection (R/LD.R:252-310)
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+
+from ..workspace import init_workspace
+from ..ops.ld import joint_table, ld_from_joint, snp_planes_np
+
+_METHODS = ("composite", "r", "dprime", "corr", "cov")
+
+
+def ld_pair(snp1, snp2, method="composite"):
+    """snpgdsLDpair: LD between two genotype vectors (values 0/1/2, other =
+    missing). Returns dict with 'ld' (+ haplotype freqs for r/dprime)."""
+    g1 = np.asarray(snp1)
+    g2 = np.asarray(snp2)
+    g1 = np.where((g1 >= 0) & (g1 <= 2), g1, 3).astype(np.uint8)
+    g2 = np.where((g2 >= 0) & (g2 <= 2), g2, 3).astype(np.uint8)
+    J = joint_table(g1[None, :], g2[None, :], use_device=False)[:, :, 0, 0]
+    if method in ("r", "dprime"):
+        ld, hap = ld_from_joint(J, method, return_haplo=True)
+        return {"ld": float(ld), "pA_A": float(hap[0]), "pA_B": float(hap[1]),
+                "pB_A": float(hap[2]), "pB_B": float(hap[3])}
+    return {"ld": float(ld_from_joint(J, method))}
+
+
+@dataclass
+class LDMatResult:
+    sample_id: np.ndarray
+    snp_id: np.ndarray
+    LD: np.ndarray
+    slide: int
+
+
+def ld_mat(data, sample_id=None, snp_id=None, slide=250,
+           method="composite", mat_trim=False, verbose=False,
+           tile=1024) -> LDMatResult:
+    """snpgdsLDMat (R/LD.R:53): full n x n LD matrix (slide <= 0) or a
+    banded (slide x n) matrix where LD[k, i] = LD(snp_i, snp_{i+k+1})."""
+    if method not in _METHODS:
+        raise ValueError("method should be one of " + ", ".join(_METHODS))
+    ws, _ = init_workspace(data, sample_id, snp_id, autosome_only=False,
+                           remove_monosnp=False)
+    n_snp = ws.n_snp
+    geno = ws.geno()  # (S, N) uint8
+    slide = int(slide) if slide is not None else -1
+    if slide > n_snp:
+        slide = n_snp
+
+    if slide <= 0:
+        out = np.empty((n_snp, n_snp))
+        for i0 in range(0, n_snp, tile):
+            i1 = min(i0 + tile, n_snp)
+            for j0 in range(i0, n_snp, tile):
+                j1 = min(j0 + tile, n_snp)
+                J = joint_table(geno[i0:i1], geno[j0:j1])
+                v = ld_from_joint(J, method)
+                out[i0:i1, j0:j1] = v
+                out[j0:j1, i0:i1] = v.T
+        return LDMatResult(ws.sample_id, ws.snp_id, out, slide)
+
+    # banded: column i holds LD(i, i+1..i+slide)
+    ncol = n_snp - slide if mat_trim else n_snp
+    out = np.full((slide, ncol), np.nan)
+    for i0 in range(0, ncol, tile):
+        i1 = min(i0 + tile, ncol)
+        j1 = min(i1 + slide, n_snp)
+        J = joint_table(geno[i0:i1], geno[i0:j1])
+        v = ld_from_joint(J, method)  # (i1-i0, j1-i0)
+        for local_i in range(i1 - i0):
+            i = i0 + local_i
+            kmax = min(slide, n_snp - i - 1)
+            out[:kmax, i] = v[local_i, local_i + 1 : local_i + 1 + kmax]
+    return LDMatResult(ws.sample_id, ws.snp_id, out, slide)
+
+
+def _prune_chromosome(geno: np.ndarray, pos: np.ndarray, start_idx: int,
+                      slide_max_bp: float, slide_max_n: float,
+                      threshold: float, method: str) -> np.ndarray:
+    """Perform_LD_Pruning (genLD.cpp:810-925): bidirectional scan keeping a
+    SNP iff |LD| <= threshold against every kept SNP in the sliding window."""
+    n = geno.shape[0]
+    planes = snp_planes_np(geno).astype(np.float32)  # (3, S, N)
+    out = np.zeros(n, bool)
+    out[start_idx] = True
+
+    def ld_abs(i, idx_list):
+        J = np.einsum("an,kbn->abk", planes[:, i], planes[:, idx_list]
+                      .transpose(1, 0, 2), optimize=True)
+        return np.abs(ld_from_joint(J, method))
+
+    def in_window(i, js):
+        js = np.asarray(js)
+        return (np.abs(i - js) <= slide_max_n) & \
+               (np.abs(pos[i] - pos[js]) <= slide_max_bp)
+
+    # increasing scan
+    window: list[int] = [start_idx]
+    for i in range(start_idx + 1, n):
+        if window:
+            keep_mask = in_window(i, window)
+            window = [w for w, k in zip(window, keep_mask) if k]
+        include = True
+        if window:
+            include = not np.any(ld_abs(i, window) > threshold)
+        out[i] = include
+        if include:
+            window.append(i)
+
+    # decreasing scan: seed with kept SNPs inside the window of start_idx
+    window = []
+    for i in range(start_idx, n):
+        if out[i]:
+            if abs(i - start_idx) <= slide_max_n and \
+                    abs(pos[i] - pos[start_idx]) <= slide_max_bp:
+                window.append(i)
+            else:
+                break
+    for i in range(start_idx - 1, -1, -1):
+        if window:
+            keep_mask = in_window(i, window)
+            window = [w for w, k in zip(window, keep_mask) if k]
+        include = True
+        if window:
+            include = not np.any(ld_abs(i, window) > threshold)
+        out[i] = include
+        if include:
+            window.insert(0, i)
+    return out
+
+
+def ld_pruning(data, sample_id=None, snp_id=None, autosome_only=True,
+               remove_monosnp=True, maf=0.005, missing_rate=0.01,
+               method="composite", slide_max_bp=500000, slide_max_n=np.nan,
+               ld_threshold=0.2, start_pos="random.f500", seed=None,
+               verbose=False) -> dict:
+    """snpgdsLDpruning (R/LD.R:100): returns {chrN: kept snp.id array}."""
+    if method not in _METHODS[:4]:
+        raise ValueError("method should be one of composite, r, dprime, corr")
+    ws, _ = init_workspace(data, sample_id, snp_id, autosome_only,
+                           remove_monosnp, maf, missing_rate, verbose=verbose)
+    if not np.isfinite(slide_max_bp):
+        slide_max_bp = np.finfo(np.float64).max
+    if slide_max_n is None or not np.isfinite(slide_max_n):
+        slide_max_n = 2**31 - 1
+
+    chrom = np.asarray(data.snp_chromosome)
+    position = np.asarray(data.snp_position)
+    snp_flag = np.zeros(data.n_snp, bool)
+    snp_flag[ws.snp_idx] = True
+
+    rng = np.random.default_rng(seed)
+    if np.issubdtype(chrom.dtype, np.number):
+        chrset = [c for c in pd_unique(chrom) if c != 0 and not _isnan(c)]
+    else:
+        chrset = [c for c in pd_unique(chrom) if c not in ("", None)]
+
+    res = {}
+    for ch in chrset:
+        flag = snp_flag & (chrom == ch)
+        n_tmp = int(flag.sum())
+        if n_tmp == 0:
+            continue
+        idx = np.flatnonzero(flag)
+        if start_pos == "random.f500":
+            start_idx = int(rng.integers(0, min(n_tmp, 500)))
+        elif start_pos == "random":
+            start_idx = int(rng.integers(0, n_tmp))
+        elif start_pos == "first":
+            start_idx = 0
+        elif start_pos == "last":
+            start_idx = n_tmp - 1
+        else:
+            raise ValueError("invalid start.pos")
+        geno = data.geno(idx, ws.samp_idx)
+        kept = _prune_chromosome(geno, position[idx], start_idx,
+                                 slide_max_bp, slide_max_n, ld_threshold,
+                                 method)
+        res[f"chr{ch}"] = data.snp_id[idx[kept]]
+        if verbose:
+            print(f"Chrom {ch}: {kept.sum()} / {n_tmp}")
+    return res
+
+
+def pd_unique(x):
+    """unique() preserving first-appearance order (R's unique)."""
+    seen = set()
+    out = []
+    for v in np.asarray(x).tolist():
+        if v not in seen:
+            seen.add(v)
+            out.append(v)
+    return out
+
+
+def _isnan(v) -> bool:
+    try:
+        return math.isnan(v)
+    except TypeError:
+        return False
+
+
+def apart_selection(chromosome, position, min_dist=100000,
+                    max_n_snp_perchr=-1, seed=None, verbose=False):
+    """snpgdsApartSelection (R/LD.R:252): random selection of SNPs at least
+    min.dist apart, per chromosome."""
+    chromosome = np.asarray(chromosome)
+    position = np.asarray(position)
+    if len(chromosome) != len(position):
+        raise ValueError(
+            "The lengths of 'chromosome' and 'position' do not match.")
+    rng = np.random.default_rng(seed)
+    rv = np.zeros(len(chromosome), bool)
+    for ch in pd_unique(chromosome):
+        b = chromosome == ch
+        pos = position[b]
+        sel = np.arange(len(pos))
+        flag = np.zeros(len(pos), bool)
+        it = 0
+        while len(sel) > 0 and it != max_n_snp_perchr:
+            it += 1
+            pi = sel[rng.integers(0, len(sel))]
+            flag[pi] = True
+            sel = sel[np.abs(pos[sel] - pos[pi]) >= min_dist]
+        rv[b] = flag
+    return rv

@@ -1,0 +1,190 @@
+"""LD measure computations (reference: src/genLD.cpp).
+
+Every LD measure is a closed-form function of the per-pair 3x3 joint
+genotype table J[a,b][i,j] = #samples with (g_i=a, g_j=b), both valid.
+The reference computes these with 256x256 byte lookup tables
+(genLD.cpp:57-172); here a SNP-plane cross matmul produces whole J tiles
+on the MXU, and the measures are evaluated vectorized:
+
+- composite (genLD.cpp:215-250), corr (:477-503), cov (:509-526): direct.
+- r / dprime (:268-444): haplotype counts + vectorized EM with convergence
+  masks (fixed-point of the reference's per-pair EM, genLD.cpp:268-331).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+DBL_EPSILON = np.finfo(np.float64).eps
+
+
+@jax.jit
+def _joint_tile(pi, pj):
+    """pi: (3, Si, N) int8 planes; pj: (3, Sj, N) -> (3,3,Si,Sj) int32."""
+    _3, si, n = pi.shape
+    sj = pj.shape[1]
+    a = pi.reshape(3 * si, n)
+    b = pj.reshape(3 * sj, n)
+    c = jnp.matmul(a, b.T, preferred_element_type=jnp.int32)
+    return c.reshape(3, si, 3, sj).transpose(0, 2, 1, 3)
+
+
+def snp_planes_np(geno: np.ndarray) -> np.ndarray:
+    """(S, N) uint8 -> (3, S, N) int8 one-hot planes (numpy)."""
+    return np.stack([geno == 0, geno == 1, geno == 2]).astype(np.int8)
+
+
+def joint_table(geno_i: np.ndarray, geno_j: np.ndarray,
+                use_device: bool = True) -> np.ndarray:
+    """J (3,3,Si,Sj) int64 between two genotype blocks (S, N)."""
+    pi = snp_planes_np(geno_i)
+    pj = snp_planes_np(geno_j)
+    if use_device and (geno_i.shape[0] * geno_j.shape[0] > 4096):
+        c = _joint_tile(jnp.asarray(pi), jnp.asarray(pj))
+        return np.asarray(c).astype(np.int64)
+    return np.einsum("ain,bjn->abij", pi, pj, dtype=np.int64,
+                     optimize=True)
+
+
+def em_haplo(nA_A, nA_B, nB_A, nB_B, nDH2):
+    """Vectorized EM for haplotype proportions (ProportionHaplo,
+    genLD.cpp:268-331). All args float64 arrays of the same shape."""
+    nA_A = np.asarray(nA_A, np.float64)
+    nA_B = np.asarray(nA_B, np.float64)
+    nB_A = np.asarray(nB_A, np.float64)
+    nB_B = np.asarray(nB_B, np.float64)
+    nDH2 = np.asarray(nDH2, np.float64)
+    n_total = nA_A + nA_B + nB_A + nB_B + nDH2
+
+    def plog(x):
+        return np.log(x + DBL_EPSILON)
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        # direct solution when no double-hets
+        pA_A = nA_A / n_total
+        pA_B = nA_B / n_total
+        pB_A = nB_A / n_total
+        pB_B = nB_B / n_total
+
+        em = (n_total > 0) & (nDH2 > 0)
+        if np.any(em):
+            init_f = 0.01
+            div = nA_A + nA_B + nB_A + nB_B + 4.0 * init_f
+            a = (nA_A + init_f) / div
+            b = (nA_B + init_f) / div
+            c = (nB_A + init_f) / div
+            d = (nB_B + init_f) / div
+            nDH = np.floor(nDH2 / 2)
+
+            def loglik(a, b, c, d):
+                return (nA_A * plog(a) + nA_B * plog(b) + nB_A * plog(c)
+                        + nB_B * plog(d) + nDH * plog(a * d + b * c))
+
+            old = loglik(a, b, c, d)
+            contol = np.maximum(np.abs(np.sqrt(DBL_EPSILON) * old),
+                                DBL_EPSILON)
+            active = em.copy()
+            for _ in range(1000):
+                if not np.any(active):
+                    break
+                p_ad = a * d
+                p_bc = b * c
+                ndh_ad = np.where(p_ad + p_bc > 0,
+                                  p_ad / (p_ad + p_bc) * nDH, 0.0)
+                ndh_bc = nDH - ndh_ad
+                na = (nA_A + ndh_ad) / n_total
+                nb = (nA_B + ndh_bc) / n_total
+                nc = (nB_A + ndh_bc) / n_total
+                nd = (nB_B + ndh_ad) / n_total
+                a = np.where(active, na, a)
+                b = np.where(active, nb, b)
+                c = np.where(active, nc, c)
+                d = np.where(active, nd, d)
+                ll = loglik(a, b, c, d)
+                conv = np.abs(ll - old) <= contol
+                old = np.where(active, ll, old)
+                active = active & ~conv
+            pA_A = np.where(em, a, pA_A)
+            pA_B = np.where(em, b, pA_B)
+            pB_A = np.where(em, c, pB_A)
+            pB_B = np.where(em, d, pB_B)
+    return pA_A, pA_B, pB_A, pB_B
+
+
+def haplo_counts(J: np.ndarray):
+    """Known haplotype counts from the joint table (IncArray,
+    genLD.cpp:155-172)."""
+    nA_A = 2 * J[2, 2] + J[2, 1] + J[1, 2]
+    nA_B = 2 * J[2, 0] + J[2, 1] + J[1, 0]
+    nB_A = 2 * J[0, 2] + J[0, 1] + J[1, 2]
+    nB_B = 2 * J[0, 0] + J[0, 1] + J[1, 0]
+    nDH2 = 2 * J[1, 1]
+    return nA_A, nA_B, nB_A, nB_B, nDH2
+
+
+def ld_from_joint(J: np.ndarray, method: str, return_haplo: bool = False):
+    """Evaluate an LD measure from the joint table J (3,3,...)."""
+    J = np.asarray(J, np.float64)
+    n = J.sum((0, 1))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        if method == "composite":
+            naa = J[0].sum(0); naA = J[1].sum(0); nAA = J[2].sum(0)
+            nbb = J[:, 0].sum(0); nbB = J[:, 1].sum(0); nBB = J[:, 2].sum(0)
+            nAABB = J[2, 2]; naabb = J[0, 0]; naaBB = J[0, 2]; nAAbb = J[2, 0]
+            delta = ((nAABB + naabb - naaBB - nAAbb) / (2 * n)
+                     - (naa - nAA) * (nbb - nBB) / (2.0 * n * n))
+            pa = (2 * naa + naA) / (2 * n)
+            pA = 1 - pa
+            pAA = nAA / n
+            pb = (2 * nbb + nbB) / (2 * n)
+            pB = 1 - pb
+            pBB = nBB / n
+            DA = pAA - pA * pA
+            DB = pBB - pB * pB
+            t = (pA * pa + DA) * (pB * pb + DB)
+            out = np.where((n > 0) & (t > 0),
+                           delta / np.sqrt(np.where(t > 0, t, 1.0)), np.nan)
+        elif method == "corr":
+            av = np.arange(3.0)
+            X = np.einsum("a,ab...->...", av, J)
+            Y = np.einsum("b,ab...->...", av, J)
+            XX = np.einsum("a,ab...->...", av * av, J)
+            YY = np.einsum("b,ab...->...", av * av, J)
+            XY = np.einsum("a,b,ab...->...", av, av, J)
+            c1 = XX - X * X / n
+            c2 = YY - Y * Y / n
+            val = c1 * c2
+            out = np.where((n > 0) & (val > 0),
+                           (XY - X * Y / n) /
+                           np.sqrt(np.where(val > 0, val, 1.0)), np.nan)
+        elif method == "cov":
+            av = np.arange(3.0)
+            X = np.einsum("a,ab...->...", av, J)
+            Y = np.einsum("b,ab...->...", av, J)
+            XY = np.einsum("a,b,ab...->...", av, av, J)
+            out = np.where(n > 1, (XY - X * Y / n) / np.maximum(n - 1, 1),
+                           np.nan)
+        elif method in ("r", "dprime"):
+            hc = haplo_counts(J)
+            pA_A, pA_B, pB_A, pB_B = em_haplo(*hc)
+            pA = pA_A + pA_B
+            p_A = pA_A + pB_A
+            pB = pB_A + pB_B
+            p_B = pA_B + pB_B
+            D = pA_A - pA * p_A
+            if method == "r":
+                out = D / np.sqrt(pA * p_A * pB * p_B)
+            else:
+                out = D / np.where(D >= 0, np.minimum(pA * p_B, pB * p_A),
+                                   np.maximum(-pA * p_A, -pB * p_B))
+            if return_haplo:
+                return out, (pA_A, pA_B, pB_A, pB_B)
+        else:
+            raise ValueError(f"unknown LD method {method!r}")
+    if return_haplo:
+        return out, None
+    return out
