@@ -17,6 +17,11 @@ from .models.eigmix import eigmix
 from .models.diss import diss
 from .models.pca_ext import pca_corr, pca_snp_loading, pca_samp_loading
 from .models.ld import ld_pair, ld_mat, ld_pruning, apart_selection
+from .models.fst import fst
+from .models.hwe import hwe
+from .models.inbreeding import ind_inb, ind_inb_coef
+from .models.stats import (snp_rate_freq, samp_miss_rate, select_snp,
+                           get_geno, summary)
 
 # Reference-style aliases
 snpgdsOpen = open_snp_gds
@@ -39,5 +44,14 @@ snpgdsLDpair = ld_pair
 snpgdsLDMat = ld_mat
 snpgdsLDpruning = ld_pruning
 snpgdsApartSelection = apart_selection
+snpgdsFst = fst
+snpgdsHWE = hwe
+snpgdsIndInb = ind_inb
+snpgdsIndInbCoef = ind_inb_coef
+snpgdsSNPRateFreq = snp_rate_freq
+snpgdsSampMissRate = samp_miss_rate
+snpgdsSelectSNP = select_snp
+snpgdsGetGeno = get_geno
+snpgdsSummary = summary
 
 __version__ = "0.1.0"
