@@ -22,6 +22,8 @@ from .models.hwe import hwe
 from .models.inbreeding import ind_inb, ind_inb_coef
 from .models.stats import (snp_rate_freq, samp_miss_rate, select_snp,
                            get_geno, summary)
+from .models.ibd_mle import (ibd_mle, ibd_mle_loglik, pair_ibd,
+                             pair_ibd_mle_loglik, ibd_selection)
 
 # Reference-style aliases
 snpgdsOpen = open_snp_gds
@@ -53,5 +55,10 @@ snpgdsSampMissRate = samp_miss_rate
 snpgdsSelectSNP = select_snp
 snpgdsGetGeno = get_geno
 snpgdsSummary = summary
+snpgdsIBDMLE = ibd_mle
+snpgdsIBDMLELogLik = ibd_mle_loglik
+snpgdsPairIBD = pair_ibd
+snpgdsPairIBDMLELogLik = pair_ibd_mle_loglik
+snpgdsIBDSelection = ibd_selection
 
 __version__ = "0.1.0"

@@ -1,0 +1,575 @@
+"""Maximum-likelihood IBD estimation (reference: R/IBD.R:79-321 +
+src/genIBD.cpp).
+
+- 3-state EM (EMAlg, genIBD.cpp:582-656) and Nelder-Mead downhill simplex
+  (Simplex + GWAS_Math::SimplexMin, genIBD.cpp:59-189, 741-779)
+- 9-state Jacquard EM (EM_Jacq_Alg, genIBD.cpp:864-1118)
+- per-pair Pr(IBS | IBD state) tables (PrIBDTable genIBD.cpp:454-502,
+  PrIBDTabJacq :864-940)
+- log-likelihood evaluators (Do_MLE_LogLik, genIBD.cpp:1288-1326)
+
+EM runs vectorized over pair batches with convergence masks (the reference
+uses a mutex-guarded pair queue over threads, genIBD.cpp:783-853).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+
+from ..workspace import init_workspace
+from .ibd_mom import _epr_ibs_ibd, _est_plink_kinship
+from ..ops.pairwise import pair_counts
+
+INIT_TOL = 0.005
+RELATEDNESS_K = {"self": (0.0, 0.0), "fullsib": (0.25, 0.5),
+                 "offspring": (0.0, 1.0), "halfsib": (0.5, 0.5),
+                 "cousin": (0.75, 0.25), "unrelated": (1.0, 0.0)}
+
+
+def pr_ibd_table(p: np.ndarray) -> np.ndarray:
+    """(S,) allele freqs -> (S, 4, 4, 3) Pr(IBS | IBD state) tables
+    (PrIBDTable, genIBD.cpp:454-502). Invalid p (outside (0,1)) -> zeros;
+    genotype code 3 (missing) -> zeros."""
+    p = np.asarray(p, np.float64)
+    s = len(p)
+    q = 1.0 - p
+    t = np.zeros((s, 4, 4, 3))
+    ok = (p > 0) & (p < 1)
+    pp, qq = np.where(ok, p, 0.0), np.where(ok, q, 0.0)
+    # g=0 is mm (q allele), g=2 is MM
+    t[:, 0, 0] = np.stack([qq**4, qq**3, qq**2], -1)
+    t[:, 0, 1] = np.stack([2 * pp * qq**3, pp * qq**2, np.zeros(s)], -1)
+    t[:, 0, 2] = np.stack([pp**2 * qq**2, np.zeros(s), np.zeros(s)], -1)
+    t[:, 1, 0] = t[:, 0, 1]
+    t[:, 1, 1] = np.stack([4 * (pp * qq)**2, pp * qq, 2 * pp * qq], -1)
+    t[:, 1, 2] = np.stack([2 * pp**3 * qq, pp**2 * qq, np.zeros(s)], -1)
+    t[:, 2, 0] = t[:, 0, 2]
+    t[:, 2, 1] = t[:, 1, 2]
+    t[:, 2, 2] = np.stack([pp**4, pp**3, pp**2], -1)
+    t[~ok] = 0.0
+    return t
+
+
+def pr_jacq_table(p: np.ndarray) -> np.ndarray:
+    """(S,) -> (S, 4, 4, 9) Jacquard tables (PrIBDTabJacq,
+    genIBD.cpp:864-940)."""
+    p = np.asarray(p, np.float64)
+    s = len(p)
+    q = 1.0 - p
+    ok = (p > 0) & (p < 1)
+    pp, qq = np.where(ok, p, 0.0), np.where(ok, q, 0.0)
+    z = np.zeros(s)
+    t = np.zeros((s, 4, 4, 9))
+    t[:, 0, 0] = np.stack([qq, qq**2, qq**2, qq**3, qq**2, qq**3, qq**2,
+                           qq**3, qq**4], -1)
+    t[:, 0, 1] = np.stack([z, z, pp * qq, 2 * pp * qq**2, z, z, z,
+                           pp * qq**2, 2 * pp * qq**3], -1)
+    t[:, 0, 2] = np.stack([z, pp * qq, z, pp**2 * qq, z, pp * qq**2, z, z,
+                           pp**2 * qq**2], -1)
+    t[:, 1, 0] = np.stack([z, z, z, z, pp * qq, 2 * pp * qq**2, z,
+                           pp * qq**2, 2 * pp * qq**3], -1)
+    t[:, 1, 1] = np.stack([z, z, z, z, z, z, 2 * pp * qq, pp * qq,
+                           4 * pp**2 * qq**2], -1)
+    t[:, 1, 2] = np.stack([z, z, z, z, pp * qq, 2 * pp**2 * qq, z,
+                           pp**2 * qq, 2 * pp**3 * qq], -1)
+    t[:, 2, 0] = np.stack([z, pp * qq, z, pp * qq**2, z, pp**2 * qq, z, z,
+                           pp**2 * qq**2], -1)
+    t[:, 2, 1] = np.stack([z, z, pp * qq, 2 * pp**2 * qq, z, z, z,
+                           pp**2 * qq, 2 * pp**3 * qq], -1)
+    t[:, 2, 2] = np.stack([pp, pp**2, pp**2, pp**3, pp**2, pp**3, pp**2,
+                           pp**3, pp**4], -1)
+    t[~ok] = 0.0
+    return t
+
+
+def mle_allele_freq(geno: np.ndarray, afreq: Optional[np.ndarray]):
+    """InitAFreq (genIBD.cpp:1120-1164): per-SNP frequency, -1 if invalid."""
+    if afreq is not None:
+        af = np.where(np.isfinite(afreq), afreq, -1.0)
+        return af
+    valid = geno < 3
+    n = 2 * valid.sum(1)
+    s = np.where(valid, geno, 0).sum(1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return np.where(n > 0, s / n, -1.0)
+
+
+def _gather_pr(table: np.ndarray, g1: np.ndarray, g2: np.ndarray):
+    """(S,4,4,K) table + genotype vectors (B,S) -> (B,S,K)."""
+    s_idx = np.arange(table.shape[0])
+    return table[s_idx[None, :], g1, g2]
+
+
+def _loglik_3(pr: np.ndarray, k0, k1):
+    """EM_LogLik vectorized: pr (B,S,3); k0/k1 scalars or (B,)."""
+    k0 = np.asarray(k0, np.float64)
+    k1 = np.asarray(k1, np.float64)
+    k = np.stack([k0, k1, 1 - k0 - k1], -1)  # (B,3) or (3,)
+    if k.ndim == 1:
+        k = np.broadcast_to(k, pr.shape[:1] + (3,))
+    s = np.einsum("bsk,bk->bs", pr, k)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ll = np.where(s > 0, np.log(np.where(s > 0, s, 1.0)), 0.0).sum(1)
+    bad = ((s <= 0) & (pr[:, :, 0] > 0)).any(1)
+    return np.where(bad, -np.inf, ll)
+
+
+def em_3state(pr: np.ndarray, k0: np.ndarray, k1: np.ndarray,
+              max_iter: int, reltol: float, loglik_adjust: bool):
+    """EMAlg (genIBD.cpp:582-656) over a batch of pairs."""
+    b = pr.shape[0]
+    k = np.stack([k0, k1, 1 - k0 - k1], -1)  # (B,3)
+    ll0 = _loglik_3(pr, k[:, 0], k[:, 1])
+    finite = np.isfinite(ll0)
+    convtol = np.where(finite,
+                       np.maximum(reltol * (np.abs(ll0) + abs(reltol)), 0.0),
+                       reltol)
+    old_ll = np.zeros(b)
+    niter = np.full(b, max_iter, np.int32)
+    active = np.ones(b, bool)
+    out_ll = np.where(finite, ll0, 1e8)
+    for it in range(0, max_iter + 1):
+        if not active.any():
+            break
+        mul = pr * k[:, None, :]  # (B,S,3)
+        mulsum = mul.sum(-1)
+        pos = mulsum > 0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            w = np.where(pos[..., None], mul / np.where(
+                pos[..., None], mulsum[..., None], 1.0), 0.0)
+        nsnp = pos.sum(1)
+        ll = np.where(pos, np.log(np.where(pos, mulsum, 1.0)), 0.0).sum(1)
+        newk = w.sum(1) / nsnp[:, None]
+        conv = np.abs(ll - old_ll) <= convtol
+        # converged pairs keep their pre-update k (EMAlg reverts to oldk)
+        upd = active & ~conv
+        k = np.where(upd[:, None], newk, k)
+        out_ll = np.where(active, ll, out_ll)
+        niter = np.where(active & conv, it, niter)
+        old_ll = np.where(active, ll, old_ll)
+        active = active & ~conv
+    k0o, k1o = k[:, 0], k[:, 1]
+    if loglik_adjust:
+        for ck0, ck1 in RELATEDNESS_K.values():
+            cll = _loglik_3(pr, ck0, ck1)
+            better = np.isfinite(cll) & (out_ll < cll)
+            k0o = np.where(better, ck0, k0o)
+            k1o = np.where(better, ck1, k1o)
+            out_ll = np.where(better, cll, out_ll)
+    return k0o, k1o, out_ll, niter
+
+
+def _simplex_min(p, funk, reltol, nfunkmax):
+    """GWAS_Math::SimplexMin (genIBD.cpp:96-189), ndim=2, literal port."""
+    ndim = 2
+    p = [list(row) for row in p]
+    y = [funk(np.asarray(v)) for v in p]
+    nfunk = ndim
+    convtol = max(reltol * (abs(y[0]) + abs(reltol)),
+                  np.finfo(float).eps)
+    psum = [sum(p[i][j] for i in range(ndim + 1)) for j in range(ndim)]
+
+    def try_point(ihi, fac):
+        nonlocal psum
+        fac1 = (1.0 - fac) / ndim
+        fac2 = fac1 - fac
+        ptry = [psum[j] * fac1 - p[ihi][j] * fac2 for j in range(ndim)]
+        ytry = funk(np.asarray(ptry))
+        if ytry < y[ihi]:
+            y[ihi] = ytry
+            for j in range(ndim):
+                psum[j] += ptry[j] - p[ihi][j]
+                p[ihi][j] = ptry[j]
+        return ytry
+
+    while True:
+        ilo = 0
+        if y[0] > y[1]:
+            ihi, inhi = 0, 1
+        else:
+            ihi, inhi = 1, 0
+        for i in range(ndim + 1):
+            if y[i] <= y[ilo]:
+                ilo = i
+            if y[i] > y[ihi]:
+                inhi, ihi = ihi, i
+            elif y[i] > y[inhi] and i != ihi:
+                inhi = i
+        if (y[ihi] - y[ilo]) <= convtol or nfunk >= nfunkmax:
+            return np.asarray(p[ilo]), y[ilo], nfunk
+        nfunk += 2
+        ytry = try_point(ihi, -1.0)
+        if ytry <= y[ilo]:
+            try_point(ihi, 2.0)
+        elif ytry >= y[inhi]:
+            ysave = y[ihi]
+            ytry = try_point(ihi, 0.5)
+            if ytry >= ysave:
+                for i in range(ndim + 1):
+                    if i != ilo:
+                        for j in range(ndim):
+                            p[i][j] = psum[j] = 0.5 * (p[i][j] + p[ilo][j])
+                        y[i] = funk(np.asarray(psum))
+                nfunk += ndim
+                psum = [sum(p[i][j] for i in range(ndim + 1))
+                        for j in range(ndim)]
+        else:
+            nfunk -= 1
+
+
+def simplex_3state(pr: np.ndarray, k0: float, k1: float, max_iter: int,
+                   reltol: float, loglik_adjust: bool):
+    """Simplex (genIBD.cpp:741-779) for ONE pair; pr is the NM-transformed
+    table (pr0-pr2, pr1-pr2, pr2)."""
+    def nm_loglik(k0, k1):
+        if k0 < 0 or k1 < 0 or k0 + k1 > 1:
+            return -np.inf
+        s = pr[:, 0] * k0 + pr[:, 1] * k1 + pr[:, 2]
+        pos = s > 0
+        if ((~pos) & (pr[:, 0] > 0)).any():
+            return -np.inf
+        return float(np.log(s[pos]).sum())
+
+    def _optim(x):
+        rv = -nm_loglik(x[0], x[1])
+        return rv if np.isfinite(rv) else 1e30
+
+    # simplex vertices (genIBD.cpp:745-757)
+    p = np.zeros((3, 2))
+    p[0] = (k0, k1)
+    f = (1 - k0) / 2
+    p[1, 0] = k0
+    p[1, 1] = (k1 + max(k1, f - k1) / 2) if k1 <= f else \
+        (k1 - max(k1 - f, 1 - k0 - k1))
+    p[2, 1] = k1
+    f = (1 - k1) / 2
+    p[2, 0] = (k0 + max(k0, f - k0) / 2) if k0 <= f else \
+        (k0 - max(k0 - f, 1 - k1 - k0) / 2)
+
+    x, fmin, niter = _simplex_min(p, _optim, reltol, max_iter)
+    out_k0, out_k1, out_ll = float(x[0]), float(x[1]), -fmin
+    if loglik_adjust:
+        for ck0, ck1 in RELATEDNESS_K.values():
+            cll = nm_loglik(ck0, ck1)
+            if np.isfinite(cll) and out_ll < cll:
+                out_k0, out_k1, out_ll = ck0, ck1, cll
+    return out_k0, out_k1, out_ll, niter
+
+
+def em_jacquard(pr: np.ndarray, max_iter: int, reltol: float):
+    """EM_Jacq_Alg (genIBD.cpp:989-1080) over a batch: pr (B,S,9)."""
+    b = pr.shape[0]
+    D = np.full((b, 9), 0.01)
+    D[:, 8] = 1 - 0.08
+
+    def loglik(D):
+        s = np.einsum("bsk,bk->bs", pr, D)
+        ll = np.where(s > 0, np.log(np.where(s > 0, s, 1.0)), 0.0).sum(1)
+        bad = ((s <= 0) & (pr[:, :, 8] > 0)).any(1)
+        return np.where(bad, -np.inf, ll)
+
+    ll0 = loglik(D)
+    finite = np.isfinite(ll0)
+    convtol = np.where(finite,
+                       np.maximum(reltol * (np.abs(ll0) + abs(reltol)), 0.0),
+                       reltol)
+    old_ll = np.zeros(b)
+    out_ll = np.where(finite, ll0, 1e8)
+    niter = np.full(b, max_iter, np.int32)
+    active = np.ones(b, bool)
+    for it in range(0, max_iter + 1):
+        if not active.any():
+            break
+        mul = pr * D[:, None, :]
+        mulsum = mul.sum(-1)
+        pos = mulsum > 0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            w = np.where(pos[..., None],
+                         mul / np.where(pos[..., None], mulsum[..., None],
+                                        1.0), 0.0)
+        nsnp = pos.sum(1)
+        ll = np.where(pos, np.log(np.where(pos, mulsum, 1.0)), 0.0).sum(1)
+        newD = w.sum(1) / nsnp[:, None]
+        conv = np.abs(ll - old_ll) <= convtol
+        upd = active & ~conv
+        D = np.where(upd[:, None], newD, D)
+        out_ll = np.where(active, ll, out_ll)
+        niter = np.where(active & conv, it, niter)
+        old_ll = np.where(active, ll, old_ll)
+        active = active & ~conv
+    return D, out_ll, niter
+
+
+@dataclass
+class IBDMLEResult:
+    sample_id: np.ndarray
+    snp_id: np.ndarray
+    afreq: np.ndarray
+    k0: Optional[np.ndarray] = None
+    k1: Optional[np.ndarray] = None
+    D: Optional[dict] = None
+    niter: Optional[np.ndarray] = None
+    kinship: Optional[np.ndarray] = None
+
+
+def ibd_mle(data, sample_id=None, snp_id=None, autosome_only=True,
+            remove_monosnp=True, maf=math.nan, missing_rate=0.01,
+            kinship=False, kinship_constraint=False, allele_freq=None,
+            method="EM", max_niter=1000, reltol=math.sqrt(np.finfo(float).eps),
+            coeff_correct=True, out_num_iter=True, verbose=False,
+            batch=256) -> IBDMLEResult:
+    """snpgdsIBDMLE (R/IBD.R:79)."""
+    ws, af_used = init_workspace(data, sample_id, snp_id, autosome_only,
+                                 remove_monosnp, maf, missing_rate,
+                                 allele_freq=allele_freq, verbose=verbose)
+    n = ws.n_samp
+    geno = ws.geno()  # (S, N)
+    af = mle_allele_freq(geno, af_used)
+    gT = np.where(geno < 3, geno, 3).T.astype(np.intp)  # (N, S)
+
+    iu = np.triu_indices(n, 1)
+    npairs = len(iu[0])
+    afreq_out = af.copy()
+    afreq_out[afreq_out < 0] = np.nan
+
+    if method == "Jacquard":
+        table = pr_jacq_table(af)
+        Dmats = {f"D{i+1}": np.zeros((n, n)) for i in range(8)}
+        nit = np.zeros((n, n), np.int32)
+        for s in range(0, npairs, batch):
+            e = min(s + batch, npairs)
+            i_idx, j_idx = iu[0][s:e], iu[1][s:e]
+            pr = _gather_pr(table, gT[i_idx], gT[j_idx])
+            D, ll, ni = em_jacquard(pr, max_niter, reltol)
+            for k in range(8):
+                Dmats[f"D{k+1}"][i_idx, j_idx] = D[:, k]
+                Dmats[f"D{k+1}"][j_idx, i_idx] = D[:, k]
+            nit[i_idx, j_idx] = ni
+            nit[j_idx, i_idx] = ni
+        # diagonal: D1=1 convention? reference leaves diag at initial value 0
+        res = IBDMLEResult(ws.sample_id, ws.snp_id, afreq_out, D=Dmats,
+                           niter=nit if out_num_iter else None)
+        if kinship:
+            res.kinship = (Dmats["D1"] + 0.5 * (Dmats["D3"] + Dmats["D5"]
+                           + Dmats["D7"]) + 0.25 * Dmats["D8"])
+        return res
+
+    if method not in ("EM", "downhill.simplex"):
+        raise ValueError("Invalid MLE method!")
+
+    # initial values: PLINK MoM without correction factor
+    c = pair_counts(ws)
+    gsum = np.where(geno < 3, geno, 0).sum(1)
+    gnum = (geno < 3).sum(1)
+    e_tab, _ = _epr_ibs_ibd(gsum, gnum, af_used, correct=False)
+    k0i, k1i = _est_plink_kinship(c.ibs0, c.ibs1, c.ibs2, e_tab, False)
+
+    table = pr_ibd_table(af)
+    k0m = np.zeros((n, n))
+    k1m = np.zeros((n, n))
+    nit = np.zeros((n, n), np.int32)
+    for s in range(0, npairs, batch):
+        e = min(s + batch, npairs)
+        i_idx, j_idx = iu[0][s:e], iu[1][s:e]
+        pr = _gather_pr(table, gT[i_idx], gT[j_idx])
+        k0 = k0i[i_idx, j_idx].copy()
+        k1 = k1i[i_idx, j_idx].copy()
+        # clip initial values (Entry_MLEIBD, genIBD.cpp:820-830)
+        k2 = 1 - k0 - k1
+        k0 = np.maximum(k0, INIT_TOL)
+        k1 = np.maximum(k1, INIT_TOL)
+        k2 = np.maximum(k2, INIT_TOL)
+        ssum = k0 + k1 + k2
+        k0, k1 = k0 / ssum, k1 / ssum
+        if method == "EM":
+            k0o, k1o, ll, ni = em_3state(pr, k0, k1, max_niter, reltol,
+                                         coeff_correct)
+        else:
+            k0o = np.empty(e - s)
+            k1o = np.empty(e - s)
+            ni = np.empty(e - s, np.int32)
+            prn = pr.copy()
+            prn[:, :, 0] -= pr[:, :, 2]
+            prn[:, :, 1] -= pr[:, :, 2]
+            for b_i in range(e - s):
+                k0o[b_i], k1o[b_i], _ll, ni[b_i] = simplex_3state(
+                    prn[b_i], k0[b_i], k1[b_i], max_niter, reltol,
+                    coeff_correct)
+        k0m[i_idx, j_idx] = k0o
+        k0m[j_idx, i_idx] = k0o
+        k1m[i_idx, j_idx] = k1o
+        k1m[j_idx, i_idx] = k1o
+        nit[i_idx, j_idx] = ni
+        nit[j_idx, i_idx] = ni
+    res = IBDMLEResult(ws.sample_id, ws.snp_id, afreq_out, k0=k0m, k1=k1m,
+                       niter=nit if out_num_iter else None)
+    if kinship:
+        res.kinship = 0.5 * (1 - k0m - k1m) + 0.25 * k1m
+    return res
+
+
+def ibd_mle_loglik(data, ibdobj: IBDMLEResult, k0=math.nan, k1=math.nan,
+                   relatedness=""):
+    """snpgdsIBDMLELogLik (R/IBD.R:162): log-likelihood matrix given k0/k1
+    (per-pair from ibdobj, or fixed / by relatedness)."""
+    ws, _ = init_workspace(data, sample_id=ibdobj.sample_id,
+                           snp_id=ibdobj.snp_id, autosome_only=False,
+                           remove_monosnp=False)
+    geno = ws.geno()
+    af = np.where(np.isfinite(ibdobj.afreq), ibdobj.afreq, -1.0)
+    table = pr_ibd_table(af)
+    gT = np.where(geno < 3, geno, 3).T.astype(np.intp)
+    n = ws.n_samp
+    out = np.zeros((n, n))
+    if relatedness in RELATEDNESS_K:
+        k0, k1 = RELATEDNESS_K[relatedness]
+    fixed = np.isfinite(k0) and np.isfinite(k1)
+    iu = np.triu_indices(n, 0)
+    for s in range(0, len(iu[0]), 256):
+        e = min(s + 256, len(iu[0]))
+        i_idx, j_idx = iu[0][s:e], iu[1][s:e]
+        pr = _gather_pr(table, gT[i_idx], gT[j_idx])
+        if fixed:
+            ll = _loglik_3(pr, k0, k1)
+        else:
+            ll = _loglik_3(pr, ibdobj.k0[i_idx, j_idx],
+                           ibdobj.k1[i_idx, j_idx])
+        out[i_idx, j_idx] = ll
+        out[j_idx, i_idx] = ll
+    return out
+
+
+def pair_ibd(geno1, geno2, allele_freq, method="EM",
+             kinship_constraint=False, max_niter=1000,
+             reltol=math.sqrt(np.finfo(float).eps), coeff_correct=True,
+             out_num_iter=True, verbose=False):
+    """snpgdsPairIBD (R/IBD.R:210): MLE/MoM IBD for one pair."""
+    g1 = np.asarray(geno1, np.float64)
+    g2 = np.asarray(geno2, np.float64)
+    af = np.asarray(allele_freq, np.float64).copy()
+    af[~np.isfinite(af)] = -1
+    flag = (af >= 0) & (af <= 1)
+    g1, g2, af = g1[flag], g2[flag], af[flag]
+    g1 = np.where((g1 >= 0) & (g1 <= 2), g1, 3).astype(np.intp)
+    g2 = np.where((g2 >= 0) & (g2 <= 2), g2, 3).astype(np.intp)
+
+    if method == "Jacquard":
+        table = pr_jacq_table(af)
+        pr = _gather_pr(table, g1[None], g2[None])
+        D, ll, ni = em_jacquard(pr, max_niter, reltol)
+        out = {f"D{i+1}": float(D[0, i]) for i in range(8)}
+        out["loglik"] = float(ll[0])
+        if out_num_iter:
+            out["niter"] = int(ni[0])
+        return out
+
+    # initial: PLINK MoM from this pair's IBS counts
+    valid = (g1 <= 2) & (g2 <= 2)
+    d = np.abs(g1 - g2)[valid]
+    ibs = [int((d == 2 - k).sum()) for k in range(3)]
+    gsum = np.zeros(len(af))  # unused with explicit afreq
+    gnum = np.zeros(len(af))
+    e_tab, _ = _epr_ibs_ibd(gsum, gnum, af, correct=False)
+    k0a, k1a = _est_plink_kinship(np.array([[ibs[0]]]), np.array([[ibs[1]]]),
+                                  np.array([[ibs[2]]]), e_tab,
+                                  kinship_constraint)
+    k0, k1 = float(k0a[0, 0]), float(k1a[0, 0])
+    if method == "MoM":
+        out = {"k0": k0, "k1": k1, "loglik": np.nan}
+        if out_num_iter:
+            out["niter"] = 0
+        return out
+
+    # clip initial values
+    k2 = max(1 - k0 - k1, INIT_TOL)
+    k0 = max(k0, INIT_TOL)
+    k1 = max(k1, INIT_TOL)
+    ssum = k0 + k1 + k2
+    k0, k1 = k0 / ssum, k1 / ssum
+
+    table = pr_ibd_table(af)
+    pr = _gather_pr(table, g1[None], g2[None])
+    if method == "EM":
+        k0o, k1o, ll, ni = em_3state(pr, np.array([k0]), np.array([k1]),
+                                     max_niter, reltol, coeff_correct)
+        out = {"k0": float(k0o[0]), "k1": float(k1o[0]),
+               "loglik": float(ll[0])}
+        if out_num_iter:
+            out["niter"] = int(ni[0])
+        return out
+    if method == "downhill.simplex":
+        prn = pr[0].copy()
+        prn[:, 0] -= pr[0][:, 2]
+        prn[:, 1] -= pr[0][:, 2]
+        k0o, k1o, ll, ni = simplex_3state(prn, k0, k1, max_niter, reltol,
+                                          coeff_correct)
+        out = {"k0": k0o, "k1": k1o, "loglik": ll}
+        if out_num_iter:
+            out["niter"] = int(ni)
+        return out
+    raise ValueError("invalid method")
+
+
+def pair_ibd_mle_loglik(geno1, geno2, allele_freq, k0=math.nan, k1=math.nan,
+                        relatedness="", verbose=False):
+    """snpgdsPairIBDMLELogLik (R/IBD.R:267)."""
+    g1 = np.asarray(geno1, np.float64)
+    g2 = np.asarray(geno2, np.float64)
+    af = np.asarray(allele_freq, np.float64).copy()
+    af[~np.isfinite(af)] = -1
+    flag = (af >= 0) & (af <= 1)
+    g1, g2, af = g1[flag], g2[flag], af[flag]
+    g1 = np.where((g1 >= 0) & (g1 <= 2), g1, 3).astype(np.intp)
+    g2 = np.where((g2 >= 0) & (g2 <= 2), g2, 3).astype(np.intp)
+    if relatedness in RELATEDNESS_K:
+        k0, k1 = RELATEDNESS_K[relatedness]
+    pr = _gather_pr(pr_ibd_table(af), g1[None], g2[None])
+    return float(_loglik_3(pr, k0, k1)[0])
+
+
+def ibd_selection(ibdobj, kinship_cutoff=math.nan, samp_sel=None):
+    """snpgdsIBDSelection (R/IBD.R:463): flatten an IBD result into a pair
+    table (dict of columns: ID1, ID2, k0/k1/D*/kinship...)."""
+    import copy
+
+    obj = copy.copy(ibdobj)
+    sample_id = np.asarray(obj.sample_id, dtype=object)
+    fields = {}
+    for name in ("k0", "k1", "IBS0", "kinship"):
+        v = getattr(obj, name, None)
+        if v is not None:
+            fields[name] = np.asarray(v)
+    if getattr(obj, "D", None):
+        fields.update({k: np.asarray(v) for k, v in obj.D.items()})
+
+    if samp_sel is not None:
+        samp_sel = np.asarray(samp_sel)
+        sample_id = sample_id[samp_sel]
+        fields = {k: v[np.ix_(samp_sel, samp_sel)] if samp_sel.dtype == bool
+                  else v[samp_sel][:, samp_sel] for k, v in fields.items()}
+
+    if "kinship" not in fields:
+        if "k0" in fields and "k1" in fields:
+            fields["kinship"] = (1 - fields["k0"] - fields["k1"]) * 0.5 \
+                + fields["k1"] * 0.25
+        elif "D1" in fields:
+            fields["kinship"] = (fields["D1"] + 0.5 * (fields["D3"]
+                                 + fields["D5"] + fields["D7"])
+                                 + 0.25 * fields["D8"])
+        elif math.isfinite(kinship_cutoff):
+            raise ValueError("There is no kinship coefficient.")
+
+    n = len(sample_id)
+    il, jl = np.tril_indices(n, -1)  # lower triangle (i > j)
+    flag = np.ones(len(il), bool)
+    if math.isfinite(kinship_cutoff):
+        kv = fields["kinship"][il, jl]
+        flag = np.nan_to_num(kv, nan=-np.inf) >= kinship_cutoff
+    out = {"ID1": sample_id[jl[flag]], "ID2": sample_id[il[flag]]}
+    for k, v in fields.items():
+        out[k] = v[il[flag], jl[flag]]
+    return out

@@ -1,0 +1,135 @@
+"""IBD MLE tests: scalar-port cross-checks and invariants."""
+
+import math
+
+import numpy as np
+
+
+def _scalar_em(pr, k0, k1, max_iter, reltol):
+    """Literal scalar port of EMAlg (genIBD.cpp:582-656), no loglik adjust."""
+    k = [k0, k1, 1 - k0 - k1]
+
+    def loglik(k0, k1):
+        kk = [k0, k1, 1 - k0 - k1]
+        ll = 0.0
+        for row in pr:
+            s = row[0] * kk[0] + row[1] * kk[1] + row[2] * kk[2]
+            if s > 0:
+                ll += math.log(s)
+            elif row[0] > 0:
+                return -math.inf
+        return ll
+
+    old = 0.0
+    ll = loglik(k[0], k[1])
+    if math.isfinite(ll):
+        convtol = max(reltol * (abs(ll) + abs(reltol)), 0.0)
+    else:
+        ll, convtol = 1e8, reltol
+    for _ in range(0, max_iter + 1):
+        oldk = list(k)
+        s0 = s1 = 0.0
+        nsnp = 0
+        ll = 0.0
+        for row in pr:
+            m = [row[0] * k[0], row[1] * k[1], row[2] * k[2]]
+            ms = sum(m)
+            if ms > 0:
+                s0 += m[0] / ms
+                s1 += m[1] / ms
+                nsnp += 1
+                ll += math.log(ms)
+        k = [s0 / nsnp, s1 / nsnp, 1 - s0 / nsnp - s1 / nsnp]
+        if abs(ll - old) <= convtol:
+            k = oldk
+            break
+        old = ll
+    return k[0], k[1], ll
+
+
+def test_em_vs_scalar(hapmap):
+    from snprelate_tpu.workspace import init_workspace
+    from snprelate_tpu.models.ibd_mle import (pr_ibd_table, _gather_pr,
+                                              em_3state, mle_allele_freq)
+
+    ws, _ = init_workspace(hapmap, sample_id=hapmap.sample_id[:10],
+                           snp_id=hapmap.snp_id[:800])
+    geno = ws.geno()
+    af = mle_allele_freq(geno, None)
+    table = pr_ibd_table(af)
+    gT = np.where(geno < 3, geno, 3).T.astype(np.intp)
+    reltol = math.sqrt(np.finfo(float).eps)
+
+    pairs = [(0, 1), (2, 7), (3, 9)]
+    pr = _gather_pr(table, gT[[i for i, _ in pairs]],
+                    gT[[j for _, j in pairs]])
+    k0 = np.array([0.4, 0.7, 0.2])
+    k1 = np.array([0.3, 0.2, 0.5])
+    k0o, k1o, ll, ni = em_3state(pr, k0.copy(), k1.copy(), 1000, reltol,
+                                 loglik_adjust=False)
+    for b in range(3):
+        sk0, sk1, sll = _scalar_em(pr[b], k0[b], k1[b], 1000, reltol)
+        np.testing.assert_allclose(k0o[b], sk0, rtol=1e-10)
+        np.testing.assert_allclose(k1o[b], sk1, rtol=1e-10)
+        np.testing.assert_allclose(ll[b], sll, rtol=1e-10)
+
+
+def test_ibd_mle_em_small(hapmap):
+    from snprelate_tpu.models.ibd_mle import ibd_mle
+
+    res = ibd_mle(hapmap, sample_id=hapmap.sample_id[:12],
+                  snp_id=hapmap.snp_id[:1500], kinship=True)
+    n = 12
+    assert res.k0.shape == (n, n)
+    iu = np.triu_indices(n, 1)
+    assert np.isfinite(res.k0[iu]).all()
+    assert ((res.k0[iu] >= -1e-9) & (res.k0[iu] <= 1 + 1e-9)).all()
+    assert ((res.k1[iu] >= -1e-9) & (res.k1[iu] <= 1 + 1e-9)).all()
+    assert (res.niter[iu] > 0).all()
+    # kinship formula (R/IBD.R:67)
+    np.testing.assert_allclose(
+        res.kinship, 0.5 * (1 - res.k0 - res.k1) + 0.25 * res.k1)
+
+
+def test_ibd_mle_simplex_and_jacquard(hapmap):
+    from snprelate_tpu.models.ibd_mle import ibd_mle
+
+    res = ibd_mle(hapmap, sample_id=hapmap.sample_id[:6],
+                  snp_id=hapmap.snp_id[:800], method="downhill.simplex")
+    iu = np.triu_indices(6, 1)
+    assert np.isfinite(res.k0[iu]).all()
+    assert ((res.k0[iu] + res.k1[iu]) <= 1 + 1e-9).all()
+
+    rj = ibd_mle(hapmap, sample_id=hapmap.sample_id[:6],
+                 snp_id=hapmap.snp_id[:800], method="Jacquard", kinship=True)
+    s = sum(rj.D[f"D{i}"][iu] for i in range(1, 9))
+    assert ((s >= -1e-9) & (s <= 1 + 1e-6)).all()
+
+
+def test_pair_ibd_matches_matrix_em(hapmap):
+    from snprelate_tpu.models.ibd_mle import ibd_mle, pair_ibd
+    from snprelate_tpu.workspace import init_workspace
+
+    res = ibd_mle(hapmap, sample_id=hapmap.sample_id[:8],
+                  snp_id=hapmap.snp_id[:1000])
+    ws, _ = init_workspace(hapmap, sample_id=hapmap.sample_id[:8],
+                           snp_id=res.snp_id, autosome_only=False,
+                           remove_monosnp=False)
+    geno = ws.geno().astype(float)
+    geno[geno == 3] = np.nan
+    af = np.where(np.isfinite(res.afreq), res.afreq, -1)
+    pv = pair_ibd(geno[:, 0], geno[:, 3], af, method="EM")
+    np.testing.assert_allclose(pv["k0"], res.k0[0, 3], atol=5e-4)
+    np.testing.assert_allclose(pv["k1"], res.k1[0, 3], atol=5e-4)
+
+
+def test_loglik_consistency(hapmap):
+    from snprelate_tpu.models.ibd_mle import ibd_mle, ibd_mle_loglik
+
+    res = ibd_mle(hapmap, sample_id=hapmap.sample_id[:6],
+                  snp_id=hapmap.snp_id[:600])
+    ll_est = ibd_mle_loglik(hapmap, res)
+    ll_unrel = ibd_mle_loglik(hapmap, res, relatedness="unrelated")
+    iu = np.triu_indices(6, 1)
+    # the MLE (with loglik adjustment) cannot be worse than 'unrelated'
+    assert (ll_est[iu] >= ll_unrel[iu] - 1e-6).all()
