@@ -185,3 +185,21 @@ def test_pca_corr_loading_sampload_golden(hapmap, golden):
     np.testing.assert_allclose(
         np.round(sl.eigenvect * flips[None, :], 4), g["samploading"],
         rtol=0, atol=0.000101)
+
+
+def test_randomized_pca_matches_exact(hapmap):
+    """Randomized PCA (CRandomPCA analog) must recover the exact top
+    components (test: subspace iteration convergence on hapmap[:90])."""
+    from snprelate_tpu import pca
+
+    ex = pca(hapmap, sample_id=hapmap.sample_id[:90], eigen_cnt=8,
+             missing_rate=np.nan)
+    rd = pca(hapmap, sample_id=hapmap.sample_id[:90], algorithm="randomized",
+             eigen_cnt=8, iter_num=12, seed=7, missing_rate=np.nan)
+    np.testing.assert_allclose(rd.eigenval[:4], ex.eigenval[:4], rtol=5e-3)
+    for k in range(4):
+        c = abs(np.dot(rd.eigenvect[:, k], ex.eigenvect[:, k]) /
+                (np.linalg.norm(rd.eigenvect[:, k])
+                 * np.linalg.norm(ex.eigenvect[:, k])))
+        assert c > 0.999, (k, c)
+    np.testing.assert_allclose(rd.TraceXTX, ex.TraceXTX, rtol=1e-9)
