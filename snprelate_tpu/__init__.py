@@ -6,6 +6,10 @@ names; `snpgds*` aliases are provided for discoverability.
 """
 
 from .io.store import SNPData, create_geno, open_snp_gds, example_filename
+from .io.gds import open_gds, write_snp_gds
+from .io.convert import (bed_to_snpdata, snpdata_to_bed, vcf_to_snpdata,
+                         ped_to_snpdata, snpdata_to_ped, gen_to_snpdata,
+                         snpdata_to_eigen)
 from .workspace import Workspace, init_workspace, snp_stats
 from .models.ibs import ibs, ibs_num
 from .models.pca import pca
@@ -60,5 +64,12 @@ snpgdsIBDMLELogLik = ibd_mle_loglik
 snpgdsPairIBD = pair_ibd
 snpgdsPairIBDMLELogLik = pair_ibd_mle_loglik
 snpgdsIBDSelection = ibd_selection
+snpgdsBED2GDS = bed_to_snpdata
+snpgdsGDS2BED = snpdata_to_bed
+snpgdsVCF2GDS = vcf_to_snpdata
+snpgdsPED2GDS = ped_to_snpdata
+snpgdsGDS2PED = snpdata_to_ped
+snpgdsGEN2GDS = gen_to_snpdata
+snpgdsGDS2Eigen = snpdata_to_eigen
 
 __version__ = "0.1.0"

@@ -1,0 +1,412 @@
+"""Format converters (reference: R/Conversion.R, R/Conversion2.R +
+src/ConvToGDS.cpp).
+
+All converters go through the in-memory SNPData container (the analog of a
+SNP GDS file); `io.gds.write_snp_gds` can then emit a CoreArray GDS readable
+by the reference R package.
+
+- PLINK BED/BIM/FAM <-> SNPData (snpgdsBED2GDS R/Conversion.R:433,
+  snpgdsGDS2BED :310; 2-bit code map cvt={2,3,1,0}, ConvToGDS.cpp:586)
+- VCF4 -> SNPData (snpgdsVCF2GDS R/Conversion.R:972-1155,
+  gnrParseVCF4 ConvToGDS.cpp:645-1013)
+- PLINK PED/MAP <-> SNPData (snpgdsPED2GDS :132, snpgdsGDS2PED :26)
+- Oxford GEN -> SNPData (snpgdsGEN2GDS :795)
+- EIGENSTRAT output (snpgdsGDS2Eigen :695)
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+from typing import Optional, Sequence
+
+import numpy as np
+
+from .store import SNPData, create_geno, pack2bit
+
+_BED_CVT = np.array([2, 3, 1, 0], np.uint8)  # ConvToGDS.cpp:586
+_BED_INV = {2: 0, 3: 1, 1: 2, 0: 3}
+
+CHROM_CODE_DEFAULT = {"X": 23, "XY": 24, "Y": 25, "M": 26, "MT": 26}
+
+
+def _open(fn, mode="rt"):
+    if str(fn).endswith(".gz"):
+        return gzip.open(fn, mode)
+    return open(fn, mode)
+
+
+# ---------------------------------------------------------------------------
+# PLINK binary BED
+
+
+def bed_to_snpdata(bed_fn, fam_fn=None, bim_fn=None, family=False,
+                   cvt_chr="int", cvt_snpid="auto", verbose=False) -> SNPData:
+    """snpgdsBED2GDS analog: read PLINK .bed/.bim/.fam into SNPData."""
+    if fam_fn is None and bim_fn is None:
+        base = bed_fn[:-4] if bed_fn.endswith(".bed") else bed_fn
+        for ext in ("", ".gz"):
+            if os.path.exists(base + ".bed" + ext):
+                bed_fn = base + ".bed" + ext
+                fam_fn = base + ".fam" + (ext if os.path.exists(
+                    base + ".fam" + ext) else "")
+                bim_fn = base + ".bim" + (ext if os.path.exists(
+                    base + ".bim" + ext) else "")
+                break
+    with _open(fam_fn) as f:
+        fam = [line.split() for line in f if line.strip()]
+    fam_id = [r[0] for r in fam]
+    inv_id = [r[1] for r in fam]
+    if len(set(inv_id)) == len(inv_id):
+        sample_id = inv_id
+    else:
+        sample_id = [f"{a}-{b}" for a, b in zip(fam_id, inv_id)]
+        if len(set(sample_id)) != len(sample_id):
+            raise ValueError("IDs in PLINK BED are not unique!")
+    n_samp = len(sample_id)
+
+    with _open(bim_fn) as f:
+        bim = [line.split() for line in f if line.strip()]
+    n_snp = len(bim)
+    chroms = [r[0] for r in bim]
+    rs = [r[1] for r in bim]
+    pos = [int(float(r[3])) for r in bim]
+    a1 = [r[4] for r in bim]
+    a2 = [r[5] for r in bim]
+    if cvt_chr == "int":
+        chrom = np.array([CHROM_CODE_DEFAULT.get(c, _int0(c)) for c in chroms],
+                         np.int32)
+    else:
+        chrom = np.asarray(chroms, object)
+    if cvt_snpid == "auto" and len(set(rs)) == n_snp:
+        snp_id = np.asarray(rs, object)
+        snp_rs = None
+    else:
+        snp_id = np.arange(1, n_snp + 1)
+        snp_rs = np.asarray(rs, object)
+
+    with _open(bed_fn, "rb") as f:
+        raw = f.read()
+    if raw[0] != 0x6C or raw[1] != 0x1B:
+        raise ValueError("Invalid prefix in the bed file.")
+    snp_major = raw[2] == 1
+    body = np.frombuffer(raw, np.uint8, offset=3)
+    codes = np.stack([(body >> (2 * k)) & 3 for k in range(4)], 1).reshape(-1)
+    if snp_major:
+        stride = -(-n_samp // 4) * 4
+        g = _BED_CVT[codes[: n_snp * stride].reshape(n_snp, stride)[:, :n_samp]]
+    else:
+        stride = -(-n_snp // 4) * 4
+        g = _BED_CVT[codes[: n_samp * stride].reshape(n_samp, stride)
+                     [:, :n_snp]].T
+    annot = {}
+    if family:
+        annot = {"family.id": np.asarray(fam_id, object),
+                 "father.id": np.asarray([r[2] for r in fam], object),
+                 "mother.id": np.asarray([r[3] for r in fam], object),
+                 "sex": np.asarray([r[4] for r in fam], object),
+                 "phenotype": np.asarray([r[5] for r in fam], object)}
+    return SNPData(
+        sample_id=np.asarray(sample_id, object), snp_id=snp_id,
+        genotype_packed=pack2bit(np.ascontiguousarray(g)), n_samp=n_samp,
+        snp_position=np.asarray(pos), snp_chromosome=chrom,
+        snp_allele=np.asarray([f"{x}/{y}" for x, y in zip(a1, a2)], object),
+        snp_rs_id=snp_rs, sample_annot=annot)
+
+
+def _int0(s):
+    try:
+        return int(s)
+    except ValueError:
+        return 0
+
+
+def snpdata_to_bed(data: SNPData, bed_fn: str, sample_id=None, snp_id=None,
+                   verbose=False):
+    """snpgdsGDS2BED analog: write .bed (SNP-major) + .bim + .fam."""
+    from ..workspace import init_workspace
+
+    ws, _ = init_workspace(data, sample_id, snp_id, autosome_only=False,
+                           remove_monosnp=False)
+    chrom = [str(c) for c in np.asarray(data.snp_chromosome)[ws.snp_idx]]
+    inv = {str(v): k for k, v in data.chrom_codes.items()}
+    alleles = (data.snp_allele[ws.snp_idx] if data.snp_allele is not None
+               else ["A/B"] * ws.n_snp)
+    with open(bed_fn + ".bim", "w") as f:
+        for i in range(ws.n_snp):
+            a = str(alleles[i]).split("/") + ["B"]
+            f.write(f"{chrom[i]}\t{ws.snp_id[i]}\t0\t"
+                    f"{data.snp_position[ws.snp_idx[i]]}\t{a[0]}\t{a[1]}\n")
+    with open(bed_fn + ".fam", "w") as f:
+        for s in ws.sample_id:
+            f.write(f"0\t{s}\t0\t0\t0\t-9\n")
+    with open(bed_fn + ".bed", "wb") as f:
+        f.write(bytes([0x6C, 0x1B, 0x01]))  # SNP-major
+        inv_map = np.array([3, 2, 0, 1], np.uint8)  # genotype -> bed code
+        for s in range(0, ws.n_snp, 4096):
+            g = ws.geno(slice(s, min(s + 4096, ws.n_snp)))
+            codes = inv_map[g]
+            pad = (-codes.shape[1]) % 4
+            if pad:
+                codes = np.pad(codes, ((0, 0), (0, pad)), constant_values=1)
+            c = codes.reshape(codes.shape[0], -1, 4)
+            packed = (c[:, :, 0] | (c[:, :, 1] << 2) | (c[:, :, 2] << 4)
+                      | (c[:, :, 3] << 6)).astype(np.uint8)
+            f.write(packed.tobytes())
+
+
+# ---------------------------------------------------------------------------
+# VCF4
+
+
+def vcf_to_snpdata(vcf_fn, method="biallelic.only", ref_allele=None,
+                   ignore_chr_prefix="chr", verbose=False) -> SNPData:
+    """snpgdsVCF2GDS analog (R/Conversion.R:972-1155): parse VCF genotypes
+    to dosage of the reference allele. method='biallelic.only' keeps only
+    biallelic SNVs; method='copy.num.of.ref' codes any variant by the copy
+    number of the reference allele."""
+    fns = [vcf_fn] if isinstance(vcf_fn, str) else list(vcf_fn)
+    sample_id = None
+    rows = []
+    genos = []
+    for fn in fns:
+        with _open(fn) as f:
+            for line in f:
+                if line.startswith("##"):
+                    continue
+                if line.startswith("#CHROM"):
+                    cols = line.rstrip("\n").split("\t")
+                    sids = cols[9:]
+                    if sample_id is None:
+                        sample_id = sids
+                    elif sample_id != sids:
+                        raise ValueError("Different samples across VCF files")
+                    continue
+                parts = line.rstrip("\n").split("\t")
+                if len(parts) < 10:
+                    continue
+                chrom, pos, vid, ref, alt = parts[0], parts[1], parts[2], \
+                    parts[3], parts[4]
+                qual, filt = parts[5], parts[6]
+                fmt = parts[8].split(":")
+                try:
+                    gt_idx = fmt.index("GT")
+                except ValueError:
+                    continue
+                alts = alt.split(",")
+                if method == "biallelic.only":
+                    if len(alts) != 1 or len(ref) != 1 or len(alts[0]) != 1 \
+                            or alts[0] not in "ACGTacgt" or ref not in "ACGTacgt":
+                        continue
+                if ignore_chr_prefix and chrom.startswith(ignore_chr_prefix):
+                    chrom = chrom[len(ignore_chr_prefix):]
+                g = np.full(len(sample_id), 3, np.uint8)
+                for i, cell in enumerate(parts[9:]):
+                    fields = cell.split(":")
+                    gt = fields[gt_idx] if gt_idx < len(fields) else fields[0]
+                    alleles = gt.replace("|", "/").split("/")
+                    cnt = 0
+                    ok = len(alleles) > 0
+                    for a in alleles:
+                        if a in (".", ""):
+                            ok = False
+                            break
+                        cnt += 1 if a == "0" else 0
+                    if ok:
+                        g[i] = min(cnt, 2) if len(alleles) >= 2 else \
+                            (2 if cnt == 1 else 0)
+                rows.append((chrom, int(pos), vid, ref, alts[0] if alts else "",
+                             qual, filt))
+                genos.append(g)
+    n_snp = len(rows)
+    geno = np.stack(genos) if genos else np.zeros((0, len(sample_id or [])),
+                                                  np.uint8)
+    if ref_allele is not None:
+        if len(ref_allele) != n_snp:
+            raise ValueError("'ref.allele' has the wrong length")
+        for i, want in enumerate(ref_allele):
+            if want is None:
+                continue
+            chrom, pos, vid, ref, alt, qual, filt = rows[i]
+            if want == alt and want != ref:
+                g = geno[i]
+                geno[i] = np.where(g <= 2, 2 - g, 3)
+                rows[i] = (chrom, pos, vid, alt, ref, qual, filt)
+    qual_arr = np.array([float(r[5]) if r[5] not in (".", "") else np.nan
+                         for r in rows])
+    filt_arr = np.asarray([r[6] for r in rows], object)
+    sd = SNPData(
+        sample_id=np.asarray(sample_id or [], object),
+        snp_id=np.arange(1, n_snp + 1),
+        genotype_packed=pack2bit(geno), n_samp=len(sample_id or []),
+        snp_position=np.asarray([r[1] for r in rows], np.int64),
+        snp_chromosome=np.asarray([r[0] for r in rows], object),
+        snp_allele=np.asarray([f"{r[3]}/{r[4]}" for r in rows], object),
+        snp_rs_id=np.asarray([r[2] for r in rows], object))
+    sd.snp_annot = {"qual": qual_arr, "filter": filt_arr}
+    return sd
+
+
+# ---------------------------------------------------------------------------
+# PLINK text PED/MAP
+
+
+def ped_to_snpdata(ped_fn, map_fn, family=False, verbose=False) -> SNPData:
+    """snpgdsPED2GDS analog (R/Conversion.R:132 + Conversion2.R:19-188)."""
+    with _open(map_fn) as f:
+        mp = [line.split() for line in f if line.strip()]
+    n_snp = len(mp)
+    chrom = np.asarray([_int0(CHROM_CODE_DEFAULT.get(r[0], r[0])) for r in mp],
+                       np.int32)
+    snp_rs = [r[1] for r in mp]
+    pos = np.asarray([int(float(r[-1])) for r in mp])
+
+    sample_id = []
+    fam_rows = []
+    geno_cols = []
+    with _open(ped_fn) as f:
+        for line in f:
+            p = line.split()
+            if not p:
+                continue
+            fam_rows.append(p[:6])
+            sample_id.append(p[1])
+            al = p[6:]
+            if len(al) != 2 * n_snp:
+                raise ValueError("PED line has wrong number of alleles")
+            geno_cols.append(al)
+    n_samp = len(sample_id)
+    if len(set(sample_id)) != n_samp:
+        sample_id = [f"{r[0]}-{r[1]}" for r in fam_rows]
+
+    # determine the two alleles per SNP and code dosage of the first allele
+    geno = np.full((n_snp, n_samp), 3, np.uint8)
+    alleles = []
+    for s in range(n_snp):
+        a_counts: dict[str, int] = {}
+        for j in range(n_samp):
+            for a in (geno_cols[j][2 * s], geno_cols[j][2 * s + 1]):
+                if a not in ("0", "-9", "N", "."):
+                    a_counts[a] = a_counts.get(a, 0) + 1
+        order = sorted(a_counts, key=lambda k: (-a_counts[k], k))
+        a_ref = order[0] if order else "A"
+        a_alt = order[1] if len(order) > 1 else "B"
+        alleles.append(f"{a_ref}/{a_alt}")
+        for j in range(n_samp):
+            x, y = geno_cols[j][2 * s], geno_cols[j][2 * s + 1]
+            if x in ("0", "-9", "N", ".") or y in ("0", "-9", "N", "."):
+                continue
+            geno[s, j] = (x == a_ref) + (y == a_ref)
+    annot = {}
+    if family:
+        annot = {"family.id": np.asarray([r[0] for r in fam_rows], object),
+                 "father.id": np.asarray([r[2] for r in fam_rows], object),
+                 "mother.id": np.asarray([r[3] for r in fam_rows], object),
+                 "sex": np.asarray([r[4] for r in fam_rows], object),
+                 "phenotype": np.asarray([r[5] for r in fam_rows], object)}
+    snp_id = np.asarray(snp_rs, object) if len(set(snp_rs)) == n_snp \
+        else np.arange(1, n_snp + 1)
+    return SNPData(
+        sample_id=np.asarray(sample_id, object), snp_id=snp_id,
+        genotype_packed=pack2bit(geno), n_samp=n_samp,
+        snp_position=pos, snp_chromosome=chrom,
+        snp_allele=np.asarray(alleles, object),
+        snp_rs_id=np.asarray(snp_rs, object), sample_annot=annot)
+
+
+def snpdata_to_ped(data: SNPData, ped_fn: str, sample_id=None, snp_id=None,
+                   verbose=False):
+    """snpgdsGDS2PED analog (R/Conversion.R:26)."""
+    from ..workspace import init_workspace
+
+    ws, _ = init_workspace(data, sample_id, snp_id, autosome_only=False,
+                           remove_monosnp=False)
+    chrom = np.asarray(data.snp_chromosome)[ws.snp_idx]
+    with open(ped_fn + ".map", "w") as f:
+        for i in range(ws.n_snp):
+            f.write(f"{chrom[i]}\t{ws.snp_id[i]}\t"
+                    f"{data.snp_position[ws.snp_idx[i]]}\n")
+    alleles = (data.snp_allele[ws.snp_idx] if data.snp_allele is not None
+               else np.asarray(["A/B"] * ws.n_snp, object))
+    ab = [str(a).split("/") + ["B"] for a in alleles]
+    g = ws.geno()  # (S, N)
+    with open(ped_fn + ".ped", "w") as f:
+        for j in range(ws.n_samp):
+            cells = []
+            for i in range(ws.n_snp):
+                v = g[i, j]
+                a, b = ab[i][0], ab[i][1]
+                cells.append({0: f"{b} {b}", 1: f"{a} {b}", 2: f"{a} {a}",
+                              3: "0 0"}[int(v)])
+            f.write(f"0 {ws.sample_id[j]} 0 0 0 -9 " + " ".join(cells) + "\n")
+
+
+# ---------------------------------------------------------------------------
+# Oxford GEN
+
+
+def gen_to_snpdata(gen_fn, sample_fn=None, chr_code="1", call_threshold=0.9,
+                   verbose=False) -> SNPData:
+    """snpgdsGEN2GDS analog (R/Conversion.R:795): genotype probabilities ->
+    best-guess dosage of the FIRST allele (A), missing if max prob below
+    call_threshold."""
+    sample_id = None
+    if sample_fn is not None:
+        with _open(sample_fn) as f:
+            lines = [line.split() for line in f if line.strip()]
+        sample_id = [r[1] if len(r) > 1 else r[0] for r in lines[2:]]
+    rows = []
+    genos = []
+    with _open(gen_fn) as f:
+        for line in f:
+            p = line.split()
+            if not p:
+                continue
+            vid, rsid, pos, a, b = p[0], p[1], p[2], p[3], p[4]
+            probs = np.asarray(p[5:], np.float64).reshape(-1, 3)
+            best = probs.argmax(1)
+            g = np.where(probs.max(1) >= call_threshold,
+                         2 - best, 3).astype(np.uint8)
+            rows.append((vid, rsid, int(float(pos)), a, b))
+            genos.append(g)
+    n_snp = len(rows)
+    n_samp = len(genos[0]) if genos else 0
+    if sample_id is None:
+        sample_id = [f"sample{i+1}" for i in range(n_samp)]
+    return SNPData(
+        sample_id=np.asarray(sample_id, object),
+        snp_id=np.arange(1, n_snp + 1),
+        genotype_packed=pack2bit(np.stack(genos)) if genos else
+        np.zeros((0, 0), np.uint8),
+        n_samp=n_samp,
+        snp_position=np.asarray([r[2] for r in rows]),
+        snp_chromosome=np.asarray([_int0(chr_code)] * n_snp, np.int32),
+        snp_allele=np.asarray([f"{r[3]}/{r[4]}" for r in rows], object),
+        snp_rs_id=np.asarray([r[1] for r in rows], object))
+
+
+# ---------------------------------------------------------------------------
+# EIGENSTRAT
+
+
+def snpdata_to_eigen(data: SNPData, eigen_fn: str, sample_id=None,
+                     snp_id=None, verbose=False):
+    """snpgdsGDS2Eigen analog (R/Conversion.R:695): write .eigenstratgeno,
+    .ind, .snp files."""
+    from ..workspace import init_workspace
+
+    ws, _ = init_workspace(data, sample_id, snp_id, autosome_only=False,
+                           remove_monosnp=False)
+    with open(eigen_fn + ".ind", "w") as f:
+        for s in ws.sample_id:
+            f.write(f"{s}\tU\tControl\n")
+    chrom = np.asarray(data.snp_chromosome)[ws.snp_idx]
+    with open(eigen_fn + ".snp", "w") as f:
+        for i in range(ws.n_snp):
+            f.write(f"{ws.snp_id[i]}\t{chrom[i]}\t0.0\t"
+                    f"{data.snp_position[ws.snp_idx[i]]}\n")
+    g = ws.geno()
+    out = np.where(g <= 2, g, 9).astype(np.uint8)
+    with open(eigen_fn + ".eigenstratgeno", "w") as f:
+        for i in range(ws.n_snp):
+            f.write("".join(map(str, out[i])) + "\n")

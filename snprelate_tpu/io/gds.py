@@ -337,3 +337,215 @@ def _parse_attrs(blob: bytes) -> dict[str, Any]:
 
 def open_gds(path: str) -> GDSFile:
     return GDSFile(path)
+
+
+# ===========================================================================
+# GDS writer: emits a CoreArray file readable by gdsfmt/SNPRelate.
+#
+# Every node replays a byte-layout observed in reference-written files
+# (hapmap_geno.gds), substituting only values: dVStr8/dInt32/dUInt8 nodes use
+# the ZIP-coded leaf template, dBit2 uses the raw leaf template, folders use
+# the directory template. See the format notes at the top of this module.
+
+_T_NCHILD = TOK_NCHILD
+_T_DIRBLOB = TOK_DIRBLOB
+_T_NATTR = TOK_NATTR
+_T_ATTRBLOB = TOK_ATTRBLOB
+_T_CODER = TOK_CODER
+_T_SIZES = bytes.fromhex("02c9466d50") + TOK_SIZES  # coder stream sizes
+_T_CODERPARAM = bytes.fromhex("05ca466d50704121740103")
+_T_NDIM = TOK_NDIM
+_T_DIMS = TOK_DIMS_PFX
+_T_PTR = TOK_PTR
+
+
+def _pack7(name: str) -> bytes:
+    v = 0
+    for i, ch in enumerate(name):
+        v |= (ord(ch) & 0x7F) << (7 * i)
+    return v.to_bytes((7 * len(name) + 7) // 8, "little")
+
+
+def _p48(v: int) -> bytes:
+    return int(v).to_bytes(6, "little")
+
+
+def _attr_bytes(attrs: dict) -> bytes:
+    body = b""
+    for name, val in attrs.items():
+        nb = name.encode()
+        body += bytes([len(nb)]) + nb
+        if val is None:
+            body += b"\x00"
+        elif isinstance(val, bool):
+            body += b"\x12" + bytes([1 if val else 0])
+        elif isinstance(val, (int, np.integer)):
+            body += b"\x05" + struct.pack("<i", int(val))
+        elif isinstance(val, float):
+            body += b"\x0c" + struct.pack("<d", val)
+        else:
+            sb = str(val).encode()
+            body += b"\x0e" + bytes([len(sb)]) + sb
+    out = _T_NATTR + struct.pack("<I", len(attrs))
+    out += _T_ATTRBLOB + _p48(len(body) + 6) + body
+    return out
+
+
+def _leaf_node(classname: str, dims, data_blockid: int, attrs: dict,
+               coder: str = "", total_bytes: int = 0,
+               stored_bytes: int = 0) -> bytes:
+    nb = _pack7(classname)
+    body = struct.pack("<H", 7 if coder else 5)
+    body += b"\x00\x01" + bytes([len(classname)]) + nb
+    if coder:
+        cb = coder.encode()
+        body += _T_CODER + bytes([len(cb)]) + cb
+        body += _T_SIZES + struct.pack("<QQ", total_bytes, stored_bytes)
+        body += _T_CODERPARAM
+    body += _T_NDIM + struct.pack("<H", len(dims))
+    body += _T_DIMS + bytes([4 * len(dims)])
+    for d in dims:
+        body += struct.pack("<I", int(d))
+    body += _T_PTR + struct.pack("<I", data_blockid)
+    body += _attr_bytes(attrs)
+    return _p48(len(body) + 6) + body
+
+
+def _folder_node(children: "list[tuple[str, int, int]]", attrs: dict) -> bytes:
+    """children: list of (name, blockid, flags)."""
+    dirblob = b""
+    for name, bid, flags in children:
+        nb = name.encode()
+        entry = b"\x03\x00\x09\x02\xf5\x00" + struct.pack("<I", bid)
+        entry += bytes.fromhex("0944743112") + struct.pack("<I", flags)
+        entry += bytes.fromhex("1644c66010") + bytes([len(nb)]) + nb
+        dirblob += _p48(len(entry) + 6) + entry
+    body = struct.pack("<H", 4)
+    body += _T_NCHILD + struct.pack("<I", len(children))
+    body += _T_DIRBLOB + _p48(len(dirblob) + 6) + dirblob
+    body += _attr_bytes(attrs)
+    return _p48(len(body) + 6) + body
+
+
+class GDSWriter:
+    """Low-level CoreArray writer (head-fragment-per-block layout)."""
+
+    def __init__(self):
+        self.blocks: list[bytes] = []  # index i -> block id i+1
+
+    def add_block(self, content: bytes) -> int:
+        self.blocks.append(content)
+        return len(self.blocks)
+
+    def reserve(self) -> int:
+        self.blocks.append(b"")
+        return len(self.blocks)
+
+    def set_block(self, blockid: int, content: bytes):
+        self.blocks[blockid - 1] = content
+
+    def write(self, path: str, entry_id: int = 1):
+        with open(path, "wb") as f:
+            f.write(MAGIC + b"\x00\x01" + struct.pack("<I", entry_id))
+            for i, content in enumerate(self.blocks):
+                size = 22 + len(content)
+                f.write(_p48(size | 0x800000000000))
+                f.write(_p48(0))
+                f.write(struct.pack("<I", i + 1))
+                f.write(_p48(len(content)))
+                f.write(content)
+
+
+def _vstr_data(strings) -> bytes:
+    return b"".join(str(s).encode() + b"\x00" for s in strings)
+
+
+def _zip(data: bytes) -> bytes:
+    import zlib as _z
+    return _z.compress(data, 6)
+
+
+def write_snp_gds(data, path: str, compress: bool = True,
+                  snpfirstdim: bool = False):
+    """Write a SNPData as a SNP_ARRAY GDS file (snpgdsCreateGeno-compatible
+    layout: sample.id, snp.id, snp.position, snp.chromosome, snp.allele,
+    optional snp.rs.id, genotype bit2)."""
+    w = GDSWriter()
+    root_id = w.reserve()
+    children = []
+
+    def leaf(name, classname, arr_bytes, dims, attrs=None, coder="ZIP"):
+        if not compress:
+            coder = ""
+        node_id = w.reserve()
+        if coder:
+            stored = _zip(arr_bytes)
+            data_id = w.add_block(stored)
+            w.set_block(node_id, _leaf_node(classname, dims, data_id,
+                                            attrs or {}, coder,
+                                            len(arr_bytes), len(stored)))
+        else:
+            data_id = w.add_block(arr_bytes)
+            w.set_block(node_id, _leaf_node(classname, dims, data_id,
+                                            attrs or {}))
+        children.append((name, node_id, 0))
+
+    def str_or_int(name, values, attrs=None):
+        values = np.asarray(values)
+        if np.issubdtype(values.dtype, np.integer):
+            leaf(name, "dInt32", values.astype("<i4").tobytes(),
+                 (len(values),), attrs)
+        elif np.issubdtype(values.dtype, np.floating):
+            leaf(name, "dFloat64", values.astype("<f8").tobytes(),
+                 (len(values),), attrs)
+        else:
+            leaf(name, "dVStr8", _vstr_data(values), (len(values),), attrs)
+
+    str_or_int("sample.id", data.sample_id)
+    str_or_int("snp.id", data.snp_id)
+    if data.snp_rs_id is not None:
+        str_or_int("snp.rs.id", data.snp_rs_id)
+    str_or_int("snp.position", np.asarray(data.snp_position, np.int32))
+    chrom = np.asarray(data.snp_chromosome)
+    chrom_attrs = {"autosome.start": data.autosome_start,
+                   "autosome.end": data.autosome_end}
+    chrom_attrs.update({k: int(v) for k, v in data.chrom_codes.items()})
+    if np.issubdtype(chrom.dtype, np.integer) and chrom.min() >= 0 \
+            and chrom.max() < 256:
+        leaf("snp.chromosome", "dUInt8", chrom.astype(np.uint8).tobytes(),
+             (len(chrom),), chrom_attrs)
+    else:
+        str_or_int("snp.chromosome", chrom, chrom_attrs)
+    if data.snp_allele is not None:
+        str_or_int("snp.allele", data.snp_allele)
+
+    # genotype: contiguous 2-bit stream (no per-row padding)
+    dense = data.geno()  # (n_snp, n_samp)
+    if snpfirstdim:
+        flat = np.ascontiguousarray(dense.T).reshape(-1)
+        dims = (data.n_samp, data.n_snp)
+        gattr = {"snp.order": None}
+    else:
+        flat = dense.reshape(-1)
+        dims = (data.n_snp, data.n_samp)
+        gattr = {"sample.order": None}
+    pad = (-len(flat)) % 4
+    if pad:
+        flat = np.concatenate([flat, np.zeros(pad, np.uint8)])
+    q = flat.reshape(-1, 4)
+    packed = (q[:, 0] | (q[:, 1] << 2) | (q[:, 2] << 4)
+              | (q[:, 3] << 6)).astype(np.uint8)
+    leaf("genotype", "dBit2", packed.tobytes(), dims, gattr, coder="")
+
+    if data.sample_annot:
+        annot_children = []
+        for name, values in data.sample_annot.items():
+            node_before = len(children)
+            str_or_int(name, values)
+            annot_children.append(children.pop(node_before))
+        folder_id = w.add_block(
+            _folder_node(annot_children, {"R.class": "data.frame"}))
+        children.append(("sample.annot", folder_id, 2))
+
+    w.set_block(root_id, _folder_node(children, {"FileFormat": "SNP_ARRAY"}))
+    w.write(path, entry_id=root_id)

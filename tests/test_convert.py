@@ -1,0 +1,92 @@
+"""Converter tests (reference fixtures: plinkhapmap.{bed,bim,fam}.gz,
+sequence.vcf) + GDS write/read roundtrip."""
+
+import numpy as np
+
+from tests.conftest import REF
+
+EXT = f"{REF}/inst/extdata"
+
+
+def test_bed_reader():
+    from snprelate_tpu import bed_to_snpdata
+
+    d = bed_to_snpdata(f"{EXT}/plinkhapmap.bed.gz", f"{EXT}/plinkhapmap.fam.gz",
+                       f"{EXT}/plinkhapmap.bim.gz")
+    assert d.n_samp == 60 and d.n_snp == 5000
+    assert d.sample_id[0] == "NA19152"
+    g = d.geno()
+    assert set(np.unique(g)).issubset({0, 1, 2, 3})
+
+
+def test_bed_roundtrip(tmp_path):
+    from snprelate_tpu import bed_to_snpdata, snpdata_to_bed
+
+    d = bed_to_snpdata(f"{EXT}/plinkhapmap.bed.gz", f"{EXT}/plinkhapmap.fam.gz",
+                       f"{EXT}/plinkhapmap.bim.gz")
+    out = str(tmp_path / "rt")
+    snpdata_to_bed(d, out)
+    d2 = bed_to_snpdata(out + ".bed", out + ".fam", out + ".bim")
+    assert list(d2.sample_id) == list(d.sample_id)
+    assert np.array_equal(d2.geno(), d.geno())
+    assert np.array_equal(d2.snp_position, d.snp_position)
+
+
+def test_vcf_reader():
+    from snprelate_tpu import vcf_to_snpdata
+
+    d = vcf_to_snpdata(f"{EXT}/sequence.vcf")
+    assert d.n_samp == 3 and d.n_snp == 2  # biallelic SNVs only
+    assert list(d.geno()[0]) == [2, 1, 0]
+    assert list(d.geno()[1]) == [2, 1, 2]
+    assert d.snp_allele[0] == "G/A"
+    d2 = vcf_to_snpdata(f"{EXT}/sequence.vcf", method="copy.num.of.ref")
+    assert d2.n_snp == 5
+
+
+def test_ped_roundtrip(tmp_path, hapmap):
+    from snprelate_tpu import snpdata_to_ped, ped_to_snpdata
+
+    out = str(tmp_path / "ped")
+    snpdata_to_ped(hapmap, out, sample_id=hapmap.sample_id[:25],
+                   snp_id=hapmap.snp_id[:300])
+    d = ped_to_snpdata(out + ".ped", out + ".map")
+    assert d.n_samp == 25 and d.n_snp == 300
+    g0 = hapmap.geno(np.arange(300), np.arange(25))
+    g1 = d.geno()
+    # PED loses allele ORDER for monomorphic/reordered SNPs; compare where
+    # the coding matches either directly or flipped per-SNP
+    direct = (g1 == g0) | ((g0 == 3) & (g1 == 3))
+    flipped = (g1 == 2 - np.where(g0 <= 2, g0, -5)) | ((g0 == 3) & (g1 == 3))
+    ok = direct.all(1) | flipped.all(1)
+    assert ok.all()
+
+
+def test_gds_write_roundtrip(tmp_path, hapmap):
+    from snprelate_tpu.io.gds import write_snp_gds
+    from snprelate_tpu.io.store import open_snp_gds
+
+    out = str(tmp_path / "out.gds")
+    write_snp_gds(hapmap, out)
+    d = open_snp_gds(out)
+    assert list(d.sample_id) == list(hapmap.sample_id)
+    assert np.array_equal(d.geno(), hapmap.geno())
+    assert np.array_equal(d.numeric_chromosome, hapmap.numeric_chromosome)
+    assert d.autosome_end == 22
+    # snpfirstdim variant
+    out2 = str(tmp_path / "out2.gds")
+    write_snp_gds(hapmap, out2, snpfirstdim=True, compress=False)
+    d2 = open_snp_gds(out2)
+    assert np.array_equal(d2.geno(), hapmap.geno())
+
+
+def test_eigen_output(tmp_path, hapmap):
+    from snprelate_tpu import snpdata_to_eigen
+
+    out = str(tmp_path / "eig")
+    snpdata_to_eigen(hapmap, out, sample_id=hapmap.sample_id[:10],
+                     snp_id=hapmap.snp_id[:50])
+    lines = open(out + ".eigenstratgeno").read().splitlines()
+    assert len(lines) == 50 and len(lines[0]) == 10
+    g = hapmap.geno(np.arange(50), np.arange(10))
+    assert lines[0] == "".join(str(x) if x <= 2 else "9" for x in g[0])
