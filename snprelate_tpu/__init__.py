@@ -28,6 +28,10 @@ from .models.stats import (snp_rate_freq, samp_miss_rate, select_snp,
                            get_geno, summary)
 from .models.ibd_mle import (ibd_mle, ibd_mle_loglik, pair_ibd,
                              pair_ibd_mle_loglik, ibd_selection)
+from .models.cluster import hcluster, cut_tree, draw_tree, admix_prop
+from .models.misc import (pair_score, sliding_window, allele_switch,
+                          allele_strand, snp_list, snp_list_intersect,
+                          create_geno_set, combine_geno, snpgds_option)
 
 # Reference-style aliases
 snpgdsOpen = open_snp_gds
@@ -71,5 +75,17 @@ snpgdsPED2GDS = ped_to_snpdata
 snpgdsGDS2PED = snpdata_to_ped
 snpgdsGEN2GDS = gen_to_snpdata
 snpgdsGDS2Eigen = snpdata_to_eigen
+snpgdsHCluster = hcluster
+snpgdsCutTree = cut_tree
+snpgdsDrawTree = draw_tree
+snpgdsAdmixProp = admix_prop
+snpgdsPairScore = pair_score
+snpgdsSlidingWindow = sliding_window
+snpgdsAlleleSwitch = allele_switch
+snpgdsSNPList = snp_list
+snpgdsSNPListIntersect = snp_list_intersect
+snpgdsCreateGenoSet = create_geno_set
+snpgdsCombineGeno = combine_geno
+snpgdsOption = snpgds_option
 
 __version__ = "0.1.0"

@@ -1,0 +1,204 @@
+"""Hierarchical clustering, permutation-based tree cutting and admixture
+proportions (reference: R/AllUtilities.R:386-640 snpgdsHCluster/snpgdsCutTree
++ src/SNPRelate.cpp:502-690 gnrDistPerm, R/PCA.R:347-556 snpgdsAdmixProp).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+from scipy.cluster.hierarchy import average as scipy_average, leaves_list
+from scipy.spatial.distance import squareform
+
+
+@dataclass
+class HClusterResult:
+    sample_id: np.ndarray
+    linkage: np.ndarray  # scipy linkage matrix
+    merge: np.ndarray  # R hclust$merge convention (n-1, 2)
+    order: np.ndarray  # leaf order (0-based)
+    dist: Optional[np.ndarray] = None
+
+
+def hcluster(dist, sample_id=None, need_mat=True) -> HClusterResult:
+    """snpgdsHCluster (R/AllUtilities.R:386): average-linkage (UPGMA)
+    clustering of a dissimilarity matrix, or of 1-ibs / diss results."""
+    from .ibs import IBSResult
+    from .diss import DissResult
+
+    if isinstance(dist, IBSResult):
+        sample_id = dist.sample_id
+        dist = 1.0 - dist.ibs
+    elif isinstance(dist, DissResult):
+        sample_id = dist.sample_id
+        dist = dist.diss
+    dist = np.asarray(dist, np.float64)
+    n = dist.shape[0]
+    if sample_id is None:
+        raise ValueError("Please specify 'sample.id'.")
+    d = dist.copy()
+    np.fill_diagonal(d, 0.0)
+    link = scipy_average(squareform(d, checks=False))
+    merge = np.empty((n - 1, 2), np.int64)
+    for i in range(n - 1):
+        for k in range(2):
+            c = int(link[i, k])
+            merge[i, k] = -(c + 1) if c < n else c - n + 1
+    return HClusterResult(np.asarray(sample_id, object), link, merge,
+                          np.asarray(leaves_list(link)),
+                          dist if need_mat else None)
+
+
+def _dist_between(dist, idx, n1):
+    a = idx[:n1]
+    b = idx[n1:]
+    return dist[np.ix_(a, b)].mean()
+
+
+@dataclass
+class CutTreeResult:
+    sample_id: np.ndarray
+    z_threshold: float
+    outlier_n: int
+    samp_order: np.ndarray
+    samp_group: np.ndarray  # group label per sample
+    dmat: np.ndarray
+    merge: Optional[dict] = None
+    clust_count: Optional[dict] = None
+
+
+def cut_tree(hc: HClusterResult, z_threshold=15.0, outlier_n=5, n_perm=5000,
+             samp_group=None, seed=None, verbose=False) -> CutTreeResult:
+    """snpgdsCutTree (R/AllUtilities.R:432): determine subgroups by
+    permutation Z-scores on merge heights (gnrDistPerm,
+    SNPRelate.cpp:549-668)."""
+    if hc.dist is None:
+        raise ValueError("`hc` should have a matrix of dissimilarity.")
+    if n_perm < 50:
+        raise ValueError("n_perm >= 50")
+    dist = hc.dist
+    n = dist.shape[0]
+    rng = np.random.default_rng(seed)
+    merge_info = None
+
+    if samp_group is None:
+        members: list[np.ndarray] = []
+        out_z = np.zeros(n - 1)
+        out_n1 = np.zeros(n - 1, np.int64)
+        out_n2 = np.zeros(n - 1, np.int64)
+        for im in range(n - 1):
+            i1, i2 = hc.merge[im]
+            a1 = np.array([-i1 - 1]) if i1 < 0 else members[i1 - 1]
+            a2 = np.array([-i2 - 1]) if i2 < 0 else members[i2 - 1]
+            idx = np.concatenate([a1, a2])
+            members.append(idx)
+            n1, n2 = len(a1), len(a2)
+            out_n1[im], out_n2[im] = n1, n2
+            if n1 <= 1 and n2 <= 1:
+                continue
+            L = _dist_between(dist, idx, n1)
+            nsub1 = min(n1, n2)
+            # permutation distribution of the between-subset mean distance
+            perms = np.argsort(rng.random((n_perm, len(idx))), axis=1)
+            pidx = idx[perms]
+            a = pidx[:, :nsub1]
+            b = pidx[:, nsub1:]
+            d = dist[a[:, :, None], b[:, None, :]].mean((1, 2))
+            mean, sd2 = d.mean(), d.var(ddof=1)
+            out_z[im] = (L - mean) / np.sqrt(sd2) if sd2 > 0 else 0.0
+
+        # group assignment scan (SNPRelate.cpp:630-668)
+        grp_flag = np.zeros(n - 1, bool)
+        ind_grp = np.ones(n, np.int64)
+        for im in range(n - 1):
+            b = out_z[im] >= z_threshold
+            if not b:
+                i1, i2 = hc.merge[im]
+                if i1 > 0 and grp_flag[i1 - 1]:
+                    b = True
+                if i2 > 0 and grp_flag[i2 - 1]:
+                    b = True
+            if b:
+                grp_flag[im] = True
+                idx = members[im]
+                n1 = out_n1[im]
+                mx = ind_grp[idx[:n1]].max()
+                ind_grp[idx[n1:]] += mx
+        merge_info = {"z": out_z, "n1": out_n1, "n2": out_n2}
+
+        # label groups; small ones become outliers
+        counts = {g: int((ind_grp == g).sum()) for g in np.unique(ind_grp)}
+        if np.isfinite(outlier_n):
+            outl = {g for g, c in counts.items() if c <= outlier_n}
+        else:
+            outl = set()
+        main = [g for g in sorted(counts) if g not in outl]
+        gmap = {g: f"G{k+1:03d}" for k, g in enumerate(main)}
+        gmap.update({g: f"Outlier{k+1:03d}"
+                     for k, g in enumerate(sorted(outl))})
+        samp_group = np.asarray([gmap[g] for g in ind_grp], object)
+    else:
+        samp_group = np.asarray(samp_group, object)
+        if len(samp_group) != n:
+            raise ValueError("samp_group length mismatch")
+
+    groups = sorted(set(samp_group.tolist()))
+    k = len(groups)
+    dmat = np.zeros((k, k))
+    for i, gi in enumerate(groups):
+        mi = samp_group == gi
+        sub = dist[np.ix_(mi, mi)]
+        off = ~np.eye(int(mi.sum()), dtype=bool)
+        dmat[i, i] = sub[off].mean() if off.any() else 0.0
+        for j in range(i + 1, k):
+            mj = samp_group == groups[j]
+            dmat[i, j] = dmat[j, i] = dist[np.ix_(mi, mj)].mean()
+
+    order = hc.order
+    clust_count = {g: int((samp_group == g).sum()) for g in groups}
+    return CutTreeResult(hc.sample_id, z_threshold, outlier_n, order,
+                         samp_group, dmat, merge_info, clust_count)
+
+
+def draw_tree(cut: CutTreeResult, hc: HClusterResult, ax=None, **kw):
+    """snpgdsDrawTree (R/AllUtilities.R:1764) analog via scipy/matplotlib."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from scipy.cluster.hierarchy import dendrogram
+
+    if ax is None:
+        _fig, ax = plt.subplots(figsize=(10, 4))
+    dendrogram(hc.linkage, labels=list(hc.sample_id), ax=ax, **kw)
+    return ax
+
+
+def admix_prop(eigobj, groups: dict, bound=False) -> np.ndarray:
+    """snpgdsAdmixProp (R/PCA.R:347): ancestral proportions from the top
+    eigenvectors given reference groups {name: [sample ids]}."""
+    sample_id = np.asarray(eigobj.sample_id, object)
+    E_full = np.asarray(eigobj.eigenvect)
+    g = len(groups)
+    if g <= 1:
+        raise ValueError("groups should have more than one group")
+    if g > E_full.shape[1] + 1:
+        raise ValueError("`eigobj' should have more eigenvectors than "
+                         "what is specified in `groups'.")
+    E = E_full[:, : g - 1]
+    pos = {s: i for i, s in enumerate(sample_id.tolist())}
+    mat = np.zeros((g, g - 1))
+    for i, (_name, ids) in enumerate(groups.items()):
+        k = [pos[s] for s in ids]
+        mat[i] = E[k].mean(0)
+    if np.isnan(mat).any():
+        raise ValueError("The eigenvectors should not have missing value!")
+    t_p = mat[-1]
+    t_r = np.linalg.inv(mat[:-1] - t_p[None, :])
+    new_p = (E - t_p[None, :]) @ t_r
+    new_p = np.concatenate([new_p, 1 - new_p.sum(1, keepdims=True)], axis=1)
+    if bound:
+        new_p = np.clip(new_p, 0, 1)
+        new_p = new_p / new_p.sum(1, keepdims=True)
+    return new_p
