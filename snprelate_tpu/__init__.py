@@ -13,7 +13,7 @@ from .io.convert import (bed_to_snpdata, snpdata_to_bed, vcf_to_snpdata,
 from .workspace import Workspace, init_workspace, snp_stats
 from .models.ibs import ibs, ibs_num
 from .models.pca import pca
-from .models.grm import grm
+from .models.grm import grm, merge_grm, save_grm, load_grm
 from .models.king import ibd_king
 from .models.ibd_mom import ibd_mom
 from .models.beta import indiv_beta, indiv_beta_rel
@@ -87,5 +87,6 @@ snpgdsSNPListIntersect = snp_list_intersect
 snpgdsCreateGenoSet = create_geno_set
 snpgdsCombineGeno = combine_geno
 snpgdsOption = snpgds_option
+snpgdsMergeGRM = merge_grm
 
 __version__ = "0.1.0"

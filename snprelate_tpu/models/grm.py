@@ -28,6 +28,7 @@ class GRMResult:
     snp_id: np.ndarray
     method: str
     grm: np.ndarray
+    avg_val: float = None
 
 
 def _gcta(ws, chunk):
@@ -39,8 +40,9 @@ def _gcta(ws, chunk):
 
 def grm(data, sample_id=None, snp_id=None, autosome_only=True,
         remove_monosnp=True, maf=math.nan, missing_rate=math.nan,
-        method="GCTA", verbose=False, chunk=2048) -> GRMResult:
-    """snpgdsGRM (R/IBD.R:543)."""
+        method="GCTA", out_fn=None, verbose=False, chunk=2048) -> GRMResult:
+    """snpgdsGRM (R/IBD.R:543). With out_fn, also writes the
+    SNPRELATE_OUTPUT GDS artifact for snpgdsMergeGRM."""
     ws, _ = init_workspace(data, sample_id, snp_id, autosome_only,
                            remove_monosnp, maf, missing_rate, verbose=verbose)
     n = ws.n_samp
@@ -62,4 +64,136 @@ def grm(data, sample_id=None, snp_id=None, autosome_only=True,
         mat = beta_grm_matrix(ws, chunk=chunk)
     else:
         raise ValueError("Invalid 'method'!")
-    return GRMResult(ws.sample_id, ws.snp_id, method, mat)
+    res = GRMResult(ws.sample_id, ws.snp_id, method, mat)
+    if method == "IndivBeta":
+        from .beta import beta_grm_matrix
+        res.avg_val = beta_grm_matrix.last_avg_val
+    if out_fn is not None:
+        save_grm(res, out_fn, avg_val=getattr(res, "avg_val", None))
+    return res
+
+
+def save_grm(res: GRMResult, out_fn: str, avg_val=None):
+    """snpgdsGRM(out.fn=) protocol (R/IBD.R:570-591): write a
+    SNPRELATE_OUTPUT GDS file with command/sample.id/snp.id/grm(/avg_val)."""
+    from ..io.gds import GDSWriter, _folder_node, _leaf_node, _vstr_data, _zip
+    import struct as _struct
+
+    w = GDSWriter()
+    root_id = w.reserve()
+    children = []
+
+    def leaf(name, classname, raw, dims):
+        node_id = w.reserve()
+        stored = _zip(raw)
+        data_id = w.add_block(stored)
+        w.set_block(node_id, _leaf_node(classname, dims, data_id, {}, "ZIP",
+                                        len(raw), len(stored)))
+        children.append((name, node_id, 0))
+
+    cmd = ["snpgdsGRM", f":method = {res.method}"]
+    leaf("command", "dVStr8", _vstr_data(cmd), (2,))
+    leaf("sample.id", "dVStr8", _vstr_data(res.sample_id),
+         (len(res.sample_id),))
+    snp_id = np.asarray(res.snp_id)
+    if np.issubdtype(snp_id.dtype, np.integer):
+        leaf("snp.id", "dInt32", snp_id.astype("<i4").tobytes(),
+             (len(snp_id),))
+    else:
+        leaf("snp.id", "dVStr8", _vstr_data(snp_id), (len(snp_id),))
+    n = res.grm.shape[0]
+    leaf("grm", "dFloat64", np.asarray(res.grm, "<f8").tobytes(), (n, n))
+    if avg_val is not None:
+        leaf("avg_val", "dFloat64", _struct.pack("<d", avg_val), (1,))
+    w.set_block(root_id, _folder_node(children,
+                                      {"FileFormat": "SNPRELATE_OUTPUT"}))
+    w.write(out_fn, entry_id=root_id)
+
+
+def load_grm(fn: str):
+    """Read a SNPRELATE_OUTPUT GRM file back into a GRMResult (+ avg_val)."""
+    from ..io.gds import open_gds
+
+    f = open_gds(fn)
+    if f.root.attributes.get("FileFormat") != "SNPRELATE_OUTPUT":
+        raise ValueError(f"'{fn}' is not valid.")
+    cmd = f.index("command").read()
+    if cmd[0] != "snpgdsGRM":
+        raise ValueError("The file should be created by snpgdsGRM()")
+    method = cmd[1].split("=", 1)[1].strip()
+    res = GRMResult(
+        sample_id=np.asarray(f.index("sample.id").read(), object),
+        snp_id=np.asarray(f.index("snp.id").read()),
+        method=method, grm=np.asarray(f.index("grm").read(), np.float64))
+    avg_val = None
+    if "avg_val" in f.root.children:
+        avg_val = float(np.asarray(f.index("avg_val").read())[0])
+    return res, avg_val
+
+
+def merge_grm(filelist, out_fn=None, weight=None, verbose=False):
+    """snpgdsMergeGRM (R/IBD.R:624-748): weighted merge of per-SNP-subset
+    GRMs; IndivBeta uses the baseline re-centering of gnrGRMMerge
+    (genPCA.cpp:1744-1832)."""
+    parts = []
+    avg_vals = []
+    for fn in filelist:
+        if isinstance(fn, str):
+            r, av = load_grm(fn)
+        else:
+            r, av = fn, getattr(fn, "avg_val", None)
+        parts.append(r)
+        avg_vals.append(av)
+    method = parts[0].method
+    sampid = parts[0].sample_id
+    n = len(sampid)
+    for r in parts:
+        if r.method != method or r.grm.shape != (n, n):
+            raise ValueError("GRM files are not compatible.")
+
+    nums = np.array([len(r.snp_id) for r in parts], float)
+    if weight is None:
+        weight = nums / nums.sum()
+    elif np.asarray(weight).dtype == bool:
+        nums[~np.asarray(weight)] *= -1
+        weight = nums / nums.sum()
+    weight = np.asarray(weight, float)
+
+    snp_id = []
+    for r, wt in zip(parts, weight):
+        if wt >= 0:
+            snp_id.extend(np.asarray(r.snp_id).tolist())
+        else:
+            drop = set(np.asarray(r.snp_id).tolist())
+            snp_id = [s for s in snp_id if s not in drop]
+    snp_id = np.asarray(snp_id)
+
+    if method == "IndivBeta":
+        off = ~np.eye(n, dtype=bool)
+        out = np.zeros((n, n))
+        for r, av, wt in zip(parts, avg_vals, weight):
+            m_b = r.grm[off].mean() * 0.5
+            inv = 1.0 / (1.0 - m_b)
+            m = (r.grm * 0.5 - m_b) * inv * (1 - av) + av
+            diag = (np.diag(r.grm) - 1 - m_b) * inv * (1 - av) + av
+            np.fill_diagonal(m, diag)
+            out += m * wt
+        avg = out[off].mean()
+        mn = out.min()
+        scale = 2.0 / (1.0 - mn)
+        out = (out - mn) * scale
+        np.fill_diagonal(out, np.diag(out) * 0.5 + 1.0)
+        res = GRMResult(sampid, snp_id, method, out)
+        if out_fn is not None:
+            save_grm(res, out_fn, avg_val=avg)
+            return None
+        return res, avg
+
+    out = np.zeros((n, n))
+    for r, wt in zip(parts, weight):
+        out += r.grm * wt
+    res = GRMResult(sampid, snp_id, method, out)
+    if out_fn is not None:
+        save_grm(res, out_fn)
+        return None
+    return res
