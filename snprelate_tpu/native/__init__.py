@@ -1,0 +1,123 @@
+"""Native host runtime: C++ genotype codec loaded via ctypes.
+
+The shared library is compiled on first use with g++ (cached next to the
+source). All users go through the numpy-compatible wrappers below, which
+fall back to pure numpy when no compiler is available.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_HERE = os.path.dirname(__file__)
+_SRC = os.path.join(_HERE, "codec.cpp")
+_SO = os.path.join(_HERE, "_codec.so")
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-fopenmp", "-o", _SO, _SRC]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return True
+    except Exception:
+        try:  # retry without OpenMP
+            subprocess.run(["g++", "-O3", "-shared", "-fPIC", "-o", _SO,
+                            _SRC], check=True, capture_output=True,
+                           timeout=120)
+            return True
+        except Exception:
+            return False
+
+
+def get_lib():
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_SO) or \
+                os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+            if not _build():
+                return None
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError:
+            return None
+        i64 = ctypes.c_int64
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        lib.codec_decode2bit.argtypes = [u8p, i64, i64, u8p, i64]
+        lib.codec_pack2bit.argtypes = [u8p, i64, i64, u8p, i64]
+        lib.codec_subset_repack.argtypes = [u8p, i64, i64, i64p, i64, u8p,
+                                            i64]
+        lib.codec_snp_stats.argtypes = [u8p, i64, i64, i64p, i64, i64p, i64p]
+        lib.codec_num_threads.restype = ctypes.c_int
+        _lib = lib
+        return _lib
+
+
+def _u8p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def _i64p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+
+def subset_repack(packed: np.ndarray, samp_idx: np.ndarray,
+                  dst_bytes: int | None = None) -> np.ndarray:
+    """Fused decode + sample gather + 2-bit repack of packed rows.
+
+    packed: (n_rows, src_bytes) uint8; samp_idx: int64 sample indices.
+    Returns (n_rows, dst_bytes) uint8, padded with missing.
+    """
+    packed = np.ascontiguousarray(packed, np.uint8)
+    samp_idx = np.ascontiguousarray(samp_idx, np.int64)
+    n_rows, src_bytes = packed.shape
+    n_sel = len(samp_idx)
+    if dst_bytes is None:
+        dst_bytes = -(-n_sel // 4)
+    lib = get_lib()
+    if lib is None:  # numpy fallback
+        from ..io.store import pack2bit, unpack2bit
+
+        dense = unpack2bit(packed, src_bytes * 4)[:, samp_idx]
+        out = pack2bit(dense)
+        if out.shape[1] < dst_bytes:
+            out = np.pad(out, ((0, 0), (0, dst_bytes - out.shape[1])),
+                         constant_values=0xFF)
+        return out
+    out = np.empty((n_rows, dst_bytes), np.uint8)
+    lib.codec_subset_repack(_u8p(packed), n_rows, src_bytes,
+                            _i64p(samp_idx), n_sel, _u8p(out), dst_bytes)
+    return out
+
+
+def snp_stats_packed(packed: np.ndarray, samp_idx: np.ndarray):
+    """Per-row (SNP) genotype sum and valid count over a sample subset."""
+    packed = np.ascontiguousarray(packed, np.uint8)
+    samp_idx = np.ascontiguousarray(samp_idx, np.int64)
+    n_rows, src_bytes = packed.shape
+    lib = get_lib()
+    if lib is None:
+        from ..io.store import unpack2bit
+
+        dense = unpack2bit(packed, src_bytes * 4)[:, samp_idx]
+        valid = dense < 3
+        return (np.where(valid, dense, 0).sum(1).astype(np.int64),
+                valid.sum(1).astype(np.int64))
+    gsum = np.empty(n_rows, np.int64)
+    gnum = np.empty(n_rows, np.int64)
+    lib.codec_snp_stats(_u8p(packed), n_rows, src_bytes, _i64p(samp_idx),
+                        len(samp_idx), _i64p(gsum), _i64p(gnum))
+    return gsum, gnum

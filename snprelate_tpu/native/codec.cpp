@@ -1,0 +1,144 @@
+// Host-side 2-bit genotype codec: the native IO runtime feeding the TPU
+// engines (analog of the reference's packed-genotype codecs and
+// CGenoReadBySNP block reader, dGenGWAS.cpp:1218-1535 — re-designed as a
+// flat C API fusing decode + sample-subset + repack in one pass).
+//
+// Build: g++ -O3 -shared -fPIC -fopenmp -o _codec.so codec.cpp
+// Loaded via ctypes (snprelate_tpu/native/__init__.py); all entry points
+// use plain C types.
+
+#include <cstdint>
+#include <cstring>
+#include <cstddef>
+
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
+extern "C" {
+
+// Decode 2-bit packed rows to uint8 genotypes.
+// src: (n_rows, src_bytes); dst: (n_rows, n_out) with n_out <= 4*src_bytes.
+void codec_decode2bit(const uint8_t *src, int64_t n_rows, int64_t src_bytes,
+                      uint8_t *dst, int64_t n_out)
+{
+#pragma omp parallel for schedule(static)
+    for (int64_t r = 0; r < n_rows; r++) {
+        const uint8_t *s = src + r * src_bytes;
+        uint8_t *d = dst + r * n_out;
+        int64_t full = n_out / 4;
+        for (int64_t k = 0; k < full; k++) {
+            uint8_t g = s[k];
+            d[4 * k + 0] = g & 3;
+            d[4 * k + 1] = (g >> 2) & 3;
+            d[4 * k + 2] = (g >> 4) & 3;
+            d[4 * k + 3] = (g >> 6) & 3;
+        }
+        int64_t rem = n_out & 3;
+        if (rem) {
+            uint8_t g = s[full];
+            for (int64_t j = 0; j < rem; j++) {
+                d[4 * full + j] = (g >> (2 * j)) & 3;
+            }
+        }
+    }
+}
+
+// Pack uint8 genotypes (values 0..3) to 2-bit rows; the sample axis is
+// padded with 3 (missing) to dst_bytes*4.
+void codec_pack2bit(const uint8_t *src, int64_t n_rows, int64_t n_samp,
+                    uint8_t *dst, int64_t dst_bytes)
+{
+#pragma omp parallel for schedule(static)
+    for (int64_t r = 0; r < n_rows; r++) {
+        const uint8_t *s = src + r * n_samp;
+        uint8_t *d = dst + r * dst_bytes;
+        int64_t full = n_samp / 4;
+        for (int64_t k = 0; k < full; k++) {
+            d[k] = (uint8_t)((s[4 * k] & 3) | ((s[4 * k + 1] & 3) << 2) |
+                             ((s[4 * k + 2] & 3) << 4) |
+                             ((s[4 * k + 3] & 3) << 6));
+        }
+        if (full < dst_bytes) {
+            int64_t rem = n_samp & 3;
+            uint8_t g = 0;
+            for (int64_t j = 0; j < 4; j++) {
+                uint8_t v = (j < rem) ? (uint8_t)(s[4 * full + j] & 3) : 3;
+                g |= (uint8_t)(v << (2 * j));
+            }
+            d[full] = g;
+            for (int64_t k = full + 1; k < dst_bytes; k++)
+                d[k] = 0xFF;  // all missing
+        }
+    }
+}
+
+// Fused: decode source rows (full sample set), gather a sample subset and
+// re-pack — the hot host path when streaming a Workspace selection.
+// src: (n_rows, src_bytes) over n_src_samp samples;
+// samp_idx: (n_sel) int64 indices; dst: (n_rows, dst_bytes).
+void codec_subset_repack(const uint8_t *src, int64_t n_rows,
+                         int64_t src_bytes, const int64_t *samp_idx,
+                         int64_t n_sel, uint8_t *dst, int64_t dst_bytes)
+{
+#pragma omp parallel for schedule(static)
+    for (int64_t r = 0; r < n_rows; r++) {
+        const uint8_t *s = src + r * src_bytes;
+        uint8_t *d = dst + r * dst_bytes;
+        int64_t k = 0;
+        for (; k + 4 <= n_sel; k += 4) {
+            int64_t i0 = samp_idx[k], i1 = samp_idx[k + 1];
+            int64_t i2 = samp_idx[k + 2], i3 = samp_idx[k + 3];
+            uint8_t g0 = (s[i0 >> 2] >> ((i0 & 3) * 2)) & 3;
+            uint8_t g1 = (s[i1 >> 2] >> ((i1 & 3) * 2)) & 3;
+            uint8_t g2 = (s[i2 >> 2] >> ((i2 & 3) * 2)) & 3;
+            uint8_t g3 = (s[i3 >> 2] >> ((i3 & 3) * 2)) & 3;
+            d[k >> 2] = (uint8_t)(g0 | (g1 << 2) | (g2 << 4) | (g3 << 6));
+        }
+        if (k < n_sel) {
+            uint8_t g = 0;
+            for (int64_t j = 0; j < 4; j++) {
+                uint8_t v = 3;
+                if (k + j < n_sel) {
+                    int64_t i = samp_idx[k + j];
+                    v = (s[i >> 2] >> ((i & 3) * 2)) & 3;
+                }
+                g |= (uint8_t)(v << (2 * j));
+            }
+            d[k >> 2] = g;
+        }
+        for (int64_t b = (n_sel + 3) / 4; b < dst_bytes; b++)
+            d[b] = 0xFF;
+    }
+}
+
+// Per-SNP genotype sum and valid count over packed rows restricted to a
+// sample subset (Get_AF_MR_perSNP analog, dGenGWAS.cpp:472-552).
+void codec_snp_stats(const uint8_t *src, int64_t n_rows, int64_t src_bytes,
+                     const int64_t *samp_idx, int64_t n_sel,
+                     int64_t *gsum, int64_t *gnum)
+{
+#pragma omp parallel for schedule(static)
+    for (int64_t r = 0; r < n_rows; r++) {
+        const uint8_t *s = src + r * src_bytes;
+        int64_t sum = 0, num = 0;
+        for (int64_t k = 0; k < n_sel; k++) {
+            int64_t i = samp_idx[k];
+            uint8_t v = (s[i >> 2] >> ((i & 3) * 2)) & 3;
+            if (v < 3) { sum += v; num++; }
+        }
+        gsum[r] = sum;
+        gnum[r] = num;
+    }
+}
+
+int codec_num_threads(void)
+{
+#ifdef _OPENMP
+    return omp_get_max_threads();
+#else
+    return 1;
+#endif
+}
+
+}  // extern "C"

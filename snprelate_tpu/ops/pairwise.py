@@ -134,17 +134,9 @@ class PairCounts:
 def pair_counts(ws, chunk: int = 2048, pad_to: int = 128) -> PairCounts:
     """Run the integer pairwise engine over a Workspace selection."""
     n_pad = -(-ws.n_samp // pad_to) * pad_to
-    first = True
-    carry = None
-    for _start, packed in ws.packed_chunks(chunk):
-        npad_bytes = -(-n_pad // 4)
-        if packed.shape[1] < npad_bytes:
-            packed = np.pad(packed, ((0, 0), (0, npad_bytes - packed.shape[1])),
-                            constant_values=0xFF)
-        if first:
-            carry = jnp.zeros((3, 3, 4 * npad_bytes, 4 * npad_bytes), jnp.int32)
-            first = False
-        carry = _plane_gram_step(carry, jnp.asarray(packed))
+    carry = jnp.zeros((3, 3, n_pad, n_pad), jnp.int32)
+    for packed in _stream(ws, chunk, n_pad):
+        carry = _plane_gram_step(carry, packed)
     n = ws.n_samp
     return PairCounts(np.asarray(carry)[:, :, :n, :n].astype(np.int64))
 
@@ -191,12 +183,10 @@ def _gcta_step(carry, packed):
 
 
 def _stream(ws, chunk, n_pad):
-    npad_bytes = -(-n_pad // 4)
-    for _start, packed in ws.packed_chunks(chunk):
-        if packed.shape[1] < npad_bytes:
-            packed = np.pad(packed, ((0, 0), (0, npad_bytes - packed.shape[1])),
-                            constant_values=0xFF)
-        yield jnp.asarray(packed)
+    """Prefetched device chunks (host codec + transfer overlap compute)."""
+    from ..parallel.stream import device_chunks
+
+    yield from device_chunks(ws, chunk, n_pad)
 
 
 def pca_covariance(ws, bayesian: bool = False, chunk: int = 2048,

@@ -47,37 +47,34 @@ class Workspace:
         """Dense uint8 (n_snp_sel, n_samp_sel) genotypes for a SNP range."""
         return self.data.geno(self.snp_idx[snp_slice], self.samp_idx)
 
-    def packed_chunks(self, chunk: int):
+    def packed_chunks(self, chunk: int, pad_bytes: int = 0):
         """Yield (dense_start, packed uint8 (chunk, ceil(n/4))) SNP blocks,
         the analog of CGenoReadBySNP (dGenGWAS.cpp:1218-1397). The final
-        chunk is padded with missing SNPs to the full chunk size."""
-        from .io.store import pack2bit
+        chunk is padded with missing SNPs to the full chunk size. The
+        decode+gather+repack runs in the native C++ codec when available."""
+        from .native import subset_repack
 
         n = self.n_snp
+        dst_bytes = max(-(-self.n_samp // 4), pad_bytes)
         for s in range(0, n, chunk):
             e = min(s + chunk, n)
-            dense = self.geno(slice(s, e))
+            packed = subset_repack(self.data.genotype_packed[self.snp_idx[s:e]],
+                                   self.samp_idx, dst_bytes)
             if e - s < chunk:
-                pad = np.full((chunk - (e - s), dense.shape[1]), 3, np.uint8)
-                dense = np.concatenate([dense, pad], axis=0)
-            yield s, pack2bit(dense)
+                pad = np.full((chunk - (e - s), dst_bytes), 0xFF, np.uint8)
+                packed = np.concatenate([packed, pad], axis=0)
+            yield s, packed
 
 
 def snp_stats(ws: Workspace, chunk: int = 4096):
     """Per-SNP (allele freq, minor allele freq, missing rate, valid count)
     over the selected samples. Reference: Get_AF_MR_perSNP
     (dGenGWAS.cpp:472-552) and gnrSNPRateFreq (SNPRelate.cpp:243)."""
+    from .native import snp_stats_packed
+
     n_snp, n_samp = ws.n_snp, ws.n_samp
-    af = np.full(n_snp, np.nan)
-    mr = np.full(n_snp, np.nan)
-    num = np.zeros(n_snp, np.int64)
-    ssum = np.zeros(n_snp, np.int64)
-    for s in range(0, n_snp, chunk):
-        e = min(s + chunk, n_snp)
-        g = ws.geno(slice(s, e)).astype(np.int64)
-        valid = g < 3
-        num[s:e] = valid.sum(1)
-        ssum[s:e] = np.where(valid, g, 0).sum(1)
+    ssum, num = snp_stats_packed(ws.data.genotype_packed[ws.snp_idx],
+                                 ws.samp_idx)
     with np.errstate(invalid="ignore", divide="ignore"):
         af = np.where(num > 0, ssum / (2.0 * num), np.nan)
     mr = 1.0 - num / float(n_samp)
