@@ -33,12 +33,15 @@ def main():
     packed = rng.integers(0, 256, (n_chunks, chunk, n_samp // 4), np.uint8)
     packed_d = jax.device_put(jnp.asarray(packed))
 
+    from snprelate_tpu.ops.pairwise import MM_PRECISION
+
     def fused_step(carry, pk):
         grams, cov = carry
         geno = decode2bit(pk)
         grams = grams + _cross_grams(genotype_planes(geno))
         x, _ = make_pca_block(geno, False)
-        cov = cov + jnp.matmul(x.T, x, preferred_element_type=jnp.float32)
+        cov = cov + jnp.matmul(x.T, x, preferred_element_type=jnp.float32,
+                               precision=MM_PRECISION)
         return (grams, cov), ()
 
     @jax.jit
@@ -68,11 +71,12 @@ def main():
     pair_snp = 0.5 * n_samp * (n_samp + 1) * n_snp  # pair-SNP comparisons
     value = pair_snp / dt
 
-    # speed-of-light model: 9 int8 grams (2*9*N^2*M ops) + 1 f32 cov matmul
-    # (2*N^2*M flops, executed at bf16 rate on the MXU by default)
-    int8_ops = 2.0 * 9 * n_samp * n_samp * n_snp
+    # speed-of-light model: 9 int4 plane grams (2*9*N^2*M ops at the v5e
+    # int4 rate, 2x int8 = 789 TOPS) + 1 f32 cov matmul at HIGHEST precision
+    # (multi-pass bf16, ~6 passes -> 197/6 TFLOPS effective)
+    int4_ops = 2.0 * 9 * n_samp * n_samp * n_snp
     f32_ops = 2.0 * n_samp * n_samp * n_snp
-    sol_t = int8_ops / 394.5e12 + f32_ops / 197e12
+    sol_t = int4_ops / 789e12 + f32_ops / (197e12 / 6)
     vs_baseline = sol_t / dt
 
     print(json.dumps({

@@ -20,7 +20,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.decode import decode2bit
-from ..ops.pairwise import _default_float_dtype, _stream, chunk_snp_stats
+from ..ops.pairwise import (MM_PRECISION, _default_float_dtype, _stream,
+                            chunk_snp_stats)
 
 
 @jax.jit
@@ -42,19 +43,22 @@ def _rand_block(packed):
 @jax.jit
 def _h_step(packed, g_mat):
     y, trace = _rand_block(packed)
-    return jnp.matmul(y, g_mat, preferred_element_type=y.dtype), trace
+    return jnp.matmul(y, g_mat, preferred_element_type=y.dtype,
+                      precision=MM_PRECISION), trace
 
 
 @functools.partial(jax.jit, donate_argnums=0)
 def _g_step(g_next, packed, h_block):
     y, _ = _rand_block(packed)
-    return g_next + jnp.matmul(y.T, h_block, preferred_element_type=y.dtype)
+    return g_next + jnp.matmul(y.T, h_block, preferred_element_type=y.dtype,
+                      precision=MM_PRECISION)
 
 
 @functools.partial(jax.jit, donate_argnums=0)
 def _t_step(t_acc, packed, uh_block):
     y, _ = _rand_block(packed)
-    return t_acc + jnp.matmul(uh_block.T, y, preferred_element_type=y.dtype)
+    return t_acc + jnp.matmul(uh_block.T, y, preferred_element_type=y.dtype,
+                      precision=MM_PRECISION)
 
 
 def randomized_pca(ws, eigen_cnt=16, aux_dim=None, iter_num=10, seed=None,

@@ -15,8 +15,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from .decode import decode2bit
-from .pairwise import _default_float_dtype, _stream, chunk_snp_stats, \
-    make_pca_block
+from .pairwise import (MM_PRECISION, _default_float_dtype, _stream,
+                       chunk_snp_stats, make_pca_block)
 
 
 @jax.jit
@@ -29,9 +29,12 @@ def _corr_step(packed, eig):
     gz = jnp.where(valid, geno, 0).astype(fdt)
     v = valid.astype(fdt)
     m = gnum.astype(fdt)[:, None]
-    xy = jnp.matmul(gz, eig, preferred_element_type=fdt)
-    x = jnp.matmul(v, eig, preferred_element_type=fdt)
-    xx = jnp.matmul(v, eig * eig, preferred_element_type=fdt)
+    xy = jnp.matmul(gz, eig, preferred_element_type=fdt,
+                      precision=MM_PRECISION)
+    x = jnp.matmul(v, eig, preferred_element_type=fdt,
+                      precision=MM_PRECISION)
+    xx = jnp.matmul(v, eig * eig, preferred_element_type=fdt,
+                      precision=MM_PRECISION)
     y = gsum.astype(fdt)[:, None]
     yy = (gz * gz).sum(axis=1, keepdims=True)
     c1 = xx - x * x / m
@@ -76,7 +79,8 @@ def _snp_loading_step(packed, eig_scaled, bayesian: bool):
         scale = jnp.where((s > 0) & (s < 1), 1.0 / jnp.sqrt(s * (1 - s)), 0.0)
     x = jnp.where(valid, (geno.astype(fdt) - avg[:, None]) * scale[:, None],
                   0.0)
-    load = jnp.matmul(x, eig_scaled, preferred_element_type=fdt)
+    load = jnp.matmul(x, eig_scaled, preferred_element_type=fdt,
+                      precision=MM_PRECISION)
     return load, avg, scale
 
 
@@ -113,7 +117,8 @@ def _samp_loading_step(carry, packed, sload, avgfreq, scale):
     valid = geno < 3
     x = jnp.where(valid, (geno.astype(fdt) - avgfreq[:, None]) * scale[:, None],
                   0.0)  # (S, N)
-    return carry + jnp.matmul(x.T, sload, preferred_element_type=fdt)
+    return carry + jnp.matmul(x.T, sload, preferred_element_type=fdt,
+                      precision=MM_PRECISION)
 
 
 def samp_loadings(ws, sload_scaled: np.ndarray, avgfreq: np.ndarray,
@@ -148,7 +153,8 @@ def _snp_loading_provided_step(packed, eig, avg2p, scale):
     valid = geno < 3
     x = jnp.where(valid, (geno.astype(fdt) - avg2p[:, None]) * scale[:, None],
                   0.0)
-    return jnp.matmul(x, eig, preferred_element_type=fdt)
+    return jnp.matmul(x, eig, preferred_element_type=fdt,
+                      precision=MM_PRECISION)
 
 
 def eigmix_snp_loadings(ws, eigenvect: np.ndarray, afreq: np.ndarray,

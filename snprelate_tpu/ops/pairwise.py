@@ -31,8 +31,21 @@ from typing import Callable, Iterable, Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from .decode import decode2bit, genotype_planes
+
+# Float Gram matmuls run at HIGHEST precision: TPU default f32 matmul uses
+# single-pass bf16 (~1e-4 relative error), which would break parity with the
+# reference's f64 accumulation. HIGHEST (multi-pass) gives ~1e-6; tests on
+# CPU/x64 are exact either way.
+MM_PRECISION = lax.Precision.HIGHEST
+
+
+def _plane_mm_dtype():
+    # 0/1 indicator planes: int4 on TPU doubles MXU rate and halves HBM
+    # traffic with exact int32 accumulation; CPU XLA prefers int8.
+    return jnp.int4 if jax.default_backend() == "tpu" else jnp.int8
 
 # Accumulation dtype policy:
 #  - counts: int32 per-chunk and carry (exact)
@@ -58,7 +71,7 @@ def _cross_grams(planes: jax.Array) -> jax.Array:
     """(3, S, N) planes -> (3, 3, N, N) cross-grams via ONE (3N, S) x (S, 3N)
     MXU matmul (a single large contraction tiles better than 9 small ones)."""
     p3, s, n = planes.shape
-    flat = planes.transpose(0, 2, 1).reshape(p3 * n, s)
+    flat = planes.transpose(0, 2, 1).reshape(p3 * n, s).astype(_plane_mm_dtype())
     c = jnp.matmul(flat, flat.T, preferred_element_type=jnp.int32)
     return c.reshape(p3, n, p3, n).transpose(0, 2, 1, 3)
 
@@ -167,7 +180,8 @@ def make_pca_block(geno: jax.Array, bayesian: bool = False):
 def _pca_step(carry, packed, bayesian: bool):
     cov = carry
     x, _ = make_pca_block(decode2bit(packed), bayesian)
-    return cov + jnp.matmul(x.T, x, preferred_element_type=x.dtype)
+    return cov + jnp.matmul(x.T, x, preferred_element_type=x.dtype,
+                            precision=MM_PRECISION)
 
 
 @functools.partial(jax.jit, donate_argnums=0)
@@ -177,7 +191,8 @@ def _gcta_step(carry, packed):
     x, (gsum, gnum, valid) = make_pca_block(geno, False)
     poly = (gsum > 0) & (gsum < 2 * gnum)  # genPCA.cpp:1202-1224
     vp = (valid & poly[:, None]).astype(jnp.int8)
-    cov = cov + jnp.matmul(x.T, x, preferred_element_type=x.dtype)
+    cov = cov + jnp.matmul(x.T, x, preferred_element_type=x.dtype,
+                           precision=MM_PRECISION)
     vgram = vgram + jnp.matmul(vp.T, vp, preferred_element_type=jnp.int32)
     return cov, vgram, nlocus + poly.sum(dtype=jnp.int32)
 
@@ -234,8 +249,10 @@ def _king_homo_step(carry, packed):
     v = valid.astype(fdt)
     vw = v * w[:, None]
     vw2 = v * (w * w)[:, None]
-    waf = waf + jnp.matmul(vw.T, v, preferred_element_type=fdt)
-    waf2 = waf2 + jnp.matmul(vw2.T, v, preferred_element_type=fdt)
+    waf = waf + jnp.matmul(vw.T, v, preferred_element_type=fdt,
+                           precision=MM_PRECISION)
+    waf2 = waf2 + jnp.matmul(vw2.T, v, preferred_element_type=fdt,
+                             precision=MM_PRECISION)
     return grams, waf, waf2
 
 
@@ -268,11 +285,13 @@ def _eigmix_step(carry, packed):
     gsum, gnum, valid = chunk_snp_stats(geno)
     avg = jnp.where(gnum > 0, gsum.astype(fdt) / gnum.astype(fdt), 0.0)
     x = jnp.where(valid, geno.astype(fdt), avg[:, None]) - avg[:, None]
-    cov = cov + jnp.matmul(x.T, x, preferred_element_type=fdt)
+    cov = cov + jnp.matmul(x.T, x, preferred_element_type=fdt,
+                           precision=MM_PRECISION)
     af = 0.5 * avg
     d = 4.0 * af * (1.0 - af)  # per-SNP denominator weight
     v = valid.astype(fdt)
-    wvg = wvg + jnp.matmul((v * d[:, None]).T, v, preferred_element_type=fdt)
+    wvg = wvg + jnp.matmul((v * d[:, None]).T, v, preferred_element_type=fdt,
+                           precision=MM_PRECISION)
     hetcnt = hetcnt + (geno == 1).sum(axis=0, dtype=jnp.int32)
     return cov, wvg, hetcnt, afsum + d.sum()
 

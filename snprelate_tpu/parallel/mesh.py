@@ -27,7 +27,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.decode import decode2bit, genotype_planes
-from ..ops.pairwise import _cross_grams, make_pca_block
+from ..ops.pairwise import MM_PRECISION, _cross_grams, make_pca_block
 
 
 def make_mesh(n_data: Optional[int] = None, n_samp: int = 1,
@@ -93,7 +93,8 @@ def _sharded_cov_step(carry, packed_batch, mesh: Mesh):
     / GCTA hot loop, genPCA.cpp:427-463) over (data, samp) shardings."""
     def one(packed):
         x, _ = make_pca_block(decode2bit(packed), False)
-        return jnp.matmul(x.T, x, preferred_element_type=x.dtype)
+        return jnp.matmul(x.T, x, preferred_element_type=x.dtype,
+                          precision=MM_PRECISION)
 
     out = carry + jax.vmap(one)(packed_batch)
     return jax.lax.with_sharding_constraint(
