@@ -33,12 +33,23 @@ def main():
     packed = rng.integers(0, 256, (n_chunks, chunk, n_samp // 4), np.uint8)
     packed_d = jax.device_put(jnp.asarray(packed))
 
-    from snprelate_tpu.ops.pairwise import MM_PRECISION
+    from snprelate_tpu.ops.pairwise import MM_PRECISION, _flat_planes
+    from snprelate_tpu.ops.pallas_kernels import (mirror_upper, syrk_int_raw,
+                                                  syrk_supported)
+
+    # SYRK measured slower end-to-end than XLA int4 full matmul; keep off
+    use_syrk = os.environ.get("BENCH_SYRK", "0") == "1"
 
     def fused_step(carry, pk):
         grams, cov = carry
         geno = decode2bit(pk)
-        grams = grams + _cross_grams(genotype_planes(geno))
+        flat = _flat_planes(pk)
+        if use_syrk:
+            grams = grams + syrk_int_raw(flat.astype(jnp.int8))
+        else:
+            f4 = flat.astype(jnp.int4)
+            grams = grams + jnp.matmul(f4, f4.T,
+                                       preferred_element_type=jnp.int32)
         x, _ = make_pca_block(geno, False)
         cov = cov + jnp.matmul(x.T, x, preferred_element_type=jnp.float32,
                                precision=MM_PRECISION)
@@ -46,15 +57,17 @@ def main():
 
     @jax.jit
     def run(pk_all):
-        init = (jnp.zeros((3, 3, n_samp, n_samp), jnp.int32),
+        init = (jnp.zeros((3 * n_samp, 3 * n_samp), jnp.int32),
                 jnp.zeros((n_samp, n_samp), jnp.float32))
         (grams, cov), _ = jax.lax.scan(fused_step, init, pk_all)
+        if use_syrk:
+            grams = mirror_upper(grams, 512)
         return grams, cov
 
     def materialize(g, c):
         # block_until_ready does not wait for execution on the axon tunnel
         # backend; a device->host copy of a small dependent slice does.
-        return np.asarray(g[0, 0, :2, :2]), np.asarray(c[:2, :2])
+        return np.asarray(g[:2, :2]), np.asarray(c[:2, :2])
 
     # warmup/compile
     g, c = run(packed_d)

@@ -69,11 +69,46 @@ def chunk_snp_stats(geno: jax.Array):
 
 def _cross_grams(planes: jax.Array) -> jax.Array:
     """(3, S, N) planes -> (3, 3, N, N) cross-grams via ONE (3N, S) x (S, 3N)
-    MXU matmul (a single large contraction tiles better than 9 small ones)."""
+    MXU contraction (a single large matmul tiles better than 9 small ones)."""
     p3, s, n = planes.shape
-    flat = planes.transpose(0, 2, 1).reshape(p3 * n, s).astype(_plane_mm_dtype())
-    c = jnp.matmul(flat, flat.T, preferred_element_type=jnp.int32)
+    flat = planes.transpose(0, 2, 1).reshape(p3 * n, s)
+    c = jnp.matmul(flat.astype(_plane_mm_dtype()),
+                   flat.astype(_plane_mm_dtype()).T,
+                   preferred_element_type=jnp.int32)
     return c.reshape(p3, n, p3, n).transpose(0, 2, 1, 3)
+
+
+def _flat_planes(packed: jax.Array) -> jax.Array:
+    """packed chunk -> (3N, S) int8 plane matrix."""
+    planes = genotype_planes(decode2bit(packed))  # (3, S, N)
+    p3, s, n = planes.shape
+    return planes.transpose(0, 2, 1).reshape(p3 * n, s)
+
+
+@functools.partial(jax.jit, donate_argnums=0, static_argnums=2)
+def _gram2d_step(carry2d, packed, use_syrk: bool):
+    """carry2d (3N, 3N) int32 += flat @ flat.T; with use_syrk only the upper
+    block triangle is computed (Pallas SYRK, ops/pallas_kernels.py) and the
+    carry stays in raw upper form until _finalize_grams."""
+    from .pallas_kernels import syrk_int_raw
+
+    flat = _flat_planes(packed)
+    if use_syrk:
+        return carry2d + syrk_int_raw(flat.astype(jnp.int8))
+    return carry2d + jnp.matmul(flat.astype(_plane_mm_dtype()),
+                                flat.astype(_plane_mm_dtype()).T,
+                                preferred_element_type=jnp.int32)
+
+
+def _finalize_grams(carry2d, use_syrk: bool) -> np.ndarray:
+    """(3N, 3N) raw accumulation -> (3, 3, N, N), mirroring the upper block
+    triangle when the SYRK path was used."""
+    from .pallas_kernels import mirror_upper
+
+    m = carry2d.shape[0]
+    if use_syrk:
+        carry2d = mirror_upper(jnp.asarray(carry2d), 512)
+    return np.asarray(carry2d).reshape(3, m // 3, 3, m // 3).transpose(0, 2, 1, 3)
 
 
 @functools.partial(jax.jit, donate_argnums=0)
@@ -81,7 +116,7 @@ def _plane_gram_step(carry: jax.Array, packed: jax.Array) -> jax.Array:
     """carry (3,3,N,N) int32 += cross-grams of one chunk."""
     geno = decode2bit(packed)  # (S, Npad)
     planes = genotype_planes(geno)  # (3, S, N)
-    return carry + _cross_grams(planes)
+    return carry + _cross_grams(planes, use_syrk=True)
 
 
 def plane_grams(chunks: Iterable[np.ndarray], n_samp_padded: int) -> np.ndarray:
@@ -146,12 +181,17 @@ class PairCounts:
 
 def pair_counts(ws, chunk: int = 2048, pad_to: int = 128) -> PairCounts:
     """Run the integer pairwise engine over a Workspace selection."""
+    # NOTE: the triangular Pallas SYRK path (ops/pallas_kernels.py) measured
+    # slower end-to-end than XLA's full int4 matmul at bench scale (worse
+    # overlap + 2x int8 HBM traffic); keep it opt-in.
     n_pad = -(-ws.n_samp // pad_to) * pad_to
-    carry = jnp.zeros((3, 3, n_pad, n_pad), jnp.int32)
+    use_syrk = False
+    carry = jnp.zeros((3 * n_pad, 3 * n_pad), jnp.int32)
     for packed in _stream(ws, chunk, n_pad):
-        carry = _plane_gram_step(carry, packed)
+        carry = _gram2d_step(carry, packed, use_syrk)
     n = ws.n_samp
-    return PairCounts(np.asarray(carry)[:, :, :n, :n].astype(np.int64))
+    c = _finalize_grams(carry, use_syrk)
+    return PairCounts(c[:, :, :n, :n].astype(np.int64))
 
 
 # ---------------------------------------------------------------------------
