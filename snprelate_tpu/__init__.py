@@ -28,7 +28,8 @@ from .models.stats import (snp_rate_freq, samp_miss_rate, select_snp,
                            get_geno, summary)
 from .models.ibd_mle import (ibd_mle, ibd_mle_loglik, pair_ibd,
                              pair_ibd_mle_loglik, ibd_selection)
-from .models.cluster import hcluster, cut_tree, draw_tree, admix_prop
+from .models.cluster import (hcluster, cut_tree, draw_tree, admix_prop,
+                             admix_plot, admix_table)
 from .models.misc import (pair_score, sliding_window, allele_switch,
                           allele_strand, snp_list, snp_list_intersect,
                           create_geno_set, combine_geno, snpgds_option)
@@ -88,5 +89,7 @@ snpgdsCreateGenoSet = create_geno_set
 snpgdsCombineGeno = combine_geno
 snpgdsOption = snpgds_option
 snpgdsMergeGRM = merge_grm
+snpgdsAdmixPlot = admix_plot
+snpgdsAdmixTable = admix_table
 
 __version__ = "0.1.0"

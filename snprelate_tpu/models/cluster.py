@@ -202,3 +202,42 @@ def admix_prop(eigobj, groups: dict, bound=False) -> np.ndarray:
         new_p = np.clip(new_p, 0, 1)
         new_p = new_p / new_p.sum(1, keepdims=True)
     return new_p
+
+
+def admix_plot(propmat: np.ndarray, group=None, col=None, ax=None,
+               sort_by_group=True):
+    """snpgdsAdmixPlot (R/PCA.R:429) analog: stacked-bar ancestry plot."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    propmat = np.asarray(propmat)
+    n, k = propmat.shape
+    order = np.arange(n)
+    if group is not None and sort_by_group:
+        order = np.argsort(np.asarray(group, object), kind="stable")
+    if ax is None:
+        _fig, ax = plt.subplots(figsize=(10, 3))
+    bottom = np.zeros(n)
+    for j in range(k):
+        v = propmat[order, j]
+        ax.bar(np.arange(n), v, bottom=bottom, width=1.0,
+               color=None if col is None else col[j % len(col)])
+        bottom += v
+    ax.set_xlim(-0.5, n - 0.5)
+    ax.set_ylim(0, 1)
+    return ax
+
+
+def admix_table(propmat: np.ndarray, group, sort_by_group=True):
+    """snpgdsAdmixTable (R/PCA.R:520-556) analog: per-group mean/sd
+    ancestral proportions."""
+    propmat = np.asarray(propmat)
+    group = np.asarray(group, object)
+    out = {}
+    for g in sorted(set(group.tolist()), key=str):
+        sub = propmat[group == g]
+        out[g] = {"n": int(sub.shape[0]), "mean": sub.mean(0),
+                  "sd": sub.std(0, ddof=1) if sub.shape[0] > 1
+                  else np.zeros(sub.shape[1])}
+    return out

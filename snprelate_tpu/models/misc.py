@@ -376,3 +376,10 @@ def snpgds_option(data: Optional[SNPData] = None, autosome_start=1,
     cc.update(codes)
     return {"autosome.start": autosome_start, "autosome.end": autosome_end,
             "chromosome.code": cc}
+
+
+def transpose(data: SNPData) -> SNPData:
+    """snpgdsTranspose (R/AllUtilities.R:1591) analog. The in-memory store
+    is always snp-major, so this is an identity on SNPData; storage
+    orientation is chosen at GDS write time (write_snp_gds(snpfirstdim=))."""
+    return data
