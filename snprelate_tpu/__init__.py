@@ -32,7 +32,19 @@ from .models.cluster import (hcluster, cut_tree, draw_tree, admix_prop,
                              admix_plot, admix_table)
 from .models.misc import (pair_score, sliding_window, allele_switch,
                           allele_strand, snp_list, snp_list_intersect,
-                          create_geno_set, combine_geno, snpgds_option)
+                          create_geno_set, combine_geno, snpgds_option,
+                          transpose)
+
+
+def close_snpdata(data):
+    """snpgdsClose analog: SNPData is an in-memory container; nothing to
+    close. Kept for drop-in compatibility."""
+
+
+def err_msg():
+    """snpgdsErrMsg analog: errors are raised as Python exceptions."""
+    return ""
+
 
 # Reference-style aliases
 snpgdsOpen = open_snp_gds
@@ -91,5 +103,9 @@ snpgdsOption = snpgds_option
 snpgdsMergeGRM = merge_grm
 snpgdsAdmixPlot = admix_plot
 snpgdsAdmixTable = admix_table
+snpgdsTranspose = transpose
+snpgdsClose = close_snpdata
+snpgdsErrMsg = err_msg
+snpgdsVCF2GDS_R = vcf_to_snpdata  # legacy pure-R path: same parser here
 
 __version__ = "0.1.0"
