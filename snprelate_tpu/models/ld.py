@@ -145,8 +145,10 @@ def ld_pruning(data, sample_id=None, snp_id=None, autosome_only=True,
                remove_monosnp=True, maf=0.005, missing_rate=0.01,
                method="composite", slide_max_bp=500000, slide_max_n=np.nan,
                ld_threshold=0.2, start_pos="random.f500", seed=None,
-               verbose=False) -> dict:
-    """snpgdsLDpruning (R/LD.R:100): returns {chrN: kept snp.id array}."""
+               autosave=None, verbose=False) -> dict:
+    """snpgdsLDpruning (R/LD.R:100): returns {chrN: kept snp.id array}.
+    With autosave=path, the partial result is pickled after each chromosome
+    (the reference's saveRDS autosave, R/LD.R:225-230)."""
     if method not in _METHODS[:4]:
         raise ValueError("method should be one of composite, r, dprime, corr")
     ws, _ = init_workspace(data, sample_id, snp_id, autosome_only,
@@ -189,6 +191,11 @@ def ld_pruning(data, sample_id=None, snp_id=None, autosome_only=True,
                                  slide_max_bp, slide_max_n, ld_threshold,
                                  method)
         res[f"chr{ch}"] = data.snp_id[idx[kept]]
+        if autosave:
+            import pickle
+
+            with open(autosave, "wb") as f:
+                pickle.dump(res, f)
         if verbose:
             print(f"Chrom {ch}: {kept.sum()} / {n_tmp}")
     return res

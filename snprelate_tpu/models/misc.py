@@ -31,7 +31,8 @@ _SCORE_TABLES = {
 
 
 def pair_score(data, sample1_id, sample2_id, snp_id=None, method="IBS",
-               type="per.pair", dosage=True, with_id=True, verbose=False):
+               type="per.pair", dosage=True, with_id=True, output=None,
+               verbose=False):
     """snpgdsPairScore (R/IBS.R:81): per-pair genotype scoring with 10
     scoring matrices (gnrPairScore, genIBS.cpp:711-891)."""
     sample1_id = np.asarray(sample1_id, object)
@@ -85,6 +86,22 @@ def pair_score(data, sample1_id, sample2_id, snp_id=None, method="IBS",
         out["score"] = np.stack([avg, sd, num.astype(float)])
     elif type == "matrix":
         out["score"] = score.T  # (P, S), NaN for missing
+    elif type == "gds.file":
+        # scores are 0..2 (3 = missing): store as a bit2 SNP_ARRAY GDS with
+        # pair labels as sample ids (R/IBS.R:120-156)
+        if not output:
+            raise ValueError("'output' should be a file name for gds.file")
+        sc = np.where(np.isfinite(score), score, 3).astype(np.uint8)
+        pair_ids = np.asarray([f"{a}-{b}" for a, b in
+                               zip(sample1_id, sample2_id)], object)
+        sd = SNPData(
+            sample_id=pair_ids, snp_id=ws.snp_id,
+            genotype_packed=pack2bit(sc), n_samp=len(pair_ids),
+            snp_position=np.asarray(data.snp_position)[ws.snp_idx],
+            snp_chromosome=np.asarray(data.snp_chromosome)[ws.snp_idx])
+        from ..io.gds import write_snp_gds
+
+        write_snp_gds(sd, output)
     else:
         raise ValueError("Invalid 'type'.")
     return out
