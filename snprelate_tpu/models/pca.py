@@ -40,9 +40,10 @@ def _eigen_desc(mat: np.ndarray, k: int):
 def pca(data, sample_id=None, snp_id=None, autosome_only=True,
         remove_monosnp=True, maf=math.nan, missing_rate=0.01,
         algorithm="exact", eigen_cnt=32, bayesian=False, need_genmat=False,
-        genmat_only=False, aux_dim=None, iter_num=10, seed=None,
+        genmat_only=False, aux_dim=None, iter_num=10, seed=None, mesh=None,
         verbose=False, chunk=2048) -> PCAResult:
-    """snpgdsPCA (R/PCA.R:22-91)."""
+    """snpgdsPCA (R/PCA.R:22-91). With mesh=jax.sharding.Mesh (axes
+    'data', 'samp'), the covariance accumulates sharded across devices."""
     ws, _ = init_workspace(data, sample_id, snp_id, autosome_only,
                            remove_monosnp, maf, missing_rate, verbose=verbose)
     n = ws.n_samp
@@ -59,7 +60,12 @@ def pca(data, sample_id=None, snp_id=None, autosome_only=True,
     if algorithm != "exact":
         raise ValueError("Invalid 'algorithm'.")
 
-    cov = pca_covariance(ws, bayesian=bayesian, chunk=chunk)
+    if mesh is not None and not bayesian:
+        from ..parallel.mesh import sharded_pca_covariance
+
+        cov = sharded_pca_covariance(ws, mesh, chunk=chunk)
+    else:
+        cov = pca_covariance(ws, bayesian=bayesian, chunk=chunk)
     trace_xtx = float(np.trace(cov))
     scale = (n - 1) / trace_xtx
     cov *= scale

@@ -127,3 +127,60 @@ def sharded_pca_covariance(ws, mesh: Mesh, chunk: int = 2048) -> np.ndarray:
     total = jnp.sum(carry, axis=0)
     n = ws.n_samp
     return np.asarray(total)[:n, :n].astype(np.float64)
+
+
+@functools.partial(jax.jit, donate_argnums=0, static_argnums=(2,))
+def _sharded_gcta_step(carry, packed_batch, mesh: Mesh):
+    """Sharded GCTA accumulation: covariance + polymorphic-validity gram +
+    locus count (CGCTA_AlgArith::Run, genPCA.cpp:1148-1237)."""
+    cov, vgram, nlocus = carry
+
+    def one(packed):
+        geno = decode2bit(packed)
+        x, (gsum, gnum, valid) = make_pca_block(geno, False)
+        poly = (gsum > 0) & (gsum < 2 * gnum)
+        vp = (valid & poly[:, None]).astype(jnp.int8)
+        c = jnp.matmul(x.T, x, preferred_element_type=x.dtype,
+                       precision=MM_PRECISION)
+        v = jnp.matmul(vp.T, vp, preferred_element_type=jnp.int32)
+        return c, v, poly.sum(dtype=jnp.int32)
+
+    dc, dv, dn = jax.vmap(one)(packed_batch)
+    cov = jax.lax.with_sharding_constraint(
+        cov + dc, NamedSharding(mesh, P("data", "samp", None)))
+    vgram = jax.lax.with_sharding_constraint(
+        vgram + dv, NamedSharding(mesh, P("data", "samp", None)))
+    return cov, vgram, nlocus + dn
+
+
+def _batched_chunks(ws, chunk, n_pad, d):
+    nbytes = n_pad // 4
+    batch = []
+    for _start, packed in ws.packed_chunks(chunk, pad_bytes=nbytes):
+        batch.append(packed)
+        if len(batch) == d:
+            yield np.stack(batch)
+            batch = []
+    if batch:
+        pad = [np.full_like(batch[0], 0xFF)] * (d - len(batch))
+        yield np.stack(batch + pad)
+
+
+def sharded_gcta_parts(ws, mesh: Mesh, chunk: int = 2048):
+    """Multi-device GCTA GRM parts (cov, validity gram, nlocus)."""
+    d = mesh.shape["data"]
+    n_samp_dev = mesh.shape["samp"]
+    n_pad = -(-ws.n_samp // (128 * n_samp_dev)) * (128 * n_samp_dev)
+    fdt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    c_sh = NamedSharding(mesh, P("data", "samp", None))
+    b_sh = NamedSharding(mesh, P("data", None, None))
+    carry = (jax.device_put(jnp.zeros((d, n_pad, n_pad), fdt), c_sh),
+             jax.device_put(jnp.zeros((d, n_pad, n_pad), jnp.int32), c_sh),
+             jnp.zeros((d,), jnp.int32))
+    for pb in _batched_chunks(ws, chunk, n_pad, d):
+        carry = _sharded_gcta_step(carry, jax.device_put(pb, b_sh), mesh)
+    cov, vgram, nlocus = carry
+    n = ws.n_samp
+    return (np.asarray(jnp.sum(cov, 0))[:n, :n].astype(np.float64),
+            np.asarray(jnp.sum(vgram, 0))[:n, :n].astype(np.int64),
+            int(jnp.sum(nlocus)))

@@ -30,3 +30,21 @@ def test_sharded_cov_matches(hapmap):
     mesh = make_mesh(4, 2)
     cov = sharded_pca_covariance(ws, mesh, chunk=1024)
     np.testing.assert_allclose(cov, base, rtol=1e-12, atol=1e-12)
+
+
+def test_pca_grm_mesh_api(hapmap):
+    """pca(mesh=) and grm(mesh=) must equal the single-device results."""
+    import numpy as np
+    from snprelate_tpu import grm, pca
+    from snprelate_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(4, 2)
+    p0 = pca(hapmap, sample_id=hapmap.sample_id[:50], need_genmat=True,
+             genmat_only=True)
+    p1 = pca(hapmap, sample_id=hapmap.sample_id[:50], need_genmat=True,
+             genmat_only=True, mesh=mesh)
+    np.testing.assert_allclose(p1.genmat, p0.genmat, rtol=1e-12)
+    g0 = grm(hapmap, sample_id=hapmap.sample_id[:50], method="GCTA")
+    g1 = grm(hapmap, sample_id=hapmap.sample_id[:50], method="GCTA",
+             mesh=mesh)
+    np.testing.assert_allclose(g1.grm, g0.grm, rtol=1e-12)
