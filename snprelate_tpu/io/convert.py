@@ -18,11 +18,9 @@ from __future__ import annotations
 
 import gzip
 import os
-from typing import Optional, Sequence
-
 import numpy as np
 
-from .store import SNPData, create_geno, pack2bit
+from .store import SNPData, pack2bit
 
 _BED_CVT = np.array([2, 3, 1, 0], np.uint8)  # ConvToGDS.cpp:586
 _BED_INV = {2: 0, 3: 1, 1: 2, 0: 3}

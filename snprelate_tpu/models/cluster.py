@@ -5,7 +5,7 @@ proportions (reference: R/AllUtilities.R:386-640 snpgdsHCluster/snpgdsCutTree
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional
 
 import numpy as np

@@ -6,13 +6,12 @@ src/genSlideWin.cpp gnrSlidingWindow)."""
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass
-from typing import Callable, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 
 from ..io.store import SNPData, pack2bit
-from ..workspace import init_workspace, snp_stats
+from ..workspace import init_workspace
 
 _M = -1  # missing score
 _SCORE_TABLES = {

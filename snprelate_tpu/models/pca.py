@@ -9,7 +9,7 @@ over SNP chunks (CExactPCA::Run, genPCA.cpp:378-465), scaled by
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional
 
 import numpy as np

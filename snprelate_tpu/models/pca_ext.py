@@ -6,8 +6,6 @@ EIGMIX objects (src/genEIGMIX.cpp:445-620).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Optional, Union
-
 import numpy as np
 
 from ..workspace import init_workspace

@@ -13,8 +13,6 @@ on the MXU, and the measures are evaluated vectorized:
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -16,7 +16,7 @@ import numpy as np
 
 from .decode import decode2bit
 from .pairwise import (MM_PRECISION, _default_float_dtype, _stream,
-                       chunk_snp_stats, make_pca_block)
+                       chunk_snp_stats)
 
 
 @jax.jit

@@ -26,7 +26,7 @@ re-designed as: host prefetch -> device decode -> MXU contraction.
 from __future__ import annotations
 
 import functools
-from typing import Callable, Iterable, Optional
+from typing import Iterable
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 def _syrk_kernel(i_arr, j_arr, a_ref, b_ref, o_ref):

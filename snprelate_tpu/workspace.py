@@ -18,7 +18,7 @@ from typing import Any, Optional, Sequence
 
 import numpy as np
 
-from .io.store import SNPData, unpack2bit
+from .io.store import SNPData
 
 
 @dataclass
