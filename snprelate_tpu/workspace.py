@@ -56,10 +56,24 @@ class Workspace:
 
         n = self.n_snp
         dst_bytes = max(-(-self.n_samp // 4), pad_bytes)
+        src_bytes = self.data.genotype_packed.shape[1]
+        # fast path: full sample selection in file order needs no repack
+        # (source sample padding is already missing-coded by pack2bit)
+        identity = (self.n_samp == self.data.n_samp
+                    and np.array_equal(self.samp_idx,
+                                       np.arange(self.data.n_samp)))
+        snp_identity = len(self.snp_idx) == self.data.n_snp
         for s in range(0, n, chunk):
             e = min(s + chunk, n)
-            packed = subset_repack(self.data.genotype_packed[self.snp_idx[s:e]],
-                                   self.samp_idx, dst_bytes)
+            rows = (self.data.genotype_packed[s:e] if snp_identity
+                    else self.data.genotype_packed[self.snp_idx[s:e]])
+            if identity:
+                packed = rows
+                if dst_bytes > src_bytes:
+                    packed = np.pad(packed, ((0, 0), (0, dst_bytes - src_bytes)),
+                                    constant_values=0xFF)
+            else:
+                packed = subset_repack(rows, self.samp_idx, dst_bytes)
             if e - s < chunk:
                 pad = np.full((chunk - (e - s), dst_bytes), 0xFF, np.uint8)
                 packed = np.concatenate([packed, pad], axis=0)
