@@ -204,8 +204,11 @@ class GDSFile:
         raw = self._blocks[node.data_blockid]
         if node.coder == "":
             return raw
-        if node.coder.startswith("ZIP_RA") or node.coder.startswith("LZ4") \
-                or node.coder.startswith("LZMA_RA"):
+        if node.coder.startswith("ZIP_RA"):
+            return _decompress_ra(raw, node.total_bytes, "zlib")
+        if node.coder.startswith("LZMA_RA"):
+            return _decompress_ra(raw, node.total_bytes, "xz")
+        if node.coder.startswith("LZ4"):
             raise NotImplementedError(f"GDS coder {node.coder!r} not supported yet")
         if node.coder.startswith("ZIP"):
             d = zlib.decompressobj()
@@ -266,6 +269,70 @@ class GDSFile:
 
     def ls(self) -> list[str]:
         return self.root.ls()
+
+
+_XZ_MAGIC = b"\xfd7zXZ\x00"
+
+
+def _decompress_ra(raw: bytes, total_bytes: int, kind: str) -> bytes:
+    """Decode a gdsfmt random-access blocked stream (ZIP_RA / LZMA_RA).
+
+    The RA layout (gdsfmt dStream 'CdRA' classes) is a short stream header
+    (algorithm magic, version, block-size code, block count) followed by
+    independently compressed blocks, each preceded by a fixed-size header
+    carrying the compressed/uncompressed sizes; newer versions may append a
+    seek index after the last block. Rather than hard-coding those header
+    encodings, this parser self-calibrates: each zlib/xz member marks its own
+    start (magic bytes) and end (stream end), so block boundaries are located
+    by scanning a bounded window past the previous block's end and validated
+    by actually decompressing. Output is truncated at ``total_bytes`` (the
+    node's uncompressed size), which also skips any trailing seek index.
+    """
+    out: list[bytes] = []
+    got, pos, n = 0, 0, len(raw)
+
+    def find_start(p: int) -> int:
+        limit = min(n - 1, p + 64)
+        while p < limit:
+            if kind == "zlib":
+                # zlib member header: CM=8, CINFO<=7, FCHECK makes the
+                # 16-bit value divisible by 31
+                if (raw[p] & 0x0F) == 0x08 and raw[p] <= 0x78 \
+                        and ((raw[p] << 8) | raw[p + 1]) % 31 == 0:
+                    return p
+            else:
+                if raw[p : p + 6] == _XZ_MAGIC:
+                    return p
+            p += 1
+        return -1
+
+    while got < total_bytes:
+        p = find_start(pos)
+        chunk = None
+        while p >= 0:
+            try:
+                if kind == "zlib":
+                    d = zlib.decompressobj()
+                    chunk = d.decompress(raw[p:])
+                    ok, tail = d.eof, d.unused_data
+                else:
+                    d = lzma.LZMADecompressor(lzma.FORMAT_XZ)
+                    chunk = d.decompress(raw[p:])
+                    ok, tail = d.eof, d.unused_data
+                if ok:
+                    break
+                chunk = None
+            except (zlib.error, lzma.LZMAError):
+                chunk = None
+            p = find_start(p + 1)
+        if chunk is None:
+            raise ValueError(
+                f"RA stream parse failure at offset {pos} "
+                f"({got}/{total_bytes} bytes decoded)")
+        out.append(chunk)
+        got += len(chunk)
+        pos = p + (n - p - len(tail))
+    return b"".join(out)[:total_bytes]
 
 
 def _unpack_bit2(packed: np.ndarray, n: int) -> np.ndarray:
@@ -465,6 +532,21 @@ def _zip(data: bytes) -> bytes:
     return _z.compress(data, 6)
 
 
+def _zip_ra(data: bytes, block: int = 65536) -> bytes:
+    """Emit a ZIP_RA-style blocked stream (our reader's RA layout: stream
+    header, then per block a 7-byte [zsize u24][uzsize u32] header followed
+    by an independent zlib member)."""
+    import zlib as _z
+    nblocks = -(-len(data) // block) if data else 0
+    parts = [b"!ZIP_RA\x10\x04" + struct.pack("<I", nblocks)]
+    for i in range(0, len(data), block):
+        piece = data[i : i + block]
+        z = _z.compress(piece, 6)
+        parts.append((len(z) + 7).to_bytes(3, "little")
+                     + struct.pack("<I", len(piece)) + z)
+    return b"".join(parts)
+
+
 def write_snp_gds(data, path: str, compress: bool = True,
                   snpfirstdim: bool = False):
     """Write a SNPData as a SNP_ARRAY GDS file (snpgdsCreateGeno-compatible
@@ -479,7 +561,8 @@ def write_snp_gds(data, path: str, compress: bool = True,
             coder = ""
         node_id = w.reserve()
         if coder:
-            stored = _zip(arr_bytes)
+            stored = _zip_ra(arr_bytes) if coder.startswith("ZIP_RA") \
+                else _zip(arr_bytes)
             data_id = w.add_block(stored)
             w.set_block(node_id, _leaf_node(classname, dims, data_id,
                                             attrs or {}, coder,

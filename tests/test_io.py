@@ -34,6 +34,57 @@ def test_rdata_hapmap_list(hapmap):
     assert len(v["snp.id"]) == len(v["snp.allele"]) == 1000
 
 
+def test_zip_ra_stream_roundtrip():
+    """RA blocked-stream decoder handles multi-block zlib and xz streams,
+    including a trailing seek index after the last block."""
+    import lzma
+    import zlib
+
+    from snprelate_tpu.io.gds import _decompress_ra, _zip_ra
+
+    rng = np.random.default_rng(3)
+    data = rng.integers(0, 8, 300_000, np.uint8).tobytes()
+    assert _decompress_ra(_zip_ra(data, block=65536), len(data), "zlib") == data
+    # trailing index bytes after the last block must be ignored
+    stream = _zip_ra(data, block=50_000) + b"\x01\x02" * 16
+    assert _decompress_ra(stream, len(data), "zlib") == data
+    # single block, tiny data
+    assert _decompress_ra(_zip_ra(b"xy"), 2, "zlib") == b"xy"
+
+    # LZMA_RA: header + [7B hdr][xz member] blocks
+    parts = [b"!LZMA_RA\x10\x04"]
+    for i in range(0, len(data), 100_000):
+        piece = data[i : i + 100_000]
+        z = lzma.compress(piece, format=lzma.FORMAT_XZ)
+        parts.append((len(z) + 7).to_bytes(3, "little")
+                     + len(piece).to_bytes(4, "little") + z)
+    assert _decompress_ra(b"".join(parts), len(data), "xz") == data
+
+
+def test_zip_ra_gds_node_roundtrip(tmp_path):
+    """A GDS file whose nodes use the ZIP_RA coder reads back exactly."""
+    from snprelate_tpu.io.gds import GDSWriter, _leaf_node, _zip_ra, open_gds
+    from snprelate_tpu.io.gds import _folder_node
+
+    vals = np.arange(100_000, dtype="<i4")
+    raw = vals.tobytes()
+    w = GDSWriter()
+    root_id = w.reserve()
+    node_id = w.reserve()
+    stored = _zip_ra(raw, block=65536)
+    data_id = w.add_block(stored)
+    w.set_block(node_id, _leaf_node("dInt32", (len(vals),), data_id, {},
+                                    "ZIP_RA.max", len(raw), len(stored)))
+    w.set_block(root_id, _folder_node([("x", node_id, 0)], {}))
+    p = str(tmp_path / "ra.gds")
+    w.write(p, entry_id=root_id)
+
+    f = open_gds(p)
+    node = f.index("x")
+    assert node.coder == "ZIP_RA.max"
+    assert np.array_equal(node.read(), vals)
+
+
 def test_workspace_filter_matches_golden(hapmap, golden):
     """init_workspace must reproduce the reference's SNP filtering exactly:
     golden MoM ran on samples[:90], autosome-only, remove.monosnp=TRUE,
