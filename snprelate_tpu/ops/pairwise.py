@@ -116,7 +116,7 @@ def _plane_gram_step(carry: jax.Array, packed: jax.Array) -> jax.Array:
     """carry (3,3,N,N) int32 += cross-grams of one chunk."""
     geno = decode2bit(packed)  # (S, Npad)
     planes = genotype_planes(geno)  # (3, S, N)
-    return carry + _cross_grams(planes, use_syrk=True)
+    return carry + _cross_grams(planes)
 
 
 def plane_grams(chunks: Iterable[np.ndarray], n_samp_padded: int) -> np.ndarray:

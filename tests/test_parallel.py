@@ -48,3 +48,19 @@ def test_pca_grm_mesh_api(hapmap):
     g1 = grm(hapmap, sample_id=hapmap.sample_id[:50], method="GCTA",
              mesh=mesh)
     np.testing.assert_allclose(g1.grm, g0.grm, rtol=1e-12)
+
+
+def test_plane_grams_helper(hapmap):
+    """plane_grams (chunk-iterator form) equals the workspace engine."""
+    import numpy as np
+    from snprelate_tpu.ops.pairwise import pair_counts, plane_grams
+    from snprelate_tpu.workspace import init_workspace
+
+    ws, _ = init_workspace(hapmap, sample_id=hapmap.sample_id[:60])
+    base = pair_counts(ws, chunk=1024).C
+    n_pad = -(-ws.n_samp // 128) * 128
+    chunks = [p for p in __import__(
+        "snprelate_tpu.parallel.stream", fromlist=["device_chunks"]
+    ).device_chunks(ws, 1024, n_pad)]
+    c = plane_grams(chunks, n_pad)[:, :, :ws.n_samp, :ws.n_samp]
+    assert np.array_equal(c, base)
