@@ -33,7 +33,7 @@ def main():
     packed = rng.integers(0, 256, (n_chunks, chunk, n_samp // 4), np.uint8)
     packed_d = jax.device_put(jnp.asarray(packed))
 
-    from snprelate_tpu.ops.pairwise import MM_PRECISION, _flat_planes
+    from snprelate_tpu.ops.pairwise import _flat_planes, norm_precision
     from snprelate_tpu.ops.pallas_kernels import (mirror_upper, syrk_int_raw,
                                                   syrk_supported)
 
@@ -52,7 +52,7 @@ def main():
                                        preferred_element_type=jnp.int32)
         x, _ = make_pca_block(geno, False)
         cov = cov + jnp.matmul(x.T, x, preferred_element_type=jnp.float32,
-                               precision=MM_PRECISION)
+                               precision=norm_precision())
         return (grams, cov), ()
 
     @jax.jit
@@ -85,11 +85,14 @@ def main():
     value = pair_snp / dt
 
     # speed-of-light model: 9 int4 plane grams (2*9*N^2*M ops at the v5e
-    # int4 rate, 2x int8 = 789 TOPS) + 1 f32 cov matmul at HIGHEST precision
-    # (multi-pass bf16, ~6 passes -> 197/6 TFLOPS effective)
+    # int4 rate, 2x int8 = 789 TOPS) + 1 f32 cov matmul at norm_precision()
+    # (bf16 multi-pass: HIGHEST=6 passes, HIGH=3, DEFAULT=1 at 197 TFLOPS)
+    from jax import lax as _lax
+    passes = {_lax.Precision.HIGHEST: 6, _lax.Precision.HIGH: 3,
+              _lax.Precision.DEFAULT: 1}[norm_precision()]
     int4_ops = 2.0 * 9 * n_samp * n_samp * n_snp
     f32_ops = 2.0 * n_samp * n_samp * n_snp
-    sol_t = int4_ops / 789e12 + f32_ops / (197e12 / 6)
+    sol_t = int4_ops / 789e12 + f32_ops / (197e12 / passes)
     vs_baseline = sol_t / dt
 
     print(json.dumps({

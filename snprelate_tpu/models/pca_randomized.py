@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.decode import decode2bit
-from ..ops.pairwise import (MM_PRECISION, _default_float_dtype, _stream,
+from ..ops.pairwise import (norm_precision, _default_float_dtype, _stream,
                             chunk_snp_stats)
 
 
@@ -44,21 +44,21 @@ def _rand_block(packed):
 def _h_step(packed, g_mat):
     y, trace = _rand_block(packed)
     return jnp.matmul(y, g_mat, preferred_element_type=y.dtype,
-                      precision=MM_PRECISION), trace
+                      precision=norm_precision()), trace
 
 
 @functools.partial(jax.jit, donate_argnums=0)
 def _g_step(g_next, packed, h_block):
     y, _ = _rand_block(packed)
     return g_next + jnp.matmul(y.T, h_block, preferred_element_type=y.dtype,
-                      precision=MM_PRECISION)
+                      precision=norm_precision())
 
 
 @functools.partial(jax.jit, donate_argnums=0)
 def _t_step(t_acc, packed, uh_block):
     y, _ = _rand_block(packed)
     return t_acc + jnp.matmul(uh_block.T, y, preferred_element_type=y.dtype,
-                      precision=MM_PRECISION)
+                      precision=norm_precision())
 
 
 def randomized_pca(ws, eigen_cnt=16, aux_dim=None, iter_num=10, seed=None,

@@ -15,7 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .decode import decode2bit
-from .pairwise import (MM_PRECISION, _default_float_dtype, _stream,
+from .pairwise import (norm_precision, _default_float_dtype, _stream,
                        chunk_snp_stats)
 
 
@@ -30,11 +30,11 @@ def _corr_step(packed, eig):
     v = valid.astype(fdt)
     m = gnum.astype(fdt)[:, None]
     xy = jnp.matmul(gz, eig, preferred_element_type=fdt,
-                      precision=MM_PRECISION)
+                      precision=norm_precision())
     x = jnp.matmul(v, eig, preferred_element_type=fdt,
-                      precision=MM_PRECISION)
+                      precision=norm_precision())
     xx = jnp.matmul(v, eig * eig, preferred_element_type=fdt,
-                      precision=MM_PRECISION)
+                      precision=norm_precision())
     y = gsum.astype(fdt)[:, None]
     yy = (gz * gz).sum(axis=1, keepdims=True)
     c1 = xx - x * x / m
@@ -80,7 +80,7 @@ def _snp_loading_step(packed, eig_scaled, bayesian: bool):
     x = jnp.where(valid, (geno.astype(fdt) - avg[:, None]) * scale[:, None],
                   0.0)
     load = jnp.matmul(x, eig_scaled, preferred_element_type=fdt,
-                      precision=MM_PRECISION)
+                      precision=norm_precision())
     return load, avg, scale
 
 
@@ -118,7 +118,7 @@ def _samp_loading_step(carry, packed, sload, avgfreq, scale):
     x = jnp.where(valid, (geno.astype(fdt) - avgfreq[:, None]) * scale[:, None],
                   0.0)  # (S, N)
     return carry + jnp.matmul(x.T, sload, preferred_element_type=fdt,
-                      precision=MM_PRECISION)
+                      precision=norm_precision())
 
 
 def samp_loadings(ws, sload_scaled: np.ndarray, avgfreq: np.ndarray,
@@ -154,7 +154,7 @@ def _snp_loading_provided_step(packed, eig, avg2p, scale):
     x = jnp.where(valid, (geno.astype(fdt) - avg2p[:, None]) * scale[:, None],
                   0.0)
     return jnp.matmul(x, eig, preferred_element_type=fdt,
-                      precision=MM_PRECISION)
+                      precision=norm_precision())
 
 
 def eigmix_snp_loadings(ws, eigenvect: np.ndarray, afreq: np.ndarray,

@@ -35,11 +35,43 @@ from jax import lax
 
 from .decode import decode2bit, genotype_planes
 
-# Float Gram matmuls run at HIGHEST precision: TPU default f32 matmul uses
-# single-pass bf16 (~1e-4 relative error), which would break parity with the
-# reference's f64 accumulation. HIGHEST (multi-pass) gives ~1e-6; tests on
-# CPU/x64 are exact either way.
-MM_PRECISION = lax.Precision.HIGHEST
+# Float Gram matmuls run at HIGHEST precision by default: TPU default f32
+# matmul uses bf16 passes (~1e-4 relative error single-pass), which would
+# break parity with the reference's f64 accumulation. HIGHEST (6-pass)
+# gives ~3e-7; HIGH (3-pass bf16_3x) gives ~1e-6 at 1.7x the speed and can
+# be selected with SNPRELATE_TPU_MM_PRECISION=high. Tests on CPU/x64 are
+# exact either way.
+import os as _os
+
+_PRECISIONS = {
+    "default": lax.Precision.DEFAULT,
+    "high": lax.Precision.HIGH,
+    "highest": lax.Precision.HIGHEST,
+}
+
+MM_PRECISION = _PRECISIONS[
+    _os.environ.get("SNPRELATE_TPU_MM_PRECISION", "highest").lower()]
+
+
+def norm_precision():
+    """Precision for Eigenstrat-normalized covariance grams (PCA / GCTA).
+
+    The variance-scaled blocks are O(1) and well-conditioned, so 3-pass
+    bf16_3x (HIGH) lands at ~1e-6 relative error on the golden hapmap PCA —
+    18x inside the 2e-5 TPU budget — at 1.7x the 6-pass speed (measured
+    27 -> 45 TFLOPS on v5e). Unscaled paths (EIGMIX) stay at MM_PRECISION
+    (HIGHEST) where bf16_3x measured 1.7e-5, too close to budget.
+    Override with SNPRELATE_TPU_NORM_PRECISION=highest|high|default.
+    """
+    import jax as _jax
+
+    env = _os.environ.get("SNPRELATE_TPU_NORM_PRECISION")
+    if env:
+        return _PRECISIONS[env.lower()]
+    if _os.environ.get("SNPRELATE_TPU_MM_PRECISION"):
+        return MM_PRECISION
+    return (lax.Precision.HIGH if _jax.default_backend() == "tpu"
+            else lax.Precision.HIGHEST)
 
 
 def _plane_mm_dtype():
@@ -221,7 +253,7 @@ def _pca_step(carry, packed, bayesian: bool):
     cov = carry
     x, _ = make_pca_block(decode2bit(packed), bayesian)
     return cov + jnp.matmul(x.T, x, preferred_element_type=x.dtype,
-                            precision=MM_PRECISION)
+                            precision=norm_precision())
 
 
 @functools.partial(jax.jit, donate_argnums=0)
@@ -232,7 +264,7 @@ def _gcta_step(carry, packed):
     poly = (gsum > 0) & (gsum < 2 * gnum)  # genPCA.cpp:1202-1224
     vp = (valid & poly[:, None]).astype(jnp.int8)
     cov = cov + jnp.matmul(x.T, x, preferred_element_type=x.dtype,
-                           precision=MM_PRECISION)
+                           precision=norm_precision())
     vgram = vgram + jnp.matmul(vp.T, vp, preferred_element_type=jnp.int32)
     return cov, vgram, nlocus + poly.sum(dtype=jnp.int32)
 

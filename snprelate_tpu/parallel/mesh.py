@@ -27,7 +27,8 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.decode import decode2bit, genotype_planes
-from ..ops.pairwise import MM_PRECISION, _cross_grams, make_pca_block
+from ..ops.pairwise import (_cross_grams, make_pca_block,
+                            norm_precision)
 
 
 def make_mesh(n_data: Optional[int] = None, n_samp: int = 1,
@@ -94,7 +95,7 @@ def _sharded_cov_step(carry, packed_batch, mesh: Mesh):
     def one(packed):
         x, _ = make_pca_block(decode2bit(packed), False)
         return jnp.matmul(x.T, x, preferred_element_type=x.dtype,
-                          precision=MM_PRECISION)
+                          precision=norm_precision())
 
     out = carry + jax.vmap(one)(packed_batch)
     return jax.lax.with_sharding_constraint(
@@ -141,7 +142,7 @@ def _sharded_gcta_step(carry, packed_batch, mesh: Mesh):
         poly = (gsum > 0) & (gsum < 2 * gnum)
         vp = (valid & poly[:, None]).astype(jnp.int8)
         c = jnp.matmul(x.T, x, preferred_element_type=x.dtype,
-                       precision=MM_PRECISION)
+                       precision=norm_precision())
         v = jnp.matmul(vp.T, vp, preferred_element_type=jnp.int32)
         return c, v, poly.sum(dtype=jnp.int32)
 
