@@ -14,10 +14,12 @@ covariance eigendecomposition is infeasible (SURVEY.md §7 hard parts).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from ..ops.decode import decode2bit
 from ..ops.pairwise import (norm_precision, _default_float_dtype, _stream,
@@ -61,8 +63,129 @@ def _t_step(t_acc, packed, uh_block):
                       precision=norm_precision())
 
 
+# --- device-resident fast path: packed chunks staged in HBM once, each
+# power iteration is ONE jitted scan (no host decode/transfer per pass).
+# Critical when host<->device bandwidth is the bottleneck (tunnel/DCN).
+
+
+@jax.jit
+def _power_pass(p_all, g_mat):
+    """One subspace iteration over device-resident packed chunks:
+    returns (G_next = Y^T Y G, H = Y G stacked per chunk, trace(Y Y))."""
+    def step(g_next, pk):
+        y, tr = _rand_block(pk)
+        h = jnp.matmul(y, g_mat, preferred_element_type=y.dtype,
+                       precision=norm_precision())
+        g_next = g_next + jnp.matmul(y.T, h, preferred_element_type=y.dtype,
+                                     precision=norm_precision())
+        return g_next, (h, tr)
+
+    g_next, (h_all, trs) = lax.scan(step, jnp.zeros_like(g_mat), p_all)
+    return g_next, h_all, trs.sum()
+
+
+@jax.jit
+def _t_pass(p_all, uh_all):
+    """T = U_H^T Y accumulated over device-resident chunks."""
+    def step(t_acc, xs):
+        pk, ub = xs
+        y, _ = _rand_block(pk)
+        return t_acc + jnp.matmul(ub.T, y, preferred_element_type=y.dtype,
+                                  precision=norm_precision()), None
+
+    t0 = jnp.zeros((uh_all.shape[2], p_all.shape[2] * 4), uh_all.dtype)
+    t_acc, _ = lax.scan(step, t0, (p_all, uh_all))
+    return t_acc
+
+
+def _hbm_cache_budget() -> int:
+    return int(float(os.environ.get("SNPRELATE_TPU_HBM_CACHE", 6e9)))
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _span_basis(h_parts, n_chunks, chunk):
+    """Orthonormal basis of span(H) on device: QR in place of the streamed
+    path's SVD — any orthonormal basis of the same span yields the same
+    projector U U^T, hence the same final factorization."""
+    h = jnp.concatenate(h_parts, axis=1)  # (m_pad, hsize)
+    q, _r = jnp.linalg.qr(h)
+    return q.reshape(n_chunks, chunk, h.shape[1])
+
+
+def _randomized_pca_cached(ws, eigen_cnt, aux_dim, iter_num, seed, chunk,
+                           n_pad, p_all=None):
+    """Device-resident randomized PCA: packed chunks staged in HBM once,
+    every pass a single jitted scan, basis + projection on device, only a
+    (hsize x hsize) eigensolve and the final eigenvectors on host.
+
+    ``p_all``: optional pre-staged (n_chunks, chunk, n_pad//4) uint8 device
+    array of packed chunks (skips host gather + transfer)."""
+    from .pca import PCAResult
+
+    n, m = ws.n_samp, ws.n_snp
+    fdt = _default_float_dtype()
+    nbytes = n_pad // 4
+    n_chunks = -(-m // chunk)
+
+    if p_all is None:
+        host = np.empty((n_chunks, chunk, nbytes), np.uint8)
+        for i, (_s, packed) in enumerate(ws.packed_chunks(chunk,
+                                                          pad_bytes=nbytes)):
+            host[i] = packed
+        p_all = jax.device_put(host)
+        del host
+    else:
+        assert p_all.shape == (n_chunks, chunk, nbytes), \
+            (p_all.shape, (n_chunks, chunk, nbytes))
+
+    rng = np.random.default_rng(seed)
+    g_mat = np.zeros((n_pad, aux_dim))
+    g_mat[:n] = rng.standard_normal((n, aux_dim))
+    g_mat = jnp.asarray(g_mat, fdt)
+
+    h_parts = []
+    trace_xtx = 0.0
+    for it in range(iter_num + 1):
+        g_next, h_all, tr = _power_pass(p_all, g_mat)
+        # padded SNP rows are exactly zero (missing-coded pads -> y == 0),
+        # so keeping them changes neither the span nor T
+        h_parts.append(h_all.reshape(n_chunks * chunk, aux_dim))
+        if it == 0:
+            trace_xtx = float(tr)
+        if it < iter_num:
+            g_mat = g_next / m
+
+    uh_all = _span_basis(tuple(h_parts), n_chunks, chunk)
+    T = _t_pass(p_all, uh_all)  # (hsize, n_pad), stays on device
+
+    # SVD of T via the (hsize x hsize) Gram: σ² = eig(T Tᵀ), right singular
+    # vectors v_k = Tᵀ u_k / σ_k (top components are well-separated from
+    # the Gram's squared-conditioning floor). Only the tiny Gram and the
+    # final (n x eigen_cnt) eigenvectors cross the host boundary.
+    B = np.asarray(jnp.matmul(T, T.T, preferred_element_type=T.dtype,
+                              precision=jax.lax.Precision.HIGHEST)
+                   ).astype(np.float64)
+    w, U = np.linalg.eigh(B)
+    order = np.argsort(w)[::-1][:eigen_cnt]
+    sigma = np.sqrt(np.maximum(w[order], 0.0))
+    u_sig = U[:, order] / np.where(sigma > 0, sigma, 1.0)
+    eigenvect = np.asarray(
+        jnp.matmul(T.T, jnp.asarray(u_sig, T.dtype),
+                   preferred_element_type=T.dtype,
+                   precision=jax.lax.Precision.HIGHEST))[:n].astype(np.float64)
+
+    trace2 = 2.0 * trace_xtx
+    vp = np.full(n, np.nan)
+    k = min(len(w), n)
+    sig_all = np.sqrt(np.maximum(np.sort(w)[::-1][:k], 0.0))
+    vp[:k] = 2.0 * sig_all**2 / trace2
+    eigenval = (n - 1) * vp
+    return PCAResult(ws.sample_id, ws.snp_id, eigenval, eigenvect, vp,
+                     trace2, False, None)
+
+
 def randomized_pca(ws, eigen_cnt=16, aux_dim=None, iter_num=10, seed=None,
-                   chunk=4096):
+                   chunk=4096, p_all=None):
     from .pca import PCAResult
 
     n, m = ws.n_samp, ws.n_snp
@@ -71,6 +194,17 @@ def randomized_pca(ws, eigen_cnt=16, aux_dim=None, iter_num=10, seed=None,
     hsize = aux_dim * (iter_num + 1)
     fdt = _default_float_dtype()
     n_pad = -(-n // 128) * 128
+
+    # device-resident fast path when the packed selection + working set
+    # fit the HBM cache budget (the multi-pass subspace iteration would
+    # otherwise re-stream every chunk from host 2*iter_num+2 times)
+    n_chunks = -(-m // chunk)
+    p_bytes = n_chunks * chunk * (n_pad // 4)
+    fbytes = 8 if fdt == jnp.float64 else 4
+    work_bytes = (2 * chunk * n_pad + n_chunks * chunk * hsize) * fbytes
+    if p_all is not None or p_bytes + work_bytes <= _hbm_cache_budget():
+        return _randomized_pca_cached(ws, eigen_cnt, aux_dim, iter_num,
+                                      seed, chunk, n_pad, p_all=p_all)
 
     rng = np.random.default_rng(seed)
     g_mat = np.zeros((n_pad, aux_dim))

@@ -203,3 +203,22 @@ def test_randomized_pca_matches_exact(hapmap):
                  * np.linalg.norm(ex.eigenvect[:, k])))
         assert c > 0.999, (k, c)
     np.testing.assert_allclose(rd.TraceXTX, ex.TraceXTX, rtol=1e-9)
+
+
+def test_randomized_pca_cached_equals_streamed(hapmap, monkeypatch):
+    """The HBM-cached device-resident path must reproduce the host-streamed
+    path (same math, same chunk order)."""
+    from snprelate_tpu import pca
+
+    kw = dict(sample_id=hapmap.sample_id[:90], algorithm="randomized",
+              eigen_cnt=6, iter_num=4, seed=11, missing_rate=np.nan)
+    cached = pca(hapmap, **kw)
+    monkeypatch.setenv("SNPRELATE_TPU_HBM_CACHE", "0")  # force streaming
+    streamed = pca(hapmap, **kw)
+    # the cached path uses a QR span basis + Gram factorization (same
+    # subspace math as the streamed SVD; agreement to f64 Gram precision)
+    np.testing.assert_allclose(cached.eigenval[:6], streamed.eigenval[:6],
+                               rtol=1e-8)
+    np.testing.assert_allclose(np.abs(cached.eigenvect),
+                               np.abs(streamed.eigenvect), atol=1e-6)
+    assert cached.TraceXTX == streamed.TraceXTX
