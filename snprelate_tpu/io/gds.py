@@ -208,8 +208,11 @@ class GDSFile:
             return _decompress_ra(raw, node.total_bytes, "zlib")
         if node.coder.startswith("LZMA_RA"):
             return _decompress_ra(raw, node.total_bytes, "xz")
+        if node.coder.startswith("LZ4_RA"):
+            return _decompress_ra(raw, node.total_bytes, "lz4")
         if node.coder.startswith("LZ4"):
-            raise NotImplementedError(f"GDS coder {node.coder!r} not supported yet")
+            data, _used = _lz4_frame_decompress(raw)
+            return data
         if node.coder.startswith("ZIP"):
             d = zlib.decompressobj()
             return d.decompress(raw)
@@ -272,6 +275,103 @@ class GDSFile:
 
 
 _XZ_MAGIC = b"\xfd7zXZ\x00"
+_LZ4_MAGIC = b"\x04\x22\x4d\x18"
+
+
+def _lz4_block_decompress(src: bytes) -> bytes:
+    """Decode one raw LZ4 block (the standard sequence format: token,
+    literals, 2-byte offset, match with overlap-replication semantics)."""
+    out = bytearray()
+    i, n = 0, len(src)
+    while i < n:
+        token = src[i]
+        i += 1
+        lit = token >> 4
+        if lit == 15:
+            while True:
+                b = src[i]
+                i += 1
+                lit += b
+                if b != 255:
+                    break
+        out += src[i : i + lit]
+        i += lit
+        if i >= n:
+            break  # final sequence: literals only
+        off = src[i] | (src[i + 1] << 8)
+        i += 2
+        if off == 0:
+            raise ValueError("LZ4 block: zero match offset")
+        ml = token & 15
+        if ml == 15:
+            while True:
+                b = src[i]
+                i += 1
+                ml += b
+                if b != 255:
+                    break
+        ml += 4
+        start = len(out) - off
+        if start < 0:
+            raise ValueError("LZ4 block: match offset before start")
+        if off >= ml:
+            out += out[start : start + ml]
+        else:  # overlapping match: replicate the trailing pattern
+            pattern = bytes(out[start:])
+            reps = -(-ml // off)
+            out += (pattern * reps)[:ml]
+    return bytes(out)
+
+
+def _lz4_frame_decompress(src: bytes, start: int = 0):
+    """Decode one LZ4 frame starting at ``start``. Returns
+    (decompressed bytes, bytes consumed including the frame header/footer).
+    Checksums (xxhash) are skipped, not verified."""
+    if src[start : start + 4] != _LZ4_MAGIC:
+        raise ValueError("not an LZ4 frame")
+    pos = start + 4
+    flg = src[pos]
+    bchk = (flg >> 4) & 1
+    csize = (flg >> 3) & 1
+    cchk = (flg >> 2) & 1
+    dictid = flg & 1
+    if (flg >> 6) != 0x01:
+        raise ValueError("unsupported LZ4 frame version")
+    pos += 2  # FLG + BD
+    if csize:
+        pos += 8
+    if dictid:
+        pos += 4
+    pos += 1  # header checksum byte
+    out = bytearray()
+    while True:
+        bsize = struct.unpack_from("<I", src, pos)[0]
+        pos += 4
+        if bsize == 0:  # EndMark
+            break
+        uncompressed = bool(bsize & 0x80000000)
+        bsize &= 0x7FFFFFFF
+        block = src[pos : pos + bsize]
+        pos += bsize
+        out += block if uncompressed else _lz4_block_decompress(block)
+        if bchk:
+            pos += 4
+    if cchk:
+        pos += 4
+    return bytes(out), pos - start
+
+
+def _lz4_frame_compress(data: bytes, block: int = 65536) -> bytes:
+    """Minimal valid LZ4 frame writer (all blocks stored uncompressed —
+    used by tests and as a compatibility emitter; any LZ4 decoder reads
+    it). Header checksum is a placeholder byte (unverified by our reader)."""
+    parts = [_LZ4_MAGIC, bytes([0x40, 0x40, 0x00])]  # FLG: v01, BD: 64KB max
+    for i in range(0, len(data), block):
+        piece = data[i : i + block]
+        parts.append(struct.pack("<I", len(piece) | 0x80000000))
+        parts.append(piece)
+    parts.append(struct.pack("<I", 0))
+    return b"".join(parts)
 
 
 def _decompress_ra(raw: bytes, total_bytes: int, kind: str) -> bytes:
@@ -300,8 +400,11 @@ def _decompress_ra(raw: bytes, total_bytes: int, kind: str) -> bytes:
                 if (raw[p] & 0x0F) == 0x08 and raw[p] <= 0x78 \
                         and ((raw[p] << 8) | raw[p + 1]) % 31 == 0:
                     return p
-            else:
+            elif kind == "xz":
                 if raw[p : p + 6] == _XZ_MAGIC:
+                    return p
+            else:
+                if raw[p : p + 4] == _LZ4_MAGIC:
                     return p
             p += 1
         return -1
@@ -314,15 +417,21 @@ def _decompress_ra(raw: bytes, total_bytes: int, kind: str) -> bytes:
                 if kind == "zlib":
                     d = zlib.decompressobj()
                     chunk = d.decompress(raw[p:])
-                    ok, tail = d.eof, d.unused_data
-                else:
+                    ok = d.eof
+                    consumed = (n - p) - len(d.unused_data)
+                elif kind == "xz":
                     d = lzma.LZMADecompressor(lzma.FORMAT_XZ)
                     chunk = d.decompress(raw[p:])
-                    ok, tail = d.eof, d.unused_data
+                    ok = d.eof
+                    consumed = (n - p) - len(d.unused_data)
+                else:
+                    chunk, consumed = _lz4_frame_decompress(raw, p)
+                    ok = True
                 if ok:
                     break
                 chunk = None
-            except (zlib.error, lzma.LZMAError):
+            except (zlib.error, lzma.LZMAError, ValueError, IndexError,
+                    struct.error):
                 chunk = None
             p = find_start(p + 1)
         if chunk is None:
@@ -331,7 +440,7 @@ def _decompress_ra(raw: bytes, total_bytes: int, kind: str) -> bytes:
                 f"({got}/{total_bytes} bytes decoded)")
         out.append(chunk)
         got += len(chunk)
-        pos = p + (n - p - len(tail))
+        pos = p + consumed
     return b"".join(out)[:total_bytes]
 
 

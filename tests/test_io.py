@@ -61,6 +61,40 @@ def test_zip_ra_stream_roundtrip():
     assert _decompress_ra(b"".join(parts), len(data), "xz") == data
 
 
+def test_lz4_decoder():
+    """Pure-python LZ4: literal frames, hand-crafted match sequences
+    (including the overlap-replication case), and LZ4_RA blocked streams."""
+    from snprelate_tpu.io.gds import (_decompress_ra, _lz4_block_decompress,
+                                      _lz4_frame_compress,
+                                      _lz4_frame_decompress)
+
+    rng = np.random.default_rng(5)
+    data = rng.integers(0, 256, 200_000, np.uint8).tobytes()
+    frame = _lz4_frame_compress(data, block=65536)
+    out, used = _lz4_frame_decompress(frame)
+    assert out == data and used == len(frame)
+
+    # hand-crafted block: 4 literals "abcd", match offset=4 len=8
+    # -> "abcd" + "abcdabcd" (overlapping replication), then 4 literals
+    blk = bytes([0x44]) + b"abcd" + bytes([0x04, 0x00])
+    blk += bytes([0x40]) + b"WXYZ"
+    assert _lz4_block_decompress(blk) == b"abcd" + b"abcdabcd" + b"WXYZ"
+
+    # offset=1 run-length case: 1 literal 'z', match len 19 at offset 1
+    blk2 = bytes([0x1F]) + b"z" + bytes([0x01, 0x00, 0x00])
+    assert _lz4_block_decompress(blk2) == b"z" * 20
+
+    # LZ4_RA: RA header + [7B hdr][LZ4 frame] blocks + trailing index
+    parts = [b"!LZ4_RA\x10\x04"]
+    for i in range(0, len(data), 100_000):
+        piece = data[i : i + 100_000]
+        f = _lz4_frame_compress(piece)
+        parts.append((len(f) + 7).to_bytes(3, "little")
+                     + len(piece).to_bytes(4, "little") + f)
+    stream = b"".join(parts) + b"\x07" * 12
+    assert _decompress_ra(stream, len(data), "lz4") == data
+
+
 def test_zip_ra_gds_node_roundtrip(tmp_path):
     """A GDS file whose nodes use the ZIP_RA coder reads back exactly."""
     from snprelate_tpu.io.gds import GDSWriter, _leaf_node, _zip_ra, open_gds
