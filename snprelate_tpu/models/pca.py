@@ -56,7 +56,8 @@ def pca(data, sample_id=None, snp_id=None, autosome_only=True,
         from .pca_randomized import randomized_pca
         return randomized_pca(ws, eigen_cnt=eigen_cnt,
                               aux_dim=aux_dim or 2 * eigen_cnt,
-                              iter_num=iter_num, seed=seed, chunk=chunk)
+                              iter_num=iter_num, seed=seed, chunk=chunk,
+                              mesh=mesh)
     if algorithm != "exact":
         raise ValueError("Invalid 'algorithm'.")
 

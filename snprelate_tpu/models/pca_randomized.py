@@ -102,6 +102,114 @@ def _hbm_cache_budget() -> int:
     return int(float(os.environ.get("SNPRELATE_TPU_HBM_CACHE", 6e9)))
 
 
+# --- sharded (multi-chip) power passes: SNP chunks data-parallel over the
+# mesh 'data' axis; per-device partial G updates merge with one all-reduce
+# per pass (the SNP-axis DP scheme of SURVEY §2.3 applied to CRandomPCA).
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _power_pass_sharded(p_sh, g_mat, mesh):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def dev_scan(p_dev):
+        def step(g_next, pk):
+            y, tr = _rand_block(pk)
+            h = jnp.matmul(y, g_mat, preferred_element_type=y.dtype,
+                           precision=norm_precision())
+            g_next = g_next + jnp.matmul(y.T, h,
+                                         preferred_element_type=y.dtype,
+                                         precision=norm_precision())
+            return g_next, (h, tr)
+
+        return lax.scan(step, jnp.zeros_like(g_mat), p_dev)
+
+    g_parts, (h_all, trs) = jax.vmap(dev_scan)(p_sh)
+    h_all = lax.with_sharding_constraint(
+        h_all, NamedSharding(mesh, P("data", None, None, None)))
+    return g_parts.sum(0), h_all, trs.sum()
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _t_pass_sharded(p_sh, uh_sh, mesh):
+    def dev_scan(p_dev, uh_dev):
+        def step(t_acc, xs):
+            pk, ub = xs
+            y, _ = _rand_block(pk)
+            return t_acc + jnp.matmul(ub.T, y, preferred_element_type=y.dtype,
+                                      precision=norm_precision()), None
+
+        t0 = jnp.zeros((uh_dev.shape[2], p_dev.shape[2] * 4), uh_dev.dtype)
+        return lax.scan(step, t0, (p_dev, uh_dev))[0]
+
+    return jax.vmap(dev_scan)(p_sh, uh_sh).sum(0)
+
+
+def _randomized_pca_sharded(ws, eigen_cnt, aux_dim, iter_num, seed, chunk,
+                            n_pad, mesh):
+    """Multi-device randomized PCA over a mesh with a 'data' axis."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from .pca import PCAResult
+
+    n, m = ws.n_samp, ws.n_snp
+    fdt = _default_float_dtype()
+    nbytes = n_pad // 4
+    d = mesh.shape["data"]
+    n_chunks = -(-m // chunk)
+    n_chunks = -(-n_chunks // d) * d  # pad chunk count to a multiple of d
+
+    host = np.full((n_chunks, chunk, nbytes), 0xFF, np.uint8)
+    for i, (_s, packed) in enumerate(ws.packed_chunks(chunk,
+                                                      pad_bytes=nbytes)):
+        host[i] = packed
+    sh = NamedSharding(mesh, P("data", None, None, None))
+    p_sh = jax.device_put(host.reshape(d, n_chunks // d, chunk, nbytes), sh)
+    del host
+
+    rng = np.random.default_rng(seed)
+    g_mat = np.zeros((n_pad, aux_dim))
+    g_mat[:n] = rng.standard_normal((n, aux_dim))
+    g_mat = jnp.asarray(g_mat, fdt)
+
+    h_parts = []
+    trace_xtx = 0.0
+    for it in range(iter_num + 1):
+        g_next, h_all, tr = _power_pass_sharded(p_sh, g_mat, mesh)
+        h_parts.append(h_all.reshape(n_chunks * chunk, aux_dim))
+        if it == 0:
+            trace_xtx = float(tr)
+        if it < iter_num:
+            g_mat = g_next / m
+
+    hsize = aux_dim * (iter_num + 1)
+    h = jnp.concatenate(h_parts, axis=1)
+    q, _r = jnp.linalg.qr(h)  # replicated (m_pad x hsize is small)
+    uh_sh = lax.with_sharding_constraint(
+        q.reshape(d, n_chunks // d, chunk, hsize), sh)
+    T = _t_pass_sharded(p_sh, uh_sh, mesh)
+
+    B = np.asarray(jnp.matmul(T, T.T, preferred_element_type=T.dtype,
+                              precision=jax.lax.Precision.HIGHEST)
+                   ).astype(np.float64)
+    w, U = np.linalg.eigh(B)
+    order = np.argsort(w)[::-1][:eigen_cnt]
+    sigma = np.sqrt(np.maximum(w[order], 0.0))
+    u_sig = U[:, order] / np.where(sigma > 0, sigma, 1.0)
+    eigenvect = np.asarray(
+        jnp.matmul(T.T, jnp.asarray(u_sig, T.dtype),
+                   preferred_element_type=T.dtype,
+                   precision=jax.lax.Precision.HIGHEST))[:n].astype(np.float64)
+
+    trace2 = 2.0 * trace_xtx
+    vp = np.full(n, np.nan)
+    k = min(len(w), n)
+    sig_all = np.sqrt(np.maximum(np.sort(w)[::-1][:k], 0.0))
+    vp[:k] = 2.0 * sig_all**2 / trace2
+    eigenval = (n - 1) * vp
+    return PCAResult(ws.sample_id, ws.snp_id, eigenval, eigenvect, vp,
+                     trace2, False, None)
+
+
 @functools.partial(jax.jit, static_argnums=(1, 2))
 def _span_basis(h_parts, n_chunks, chunk):
     """Orthonormal basis of span(H) on device: QR in place of the streamed
@@ -185,7 +293,7 @@ def _randomized_pca_cached(ws, eigen_cnt, aux_dim, iter_num, seed, chunk,
 
 
 def randomized_pca(ws, eigen_cnt=16, aux_dim=None, iter_num=10, seed=None,
-                   chunk=4096, p_all=None):
+                   chunk=4096, p_all=None, mesh=None):
     from .pca import PCAResult
 
     n, m = ws.n_samp, ws.n_snp
@@ -194,6 +302,10 @@ def randomized_pca(ws, eigen_cnt=16, aux_dim=None, iter_num=10, seed=None,
     hsize = aux_dim * (iter_num + 1)
     fdt = _default_float_dtype()
     n_pad = -(-n // 128) * 128
+
+    if mesh is not None:
+        return _randomized_pca_sharded(ws, eigen_cnt, aux_dim, iter_num,
+                                       seed, chunk, n_pad, mesh)
 
     # device-resident fast path when the packed selection + working set
     # fit the HBM cache budget (the multi-pass subspace iteration would

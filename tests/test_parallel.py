@@ -64,3 +64,24 @@ def test_plane_grams_helper(hapmap):
     ).device_chunks(ws, 1024, n_pad)]
     c = plane_grams(chunks, n_pad)[:, :, :ws.n_samp, :ws.n_samp]
     assert np.array_equal(c, base)
+
+
+def test_sharded_randomized_pca_matches(hapmap):
+    """mesh= randomized PCA equals the single-device cached path (same
+    subspace math; summation order differs only across devices)."""
+    import numpy as np
+    from snprelate_tpu import pca
+    from snprelate_tpu.parallel.mesh import make_mesh
+
+    kw = dict(sample_id=hapmap.sample_id[:90], algorithm="randomized",
+              eigen_cnt=6, iter_num=4, seed=11, missing_rate=np.nan,
+              chunk=512)
+    base = pca(hapmap, **kw)
+    for shape in [(8, 1), (4, 2)]:
+        mesh = make_mesh(*shape)
+        sh = pca(hapmap, mesh=mesh, **kw)
+        np.testing.assert_allclose(sh.eigenval[:6], base.eigenval[:6],
+                                   rtol=1e-8)
+        np.testing.assert_allclose(np.abs(sh.eigenvect),
+                                   np.abs(base.eigenvect), atol=1e-7)
+        np.testing.assert_allclose(sh.TraceXTX, base.TraceXTX, rtol=1e-12)
