@@ -6,6 +6,7 @@ names; `snpgds*` aliases are provided for discoverability.
 """
 
 from .io.store import SNPData, create_geno, open_snp_gds, example_filename
+from .io.seqarray import open_seq_gds, write_seq_gds
 from .io.gds import open_gds, write_snp_gds
 from .io.convert import (bed_to_snpdata, snpdata_to_bed, vcf_to_snpdata,
                          ped_to_snpdata, snpdata_to_ped, gen_to_snpdata,

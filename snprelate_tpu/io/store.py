@@ -145,7 +145,13 @@ def open_snp_gds(path: str) -> SNPData:
 
     f = open_gds(path)
     root = f.root
-    if root.attributes.get("FileFormat", "SNP_ARRAY") != "SNP_ARRAY":
+    fmt = root.attributes.get("FileFormat", "SNP_ARRAY")
+    if fmt == "SEQ_ARRAY":
+        # sequencing GDS (the CdSeqWorkSpace path, dGenGWAS.cpp:829-975):
+        # same kernels run on the REF-allele dosage view
+        from .seqarray import open_seq_gds
+        return open_seq_gds(path)
+    if fmt != "SNP_ARRAY":
         raise ValueError(f"{path}: FileFormat is not SNP_ARRAY")
     sample_id = np.asarray(root.index("sample.id").read(), dtype=object)
     snp_id = np.asarray(root.index("snp.id").read())

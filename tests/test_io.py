@@ -152,3 +152,39 @@ def test_chromosome_selection(hapmap):
 
     ws, _ = init_workspace(hapmap, autosome_only=1, remove_monosnp=False)
     assert set(hapmap.numeric_chromosome[ws.snp_idx]) == {1}
+
+
+def test_seqarray_roundtrip(hapmap, tmp_path):
+    """SEQ_ARRAY write -> open reproduces the dosage matrix and metadata;
+    open_snp_gds auto-dispatches on FileFormat."""
+    from snprelate_tpu.io.seqarray import open_seq_gds, write_seq_gds
+    from snprelate_tpu.io.store import open_snp_gds
+
+    p = str(tmp_path / "seq.gds")
+    write_seq_gds(hapmap, p)
+    back = open_seq_gds(p)
+    assert np.array_equal(back.geno(), hapmap.geno())
+    assert list(back.sample_id) == list(hapmap.sample_id)
+    assert np.array_equal(back.snp_id, hapmap.snp_id)
+    assert np.array_equal(back.snp_position, hapmap.snp_position)
+    assert back.snp_allele[0] == hapmap.snp_allele[0]
+    auto = open_snp_gds(p)
+    assert np.array_equal(auto.geno(), hapmap.geno())
+
+
+def test_seqarray_layered_decode():
+    """Multi-layer allele indices: dosage of REF with all-ones = missing."""
+    from snprelate_tpu.io.seqarray import _dosage_from_calls
+
+    # variant 0: 1 layer, diploid calls [(0,0),(0,1),(1,3)]
+    # variant 1: 2 layers -> indices [(0, 5), (15, 2), (4, 0)]
+    calls = np.array([
+        [[0, 0], [0, 1], [1, 3]],          # v0 layer 0
+        [[0, 1], [3, 2], [0, 0]],          # v1 layer 0 (low bits)
+        [[0, 1], [3, 0], [1, 0]],          # v1 layer 1 (high bits)
+    ], np.uint8)
+    layers = np.array([1, 2])
+    g = _dosage_from_calls(calls, layers)
+    assert g.shape == (2, 3)
+    assert list(g[0]) == [2, 1, 3]       # (0,0)=2 ref, (0,1)=1, 3=missing
+    assert list(g[1]) == [1, 3, 1]       # (0,5)->1; (15,...)=missing; (4,0)->1
