@@ -31,13 +31,14 @@ class GRMResult:
     avg_val: float = None
 
 
-def _gcta(ws, chunk, mesh=None):
+def _gcta(ws, chunk, mesh=None, checkpoint=None):
     if mesh is not None:
         from ..parallel.mesh import sharded_gcta_parts
 
         cov, vgram, nlocus = sharded_gcta_parts(ws, mesh, chunk=chunk)
     else:
-        cov, vgram, nlocus = gcta_grm_parts(ws, chunk=chunk)
+        cov, vgram, nlocus = gcta_grm_parts(ws, chunk=chunk,
+                                            checkpoint=checkpoint)
     denom = 2.0 * vgram  # vgram = #both-valid at polymorphic loci
     with np.errstate(divide="ignore", invalid="ignore"):
         return cov / denom
@@ -46,24 +47,26 @@ def _gcta(ws, chunk, mesh=None):
 def grm(data, sample_id=None, snp_id=None, autosome_only=True,
         remove_monosnp=True, maf=math.nan, missing_rate=math.nan,
         method="GCTA", out_fn=None, mesh=None, verbose=False,
-        chunk=2048) -> GRMResult:
+        chunk=2048, checkpoint=None) -> GRMResult:
     """snpgdsGRM (R/IBD.R:543). With out_fn, also writes the
-    SNPRELATE_OUTPUT GDS artifact for snpgdsMergeGRM."""
+    SNPRELATE_OUTPUT GDS artifact for snpgdsMergeGRM. With checkpoint=path,
+    the accumulators are saved every 64 chunks and a rerun resumes
+    (generalized snpgdsLDpruning autosave / GRM out-of-core protocol)."""
     ws, _ = init_workspace(data, sample_id, snp_id, autosome_only,
                            remove_monosnp, maf, missing_rate, verbose=verbose)
     n = ws.n_samp
     if method == "GCTA":
-        mat = _gcta(ws, chunk, mesh)
+        mat = _gcta(ws, chunk, mesh, checkpoint)
     elif method == "Eigenstrat":
         if mesh is not None:
             from ..parallel.mesh import sharded_pca_covariance
 
             mat = sharded_pca_covariance(ws, mesh, chunk=chunk)
         else:
-            mat = pca_covariance(ws, chunk=chunk)
+            mat = pca_covariance(ws, chunk=chunk, checkpoint=checkpoint)
         mat *= (n - 1) / float(np.trace(mat))
     elif method == "Corr":
-        mat = _gcta(ws, chunk, mesh)
+        mat = _gcta(ws, chunk, mesh, checkpoint)
         d = np.sqrt(np.diag(mat).copy())
         mat = mat / np.outer(d, d)
         np.fill_diagonal(mat, 1.0)

@@ -34,12 +34,12 @@ class IBSNumResult:
 
 def ibs(data, sample_id=None, snp_id=None, autosome_only=True,
         remove_monosnp=True, maf=math.nan, missing_rate=0.01,
-        verbose=False, chunk=2048) -> IBSResult:
+        verbose=False, chunk=2048, checkpoint=None) -> IBSResult:
     """snpgdsIBS (R/IBS.R:22): average IBS
     (0.5*IBS1 + IBS2) / (IBS0+IBS1+IBS2) per pair (genIBS.cpp:470-475)."""
     ws, _ = init_workspace(data, sample_id, snp_id, autosome_only,
                            remove_monosnp, maf, missing_rate, verbose=verbose)
-    c = pair_counts(ws, chunk=chunk)
+    c = pair_counts(ws, chunk=chunk, checkpoint=checkpoint)
     total = c.nvalid.astype(np.float64)
     with np.errstate(invalid="ignore"):
         avg = (0.5 * c.ibs1 + c.ibs2) / total
@@ -48,9 +48,9 @@ def ibs(data, sample_id=None, snp_id=None, autosome_only=True,
 
 def ibs_num(data, sample_id=None, snp_id=None, autosome_only=True,
             remove_monosnp=True, maf=math.nan, missing_rate=0.01,
-            verbose=False, chunk=2048) -> IBSNumResult:
+            verbose=False, chunk=2048, checkpoint=None) -> IBSNumResult:
     """snpgdsIBSNum (R/IBS.R:50): raw IBS0/1/2 counts."""
     ws, _ = init_workspace(data, sample_id, snp_id, autosome_only,
                            remove_monosnp, maf, missing_rate, verbose=verbose)
-    c = pair_counts(ws, chunk=chunk)
+    c = pair_counts(ws, chunk=chunk, checkpoint=checkpoint)
     return IBSNumResult(ws.sample_id, ws.snp_id, c.ibs0, c.ibs1, c.ibs2)

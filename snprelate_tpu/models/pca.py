@@ -41,7 +41,7 @@ def pca(data, sample_id=None, snp_id=None, autosome_only=True,
         remove_monosnp=True, maf=math.nan, missing_rate=0.01,
         algorithm="exact", eigen_cnt=32, bayesian=False, need_genmat=False,
         genmat_only=False, aux_dim=None, iter_num=10, seed=None, mesh=None,
-        verbose=False, chunk=2048) -> PCAResult:
+        verbose=False, chunk=2048, checkpoint=None) -> PCAResult:
     """snpgdsPCA (R/PCA.R:22-91). With mesh=jax.sharding.Mesh (axes
     'data', 'samp'), the covariance accumulates sharded across devices."""
     ws, _ = init_workspace(data, sample_id, snp_id, autosome_only,
@@ -66,7 +66,8 @@ def pca(data, sample_id=None, snp_id=None, autosome_only=True,
 
         cov = sharded_pca_covariance(ws, mesh, chunk=chunk)
     else:
-        cov = pca_covariance(ws, bayesian=bayesian, chunk=chunk)
+        cov = pca_covariance(ws, bayesian=bayesian, chunk=chunk,
+                             checkpoint=checkpoint)
     trace_xtx = float(np.trace(cov))
     scale = (n - 1) / trace_xtx
     cov *= scale

@@ -211,16 +211,23 @@ class PairCounts:
         return self.C[0, 0] + self.C[2, 2]
 
 
-def pair_counts(ws, chunk: int = 2048, pad_to: int = 128) -> PairCounts:
+def pair_counts(ws, chunk: int = 2048, pad_to: int = 128,
+                checkpoint=None, checkpoint_every: int = 64) -> PairCounts:
     """Run the integer pairwise engine over a Workspace selection."""
     # NOTE: the triangular Pallas SYRK path (ops/pallas_kernels.py) measured
     # slower end-to-end than XLA's full int4 matmul at bench scale (worse
     # overlap + 2x int8 HBM traffic); keep it opt-in.
     n_pad = -(-ws.n_samp // pad_to) * pad_to
     use_syrk = False
-    carry = jnp.zeros((3 * n_pad, 3 * n_pad), jnp.int32)
-    for packed in _stream(ws, chunk, n_pad):
+    ck = Checkpointer(checkpoint, checkpoint_every,
+                      meta=(1, ws.n_snp, ws.n_samp, chunk))
+    step, saved = ck.load()
+    carry = (jnp.asarray(saved[0]) if saved
+             else jnp.zeros((3 * n_pad, 3 * n_pad), jnp.int32))
+    for packed in _stream(ws, chunk, n_pad, start_chunk=step):
         carry = _gram2d_step(carry, packed, use_syrk)
+        step += 1
+        ck.maybe_save(step, lambda: [carry])
     n = ws.n_samp
     c = _finalize_grams(carry, use_syrk)
     return PairCounts(c[:, :, :n, :n].astype(np.int64))
@@ -269,34 +276,89 @@ def _gcta_step(carry, packed):
     return cov, vgram, nlocus + poly.sum(dtype=jnp.int32)
 
 
-def _stream(ws, chunk, n_pad):
+def _stream(ws, chunk, n_pad, start_chunk: int = 0):
     """Prefetched device chunks (host codec + transfer overlap compute)."""
     from ..parallel.stream import device_chunks
 
-    yield from device_chunks(ws, chunk, n_pad)
+    yield from device_chunks(ws, chunk, n_pad, start_chunk=start_chunk)
+
+
+class Checkpointer:
+    """Per-chunk accumulator checkpoints for the streaming engines — the
+    generalization of the reference's only resume mechanisms (LD-pruning
+    autosave R/LD.R:225-230 and the GRM out-of-core protocol R/IBD.R:570-613)
+    to every chunked accumulation: every ``every`` chunks the carry arrays
+    are written atomically; on restart the stream resumes at the saved
+    chunk index."""
+
+    def __init__(self, path, every: int = 64, meta: tuple = ()):
+        import os as _o
+
+        self.path = path
+        self.every = max(1, int(every))
+        self.meta = np.asarray(meta, np.int64)
+        self._os = _o
+
+    def load(self):
+        """Returns (start_chunk, carry arrays or None)."""
+        if not self.path or not self._os.path.exists(self.path):
+            return 0, None
+        with open(self.path, "rb") as f:
+            z = np.load(f)
+            if not np.array_equal(z["meta"], self.meta):
+                return 0, None  # different selection/chunking: start over
+            n = int(z["n"])
+            return int(z["step"]), [z[f"a{i}"] for i in range(n)]
+
+    def save(self, step: int, arrays):
+        if not self.path:
+            return
+        tmp = self.path + ".tmp"
+        with open(tmp, "wb") as f:
+            np.savez(f, step=step, n=len(arrays), meta=self.meta,
+                     **{f"a{i}": np.asarray(a) for i, a in enumerate(arrays)})
+        self._os.replace(tmp, self.path)
+
+    def maybe_save(self, step: int, arrays_fn):
+        if self.path and step % self.every == 0:
+            self.save(step, arrays_fn())
 
 
 def pca_covariance(ws, bayesian: bool = False, chunk: int = 2048,
-                   pad_to: int = 128) -> np.ndarray:
+                   pad_to: int = 128, checkpoint=None,
+                   checkpoint_every: int = 64) -> np.ndarray:
     """Exact-PCA genetic covariance (unscaled; CExactPCA::Run)."""
     n_pad = -(-ws.n_samp // pad_to) * pad_to
     fdt = _default_float_dtype()
-    cov = jnp.zeros((n_pad, n_pad), fdt)
-    for packed in _stream(ws, chunk, n_pad):
+    ck = Checkpointer(checkpoint, checkpoint_every,
+                      meta=(2, ws.n_snp, ws.n_samp, chunk, int(bayesian)))
+    step, saved = ck.load()
+    cov = (jnp.asarray(saved[0]) if saved
+           else jnp.zeros((n_pad, n_pad), fdt))
+    for packed in _stream(ws, chunk, n_pad, start_chunk=step):
         cov = _pca_step(cov, packed, bayesian)
+        step += 1
+        ck.maybe_save(step, lambda: [cov])
     return np.asarray(cov)[: ws.n_samp, : ws.n_samp].astype(np.float64)
 
 
-def gcta_grm_parts(ws, chunk: int = 2048, pad_to: int = 128):
+def gcta_grm_parts(ws, chunk: int = 2048, pad_to: int = 128,
+                   checkpoint=None, checkpoint_every: int = 64):
     """GCTA GRM numerator + per-pair denominators (CGCTA_AlgArith::Run):
     GRM = Cov / (2 * (nLocus - Denom)) with Denom = nLocus - VpVp^T."""
     n_pad = -(-ws.n_samp // pad_to) * pad_to
     fdt = _default_float_dtype()
-    carry = (jnp.zeros((n_pad, n_pad), fdt),
-             jnp.zeros((n_pad, n_pad), jnp.int32),
-             jnp.zeros((), jnp.int32))
-    for packed in _stream(ws, chunk, n_pad):
+    ck = Checkpointer(checkpoint, checkpoint_every,
+                      meta=(3, ws.n_snp, ws.n_samp, chunk))
+    step, saved = ck.load()
+    carry = (tuple(jnp.asarray(a) for a in saved) if saved
+             else (jnp.zeros((n_pad, n_pad), fdt),
+                   jnp.zeros((n_pad, n_pad), jnp.int32),
+                   jnp.zeros((), jnp.int32)))
+    for packed in _stream(ws, chunk, n_pad, start_chunk=step):
         carry = _gcta_step(carry, packed)
+        step += 1
+        ck.maybe_save(step, lambda: list(carry))
     cov, vgram, nlocus = carry
     n = ws.n_samp
     return (np.asarray(cov)[:n, :n].astype(np.float64),

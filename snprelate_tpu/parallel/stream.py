@@ -44,12 +44,15 @@ def prefetch(it: Iterable[T], depth: int = 2) -> Iterator[T]:
         yield item
 
 
-def device_chunks(ws, chunk: int, n_pad: int, depth: int = 2):
-    """Prefetched device-resident packed chunks for the pairwise engines."""
+def device_chunks(ws, chunk: int, n_pad: int, depth: int = 2,
+                  start_chunk: int = 0):
+    """Prefetched device-resident packed chunks for the pairwise engines.
+    ``start_chunk`` skips already-processed chunks on checkpoint resume."""
     import jax
 
     def gen():
-        for _start, packed in ws.packed_chunks(chunk, pad_bytes=n_pad // 4):
+        for _start, packed in ws.packed_chunks(chunk, pad_bytes=n_pad // 4,
+                                               start_chunk=start_chunk):
             yield jax.device_put(packed)
 
     return prefetch(gen(), depth=depth)

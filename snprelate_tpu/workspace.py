@@ -47,7 +47,8 @@ class Workspace:
         """Dense uint8 (n_snp_sel, n_samp_sel) genotypes for a SNP range."""
         return self.data.geno(self.snp_idx[snp_slice], self.samp_idx)
 
-    def packed_chunks(self, chunk: int, pad_bytes: int = 0):
+    def packed_chunks(self, chunk: int, pad_bytes: int = 0,
+                      start_chunk: int = 0):
         """Yield (dense_start, packed uint8 (chunk, ceil(n/4))) SNP blocks,
         the analog of CGenoReadBySNP (dGenGWAS.cpp:1218-1397). The final
         chunk is padded with missing SNPs to the full chunk size. The
@@ -63,7 +64,7 @@ class Workspace:
                     and np.array_equal(self.samp_idx,
                                        np.arange(self.data.n_samp)))
         snp_identity = len(self.snp_idx) == self.data.n_snp
-        for s in range(0, n, chunk):
+        for s in range(start_chunk * chunk, n, chunk):
             e = min(s + chunk, n)
             rows = (self.data.genotype_packed[s:e] if snp_identity
                     else self.data.genotype_packed[self.snp_idx[s:e]])
