@@ -45,7 +45,7 @@ def _gcta(ws, chunk, mesh=None, checkpoint=None):
 
 
 def grm(data, sample_id=None, snp_id=None, autosome_only=True,
-        remove_monosnp=True, maf=math.nan, missing_rate=math.nan,
+        remove_monosnp=True, maf=math.nan, missing_rate=0.01,
         method="GCTA", out_fn=None, mesh=None, verbose=False,
         chunk=2048, checkpoint=None) -> GRMResult:
     """snpgdsGRM (R/IBD.R:543). With out_fn, also writes the
@@ -55,6 +55,9 @@ def grm(data, sample_id=None, snp_id=None, autosome_only=True,
     ws, _ = init_workspace(data, sample_id, snp_id, autosome_only,
                            remove_monosnp, maf, missing_rate, verbose=verbose)
     n = ws.n_samp
+    if method == "Weighted":
+        # "Weighted GCTA" is the EIGMIX-based GRM (R/IBD.R:552-556)
+        method = "EIGMIX"
     if method == "GCTA":
         mat = _gcta(ws, chunk, mesh, checkpoint)
     elif method == "Eigenstrat":

@@ -45,3 +45,15 @@ def test_merge_indivbeta(hapmap, tmp_path):
     full = grm(hapmap, method="IndivBeta", snp_id=snpid)
     merged, _avg = merge_grm(fns)
     np.testing.assert_allclose(merged.grm, full.grm, rtol=1e-8, atol=1e-10)
+
+
+def test_grm_weighted_is_eigmix(hapmap):
+    """method="Weighted" = EIGMIX-based GRM (R/IBD.R:552-556)."""
+    import numpy as np
+    from snprelate_tpu import grm
+
+    kw = dict(sample_id=hapmap.sample_id[:40], missing_rate=np.nan)
+    w = grm(hapmap, method="Weighted", **kw)
+    e = grm(hapmap, method="EIGMIX", **kw)
+    assert w.method == "EIGMIX"
+    np.testing.assert_array_equal(w.grm, e.grm)
