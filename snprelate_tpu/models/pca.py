@@ -40,10 +40,17 @@ def _eigen_desc(mat: np.ndarray, k: int):
 def pca(data, sample_id=None, snp_id=None, autosome_only=True,
         remove_monosnp=True, maf=math.nan, missing_rate=0.01,
         algorithm="exact", eigen_cnt=32, bayesian=False, need_genmat=False,
-        genmat_only=False, aux_dim=None, iter_num=10, seed=None, mesh=None,
-        verbose=False, chunk=2048, checkpoint=None) -> PCAResult:
+        genmat_only=False, eigen_method="DSPEVX", aux_dim=None, iter_num=10,
+        seed=None, mesh=None, verbose=False, chunk=2048,
+        checkpoint=None) -> PCAResult:
     """snpgdsPCA (R/PCA.R:22-91). With mesh=jax.sharding.Mesh (axes
-    'data', 'samp'), the covariance accumulates sharded across devices."""
+    'data', 'samp'), the covariance accumulates sharded across devices.
+    eigen_method: "DSPEVX" (top eigen_cnt pairs) or "DSPEV" (all pairs) —
+    both map to the same descending eigh here; kept for call compatibility
+    (LAPACK selection is an implementation detail of the reference,
+    genPCA.cpp:1262-1346)."""
+    if eigen_method not in ("DSPEVX", "DSPEV"):
+        raise ValueError("Invalid 'eigen.method'.")
     ws, _ = init_workspace(data, sample_id, snp_id, autosome_only,
                            remove_monosnp, maf, missing_rate, verbose=verbose)
     n = ws.n_samp

@@ -43,10 +43,12 @@ class EigMixSNPLoadingResult:
 
 
 def pca_corr(pcaobj, data, snp_id=None, eig_which=None, verbose=False,
-             chunk=4096) -> PCACorrResult:
+             chunk=4096, outgds=None) -> PCACorrResult:
     """snpgdsPCACorr (R/PCA.R:100): correlation between eigenvectors and
     genotypes over ALL selected SNPs (no freq/chromosome filtering —
-    uses .InitFile, not .InitFile2)."""
+    uses .InitFile, not .InitFile2). With outgds=path, writes the
+    sample.id/snp.id/correlation (packedreal16) GDS artifact
+    (R/PCA.R:151-163) instead of holding the matrix in the result."""
     if isinstance(pcaobj, (PCAResult, EigMixResult)):
         sampid, eigenvect = pcaobj.sample_id, pcaobj.eigenvect
     else:
@@ -58,7 +60,44 @@ def pca_corr(pcaobj, data, snp_id=None, eig_which=None, verbose=False,
     else:
         e = eigenvect[:, np.asarray(eig_which) - 1]  # 1-based like R
     corr = snp_pc_corr(ws, np.asarray(e), chunk=chunk)
+    if outgds is not None:
+        _write_corr_gds(outgds, sampid, ws.snp_id, corr)
     return PCACorrResult(sampid, ws.snp_id, corr)
+
+
+def _write_corr_gds(path, sample_id, snp_id, corr):
+    """snpgdsPCACorr(outgds=): correlation as dPackedReal16, R dims
+    (n_eig, n_snp) -> C-order (n_snp, n_eig), scale 0.0001, NaN -> -32768."""
+    from ..io.gds import GDSWriter, _folder_node, _leaf_node, _vstr_data, _zip
+
+    w = GDSWriter()
+    root_id = w.reserve()
+    children = []
+
+    def leaf(name, classname, raw, dims, attrs=None):
+        node_id = w.reserve()
+        stored = _zip(raw)
+        data_id = w.add_block(stored)
+        w.set_block(node_id, _leaf_node(classname, dims, data_id,
+                                        attrs or {}, "ZIP", len(raw),
+                                        len(stored)))
+        children.append((name, node_id, 0))
+
+    leaf("sample.id", "dVStr8", _vstr_data(sample_id), (len(sample_id),))
+    sid = np.asarray(snp_id)
+    if np.issubdtype(sid.dtype, np.integer):
+        leaf("snp.id", "dInt32", sid.astype("<i4").tobytes(), (len(sid),))
+    else:
+        leaf("snp.id", "dVStr8", _vstr_data(sid), (len(sid),))
+    # stream per-SNP like the reference's appending writer (R dims
+    # (n_eig, n_snp) = C-order (n_snp, n_eig)); corr is (n_eig, n_snp)
+    c = np.ascontiguousarray(np.asarray(corr, np.float64).T)
+    q = np.where(np.isnan(c), -32768,
+                 np.clip(np.round(c / 0.0001), -32767, 32767)).astype("<i2")
+    leaf("correlation", "dPackedReal16", q.tobytes(), c.shape,
+         {"scale": 0.0001, "offset": 0.0})
+    w.set_block(root_id, _folder_node(children, {}))
+    w.write(path, entry_id=root_id)
 
 
 def pca_snp_loading(pcaobj, data, verbose=False, chunk=4096):

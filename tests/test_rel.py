@@ -69,7 +69,8 @@ def test_grm_gcta_vs_numpy(hapmap):
     vp = (valid & poly[:, None]).astype(np.float64)
     expected = cov / (2 * (vp.T @ vp))
 
-    res = grm(hapmap, sample_id=hapmap.sample_id[:60], method="GCTA")
+    res = grm(hapmap, sample_id=hapmap.sample_id[:60], method="GCTA",
+              missing_rate=np.nan)
     np.testing.assert_allclose(res.grm, expected, rtol=1e-8, atol=1e-12)
 
 
@@ -86,7 +87,8 @@ def test_grm_eigenstrat_matches_pca_genmat(hapmap):
 def test_grm_corr_unit_diag(hapmap):
     from snprelate_tpu import grm
 
-    res = grm(hapmap, sample_id=hapmap.sample_id[:60], method="Corr")
+    res = grm(hapmap, sample_id=hapmap.sample_id[:60], method="Corr",
+              missing_rate=np.nan)
     np.testing.assert_allclose(np.diag(res.grm), 1.0)
     assert np.allclose(res.grm, res.grm.T)
 
@@ -222,3 +224,24 @@ def test_randomized_pca_cached_equals_streamed(hapmap, monkeypatch):
     np.testing.assert_allclose(np.abs(cached.eigenvect),
                                np.abs(streamed.eigenvect), atol=1e-6)
     assert cached.TraceXTX == streamed.TraceXTX
+
+
+def test_pca_corr_outgds(hapmap, tmp_path):
+    """pca_corr(outgds=) writes the packedreal16 correlation artifact
+    (R/PCA.R:151-163) that reads back to 1e-4."""
+    from snprelate_tpu import pca, pca_corr
+    from snprelate_tpu.io.gds import open_gds
+
+    p = pca(hapmap, sample_id=hapmap.sample_id[:60], eigen_cnt=4,
+            missing_rate=np.nan, eigen_method="DSPEV")
+    out = str(tmp_path / "corr.gds")
+    res = pca_corr(p, hapmap, snp_id=hapmap.snp_id[:500], outgds=out)
+    f = open_gds(out)
+    # artifact is per-SNP streamed: C-order (n_snp, n_eig)
+    stored = np.asarray(f.index("correlation").read()).T
+    got = np.where(np.isnan(res.snpcorr), np.nan, res.snpcorr)
+    assert stored.shape == res.snpcorr.shape
+    mask = ~np.isnan(got)
+    np.testing.assert_allclose(stored[mask], got[mask], atol=5.1e-5)
+    assert np.all(np.isnan(stored[~mask]))
+    assert list(f.index("sample.id").read()) == list(p.sample_id)
