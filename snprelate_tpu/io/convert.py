@@ -39,8 +39,13 @@ def _open(fn, mode="rt"):
 
 
 def bed_to_snpdata(bed_fn, fam_fn=None, bim_fn=None, family=False,
-                   cvt_chr="int", cvt_snpid="auto", verbose=False) -> SNPData:
-    """snpgdsBED2GDS analog: read PLINK .bed/.bim/.fam into SNPData."""
+                   cvt_chr="int", cvt_snpid="auto", verbose=False,
+                   out_gdsfn=None, snpfirstdim=False,
+                   compress_annotation="ZIP_RA.max", compress_geno="",
+                   option=None) -> SNPData:
+    """snpgdsBED2GDS analog: read PLINK .bed/.bim/.fam into SNPData.
+    With out_gdsfn, also writes the SNP GDS file (compress options accepted
+    for call compatibility; our writer uses ZIP)."""
     if fam_fn is None and bim_fn is None:
         base = bed_fn[:-4] if bed_fn.endswith(".bed") else bed_fn
         for ext in ("", ".gz"):
@@ -104,12 +109,24 @@ def bed_to_snpdata(bed_fn, fam_fn=None, bim_fn=None, family=False,
                  "mother.id": np.asarray([r[3] for r in fam], object),
                  "sex": np.asarray([r[4] for r in fam], object),
                  "phenotype": np.asarray([r[5] for r in fam], object)}
-    return SNPData(
+    sd = SNPData(
         sample_id=np.asarray(sample_id, object), snp_id=snp_id,
         genotype_packed=pack2bit(np.ascontiguousarray(g)), n_samp=n_samp,
         snp_position=np.asarray(pos), snp_chromosome=chrom,
         snp_allele=np.asarray([f"{x}/{y}" for x, y in zip(a1, a2)], object),
         snp_rs_id=snp_rs, sample_annot=annot)
+    return _maybe_write_gds(sd, out_gdsfn, snpfirstdim)
+
+
+
+def _maybe_write_gds(sd, out_fn, snpfirstdim):
+    """Write the converted dataset as a SNP GDS file when requested (the
+    reference converters always write; ours return SNPData and write on
+    demand)."""
+    if out_fn is not None:
+        from .gds import write_snp_gds
+        write_snp_gds(sd, out_fn, snpfirstdim=bool(snpfirstdim))
+    return sd
 
 
 def _int0(s):
@@ -158,7 +175,9 @@ def snpdata_to_bed(data: SNPData, bed_fn: str, sample_id=None, snp_id=None,
 
 
 def vcf_to_snpdata(vcf_fn, method="biallelic.only", ref_allele=None,
-                   ignore_chr_prefix="chr", verbose=False) -> SNPData:
+                   ignore_chr_prefix="chr", verbose=False, out_fn=None,
+                   snpfirstdim=False, compress_annotation="ZIP_RA.max",
+                   compress_geno="", option=None, nblock=1024) -> SNPData:
     """snpgdsVCF2GDS analog (R/Conversion.R:972-1155): parse VCF genotypes
     to dosage of the reference allele. method='biallelic.only' keeps only
     biallelic SNVs; method='copy.num.of.ref' codes any variant by the copy
@@ -242,14 +261,17 @@ def vcf_to_snpdata(vcf_fn, method="biallelic.only", ref_allele=None,
         snp_allele=np.asarray([f"{r[3]}/{r[4]}" for r in rows], object),
         snp_rs_id=np.asarray([r[2] for r in rows], object))
     sd.snp_annot = {"qual": qual_arr, "filter": filt_arr}
-    return sd
+    return _maybe_write_gds(sd, out_fn, snpfirstdim)
 
 
 # ---------------------------------------------------------------------------
 # PLINK text PED/MAP
 
 
-def ped_to_snpdata(ped_fn, map_fn, family=False, verbose=False) -> SNPData:
+def ped_to_snpdata(ped_fn, map_fn, family=False, verbose=False,
+                   out_gdsfn=None, snpfirstdim=False,
+                   compress_annotation="ZIP_RA.max",
+                   compress_geno="") -> SNPData:
     """snpgdsPED2GDS analog (R/Conversion.R:132 + Conversion2.R:19-188)."""
     with _open(map_fn) as f:
         mp = [line.split() for line in f if line.strip()]
@@ -304,12 +326,13 @@ def ped_to_snpdata(ped_fn, map_fn, family=False, verbose=False) -> SNPData:
                  "phenotype": np.asarray([r[5] for r in fam_rows], object)}
     snp_id = np.asarray(snp_rs, object) if len(set(snp_rs)) == n_snp \
         else np.arange(1, n_snp + 1)
-    return SNPData(
+    sd = SNPData(
         sample_id=np.asarray(sample_id, object), snp_id=snp_id,
         genotype_packed=pack2bit(geno), n_samp=n_samp,
         snp_position=pos, snp_chromosome=chrom,
         snp_allele=np.asarray(alleles, object),
         snp_rs_id=np.asarray(snp_rs, object), sample_annot=annot)
+    return _maybe_write_gds(sd, out_gdsfn, snpfirstdim)
 
 
 def snpdata_to_ped(data: SNPData, ped_fn: str, sample_id=None, snp_id=None,
@@ -344,7 +367,9 @@ def snpdata_to_ped(data: SNPData, ped_fn: str, sample_id=None, snp_id=None,
 
 
 def gen_to_snpdata(gen_fn, sample_fn=None, chr_code="1", call_threshold=0.9,
-                   verbose=False) -> SNPData:
+                   verbose=False, out_fn=None, snpfirstdim=False,
+                   compress_annotation="ZIP_RA.max",
+                   compress_geno="") -> SNPData:
     """snpgdsGEN2GDS analog (R/Conversion.R:795): genotype probabilities ->
     best-guess dosage of the FIRST allele (A), missing if max prob below
     call_threshold."""
@@ -371,7 +396,7 @@ def gen_to_snpdata(gen_fn, sample_fn=None, chr_code="1", call_threshold=0.9,
     n_samp = len(genos[0]) if genos else 0
     if sample_id is None:
         sample_id = [f"sample{i+1}" for i in range(n_samp)]
-    return SNPData(
+    sd = SNPData(
         sample_id=np.asarray(sample_id, object),
         snp_id=np.arange(1, n_snp + 1),
         genotype_packed=pack2bit(np.stack(genos)) if genos else
@@ -381,6 +406,7 @@ def gen_to_snpdata(gen_fn, sample_fn=None, chr_code="1", call_threshold=0.9,
         snp_chromosome=np.asarray([_int0(chr_code)] * n_snp, np.int32),
         snp_allele=np.asarray([f"{r[3]}/{r[4]}" for r in rows], object),
         snp_rs_id=np.asarray([r[1] for r in rows], object))
+    return _maybe_write_gds(sd, out_fn, snpfirstdim)
 
 
 # ---------------------------------------------------------------------------

@@ -114,7 +114,9 @@ def create_geno(genotype: np.ndarray, sample_id: Sequence[Any],
                 snp_id: Sequence[Any], snp_position: Sequence[int],
                 snp_chromosome: Sequence[Any],
                 snp_allele: Optional[Sequence[str]] = None,
-                snpfirstdim: bool = True, **kw) -> SNPData:
+                snpfirstdim: bool = True,
+                snp_rs_id: Optional[Sequence[str]] = None,
+                other_vars: Optional[dict] = None, **kw) -> SNPData:
     """snpgdsCreateGeno analog (R/AllUtilities.R:1033): build a SNPData from
     arrays. ``genotype`` is (n_snp, n_samp) if snpfirstdim else transposed;
     values outside 0..3 are treated as missing (3)."""
@@ -131,16 +133,24 @@ def create_geno(genotype: np.ndarray, sample_id: Sequence[Any],
         raise ValueError("sample.id must be unique")
     if len(np.unique(snp_id)) != n_snp:
         raise ValueError("snp.id must be unique")
-    return SNPData(
+    sd = SNPData(
         sample_id=sample_id, snp_id=snp_id, genotype_packed=pack2bit(g),
         n_samp=n_samp, snp_position=np.asarray(snp_position),
         snp_chromosome=np.asarray(snp_chromosome),
         snp_allele=None if snp_allele is None else np.asarray(snp_allele, dtype=object),
+        snp_rs_id=None if snp_rs_id is None else np.asarray(snp_rs_id, dtype=object),
         **kw)
+    if other_vars:
+        sd.other_vars = dict(other_vars)
+    return sd
 
 
-def open_snp_gds(path: str) -> SNPData:
-    """Load a SNP GDS file (snpgdsOpen analog, R/AllUtilities.R:32-175)."""
+def open_snp_gds(path: str, readonly: bool = True,
+                 allow_duplicate: bool = False,
+                 allow_fork: bool = False) -> SNPData:
+    """Load a SNP GDS file (snpgdsOpen analog, R/AllUtilities.R:32-175).
+    readonly/allow_duplicate/allow_fork are accepted for call compatibility;
+    the in-memory SNPData has no shared file handle to guard."""
     from .gds import open_gds
 
     f = open_gds(path)

@@ -46,7 +46,8 @@ def _gcta(ws, chunk, mesh=None, checkpoint=None):
 
 def grm(data, sample_id=None, snp_id=None, autosome_only=True,
         remove_monosnp=True, maf=math.nan, missing_rate=0.01,
-        method="GCTA", out_fn=None, mesh=None, verbose=False,
+        method="GCTA", out_fn=None, out_prec="double",
+        out_compress="LZMA_RA", mesh=None, verbose=False,
         chunk=2048, checkpoint=None) -> GRMResult:
     """snpgdsGRM (R/IBD.R:543). With out_fn, also writes the
     SNPRELATE_OUTPUT GDS artifact for snpgdsMergeGRM. With checkpoint=path,
@@ -86,11 +87,12 @@ def grm(data, sample_id=None, snp_id=None, autosome_only=True,
         from .beta import beta_grm_matrix
         res.avg_val = beta_grm_matrix.last_avg_val
     if out_fn is not None:
-        save_grm(res, out_fn, avg_val=getattr(res, "avg_val", None))
+        save_grm(res, out_fn, avg_val=getattr(res, "avg_val", None),
+                 prec=out_prec)
     return res
 
 
-def save_grm(res: GRMResult, out_fn: str, avg_val=None):
+def save_grm(res: GRMResult, out_fn: str, avg_val=None, prec="double"):
     """snpgdsGRM(out.fn=) protocol (R/IBD.R:570-591): write a
     SNPRELATE_OUTPUT GDS file with command/sample.id/snp.id/grm(/avg_val)."""
     from ..io.gds import GDSWriter, _folder_node, _leaf_node, _vstr_data, _zip
@@ -119,7 +121,10 @@ def save_grm(res: GRMResult, out_fn: str, avg_val=None):
     else:
         leaf("snp.id", "dVStr8", _vstr_data(snp_id), (len(snp_id),))
     n = res.grm.shape[0]
-    leaf("grm", "dFloat64", np.asarray(res.grm, "<f8").tobytes(), (n, n))
+    if prec in ("single", "float32"):
+        leaf("grm", "dFloat32", np.asarray(res.grm, "<f4").tobytes(), (n, n))
+    else:
+        leaf("grm", "dFloat64", np.asarray(res.grm, "<f8").tobytes(), (n, n))
     if avg_val is not None:
         leaf("avg_val", "dFloat64", _struct.pack("<d", avg_val), (1,))
     w.set_block(root_id, _folder_node(children,

@@ -90,3 +90,38 @@ def test_eigen_output(tmp_path, hapmap):
     assert len(lines) == 50 and len(lines[0]) == 10
     g = hapmap.geno(np.arange(50), np.arange(10))
     assert lines[0] == "".join(str(x) if x <= 2 else "9" for x in g[0])
+
+
+def test_converters_out_fn(tmp_path):
+    """Reference-compatible file-output params on the converters: BED and
+    VCF import writes a SNP GDS readable by open_snp_gds."""
+    import numpy as np
+    from snprelate_tpu.io.convert import bed_to_snpdata, vcf_to_snpdata
+    from snprelate_tpu.io.store import open_snp_gds
+
+    out = str(tmp_path / "bed.gds")
+    ext = "/root/reference/inst/extdata"
+    sd = bed_to_snpdata(f"{ext}/plinkhapmap.bed.gz",
+                        f"{ext}/plinkhapmap.fam.gz",
+                        f"{ext}/plinkhapmap.bim.gz", out_gdsfn=out)
+    back = open_snp_gds(out)
+    assert np.array_equal(back.geno(), sd.geno())
+    assert list(back.sample_id) == list(sd.sample_id)
+
+    out2 = str(tmp_path / "vcf.gds")
+    sd2 = vcf_to_snpdata("/root/reference/inst/extdata/sequence.vcf",
+                         out_fn=out2)
+    back2 = open_snp_gds(out2)
+    assert np.array_equal(back2.geno(), sd2.geno())
+
+
+def test_grm_out_prec_single(hapmap, tmp_path):
+    import numpy as np
+    from snprelate_tpu import grm
+    from snprelate_tpu.models.grm import load_grm
+
+    fn = str(tmp_path / "grm32.gds")
+    res = grm(hapmap, sample_id=hapmap.sample_id[:30], out_fn=fn,
+              out_prec="single", missing_rate=np.nan)
+    loaded, _ = load_grm(fn)
+    np.testing.assert_allclose(loaded.grm, res.grm, rtol=1e-6)
