@@ -336,20 +336,38 @@ def ped_to_snpdata(ped_fn, map_fn, family=False, verbose=False,
 
 
 def snpdata_to_ped(data: SNPData, ped_fn: str, sample_id=None, snp_id=None,
-                   verbose=False):
-    """snpgdsGDS2PED analog (R/Conversion.R:26)."""
+                   use_snp_rsid=True, format="A/G/C/T", verbose=False):
+    """snpgdsGDS2PED analog (R/Conversion.R:26-130): writes .map
+    (chr with X/XY/Y/MT recoding, rs-id, genetic distance 0, position)
+    and .ped with allele coding per ``format``: "A/G/C/T" (actual
+    alleles), "A/B", or "1/2"."""
     from ..workspace import init_workspace
 
     ws, _ = init_workspace(data, sample_id, snp_id, autosome_only=False,
                            remove_monosnp=False)
-    chrom = np.asarray(data.snp_chromosome)[ws.snp_idx]
+    chrom = np.asarray(data.snp_chromosome)[ws.snp_idx].astype(object)
+    recode = {str(v): k for k, v in
+              {"X": 23, "XY": 24, "Y": 25, "MT": 26}.items()}
+    recode.update({str(v): k for k, v in data.chrom_codes.items()
+                   if k != "M"})
+    chrom = np.asarray([recode.get(str(c), str(c)) for c in chrom], object)
+    ids = ws.snp_id
+    if use_snp_rsid and data.snp_rs_id is not None:
+        ids = np.asarray(data.snp_rs_id)[ws.snp_idx]
     with open(ped_fn + ".map", "w") as f:
         for i in range(ws.n_snp):
-            f.write(f"{chrom[i]}\t{ws.snp_id[i]}\t"
+            f.write(f"{chrom[i]}\t{ids[i]}\t0\t"
                     f"{data.snp_position[ws.snp_idx[i]]}\n")
-    alleles = (data.snp_allele[ws.snp_idx] if data.snp_allele is not None
-               else np.asarray(["A/B"] * ws.n_snp, object))
-    ab = [str(a).split("/") + ["B"] for a in alleles]
+    if format == "A/B":
+        ab = [["A", "B"]] * ws.n_snp
+    elif format == "1/2":
+        ab = [["1", "2"]] * ws.n_snp
+    elif format == "A/G/C/T":
+        alleles = (data.snp_allele[ws.snp_idx] if data.snp_allele is not None
+                   else np.asarray(["A/B"] * ws.n_snp, object))
+        ab = [str(a).split("/") + ["B"] for a in alleles]
+    else:
+        raise ValueError("Invalid 'format'.")
     g = ws.geno()  # (S, N)
     with open(ped_fn + ".ped", "w") as f:
         for j in range(ws.n_samp):

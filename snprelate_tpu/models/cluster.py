@@ -22,9 +22,12 @@ class HClusterResult:
     dist: Optional[np.ndarray] = None
 
 
-def hcluster(dist, sample_id=None, need_mat=True) -> HClusterResult:
+def hcluster(dist, sample_id=None, need_mat=True,
+             hang=0.25) -> HClusterResult:
     """snpgdsHCluster (R/AllUtilities.R:386): average-linkage (UPGMA)
-    clustering of a dissimilarity matrix, or of 1-ibs / diss results."""
+    clustering of a dissimilarity matrix, or of 1-ibs / diss results.
+    ``hang`` matches the reference signature (dendrogram leaf hang, a
+    display-time option; applied by draw_tree)."""
     from .ibs import IBSResult
     from .diss import DissResult
 
@@ -70,7 +73,9 @@ class CutTreeResult:
 
 
 def cut_tree(hc: HClusterResult, z_threshold=15.0, outlier_n=5, n_perm=5000,
-             samp_group=None, seed=None, verbose=False) -> CutTreeResult:
+             samp_group=None, col_outlier="red", col_list=None,
+             pch_outlier=4, pch_list=None, label_H=False, label_Z=True,
+             seed=None, verbose=False) -> CutTreeResult:
     """snpgdsCutTree (R/AllUtilities.R:432): determine subgroups by
     permutation Z-scores on merge heights (gnrDistPerm,
     SNPRelate.cpp:549-668)."""
@@ -158,8 +163,14 @@ def cut_tree(hc: HClusterResult, z_threshold=15.0, outlier_n=5, n_perm=5000,
 
     order = hc.order
     clust_count = {g: int((samp_group == g).sum()) for g in groups}
-    return CutTreeResult(hc.sample_id, z_threshold, outlier_n, order,
-                         samp_group, dmat, merge_info, clust_count)
+    res = CutTreeResult(hc.sample_id, z_threshold, outlier_n, order,
+                        samp_group, dmat, merge_info, clust_count)
+    # display options carried for draw_tree (reference stores them in the
+    # returned dendrogram object, R/AllUtilities.R:432+)
+    res.display = {"col_outlier": col_outlier, "col_list": col_list,
+                   "pch_outlier": pch_outlier, "pch_list": pch_list,
+                   "label_H": label_H, "label_Z": label_Z}
+    return res
 
 
 def draw_tree(cut: CutTreeResult, hc: HClusterResult, ax=None, **kw):
@@ -205,17 +216,56 @@ def admix_prop(eigobj, groups: dict, bound=False) -> np.ndarray:
 
 
 def admix_plot(propmat: np.ndarray, group=None, col=None, ax=None,
-               sort_by_group=True):
-    """snpgdsAdmixPlot (R/PCA.R:429) analog: stacked-bar ancestry plot."""
+               sort_by_group=True, multiplot=True, showgrp=True,
+               shownum=True, ylim=True, na_rm=True):
+    """snpgdsAdmixPlot (R/PCA.R:429) analog: stacked-bar ancestry plot.
+    multiplot: one panel per ancestral component (the reference default)
+    vs a single stacked plot; showgrp/shownum label group spans; ylim=True
+    fixes [0,1], a (lo,hi) tuple sets explicit limits; na_rm drops samples
+    with missing proportions."""
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    propmat = np.asarray(propmat)
+    propmat = np.asarray(propmat, np.float64)
+    if na_rm:
+        keep = ~np.isnan(propmat).any(1)
+        propmat = propmat[keep]
+        if group is not None:
+            group = np.asarray(group, object)[keep]
     n, k = propmat.shape
     order = np.arange(n)
     if group is not None and sort_by_group:
         order = np.argsort(np.asarray(group, object), kind="stable")
+
+    def _grp_labels(axis):
+        if group is None or not showgrp:
+            return
+        glab = np.asarray(group, object)[order]
+        edges = np.flatnonzero(np.r_[True, glab[1:] != glab[:-1], True])
+        for a, b in zip(edges[:-1], edges[1:]):
+            txt = str(glab[a])
+            if shownum:
+                txt += f" ({b - a})"
+            axis.text((a + b) / 2, 1.02, txt, ha="center", va="bottom",
+                      fontsize=8, clip_on=False)
+            if b < n:
+                axis.axvline(b - 0.5, color="k", lw=0.5)
+
+    if multiplot and ax is None:
+        fig, axes = plt.subplots(k, 1, figsize=(10, 1.6 * k), sharex=True)
+        axes = np.atleast_1d(axes)
+        for j in range(k):
+            v = propmat[order, j]
+            axes[j].bar(np.arange(n), v, width=1.0,
+                        color=None if col is None else col[j % len(col)])
+            axes[j].set_xlim(-0.5, n - 0.5)
+            if ylim is True:
+                axes[j].set_ylim(0, 1)
+            elif ylim not in (False, None):
+                axes[j].set_ylim(*ylim)
+        _grp_labels(axes[0])
+        return axes
     if ax is None:
         _fig, ax = plt.subplots(figsize=(10, 3))
     bottom = np.zeros(n)
@@ -225,7 +275,11 @@ def admix_plot(propmat: np.ndarray, group=None, col=None, ax=None,
                color=None if col is None else col[j % len(col)])
         bottom += v
     ax.set_xlim(-0.5, n - 0.5)
-    ax.set_ylim(0, 1)
+    if ylim is True:
+        ax.set_ylim(0, 1)
+    elif ylim not in (False, None):
+        ax.set_ylim(*ylim)
+    _grp_labels(ax)
     return ax
 
 

@@ -125,3 +125,23 @@ def test_grm_out_prec_single(hapmap, tmp_path):
               out_prec="single", missing_rate=np.nan)
     loaded, _ = load_grm(fn)
     np.testing.assert_allclose(loaded.grm, res.grm, rtol=1e-6)
+
+
+def test_gds2ped_formats(hapmap, tmp_path):
+    """GDS2PED: 4-column .map (gendist 0), rs ids, and the three allele
+    format codes (R/Conversion.R:26-130)."""
+    from snprelate_tpu.io.convert import snpdata_to_ped
+
+    base = str(tmp_path / "out")
+    snpdata_to_ped(hapmap, base, sample_id=hapmap.sample_id[:5],
+                   snp_id=hapmap.snp_id[:50], format="1/2")
+    map_rows = [line.split("\t") for line in open(base + ".map")]
+    assert all(len(r) == 4 and r[2] == "0" for r in map_rows)
+    ped = open(base + ".ped").read()
+    assert set(ped.split()) - {"0", "-9", "1", "2"} == \
+        set(str(s) for s in hapmap.sample_id[:5])
+
+    snpdata_to_ped(hapmap, base, sample_id=hapmap.sample_id[:5],
+                   snp_id=hapmap.snp_id[:50], format="A/B")
+    ped = open(base + ".ped").read()
+    assert " A A" in ped or " A B" in ped or " B B" in ped
