@@ -24,8 +24,8 @@ def main():
     from snprelate_tpu.ops.decode import decode2bit, genotype_planes
     from snprelate_tpu.ops.pairwise import _cross_grams, make_pca_block
 
-    n_samp = int(os.environ.get("BENCH_NSAMP", 4096))
-    n_snp = int(os.environ.get("BENCH_NSNP", 524288))
+    n_samp = int(os.environ.get("BENCH_NSAMP", 8192))
+    n_snp = int(os.environ.get("BENCH_NSNP", 262144))
     chunk = int(os.environ.get("BENCH_CHUNK", 16384))
     n_chunks = n_snp // chunk
 
