@@ -85,3 +85,11 @@ def test_sharded_randomized_pca_matches(hapmap):
         np.testing.assert_allclose(np.abs(sh.eigenvect),
                                    np.abs(base.eigenvect), atol=1e-7)
         np.testing.assert_allclose(sh.TraceXTX, base.TraceXTX, rtol=1e-12)
+
+
+def test_global_mesh_and_init():
+    from snprelate_tpu.parallel.distributed import global_mesh, init_distributed
+
+    init_distributed(num_processes=1)  # no-op single process
+    mesh = global_mesh(n_samp_axis=2)
+    assert mesh.shape["samp"] == 2 and mesh.shape["data"] == 4
