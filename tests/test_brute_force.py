@@ -63,35 +63,31 @@ def test_king_robust_brute(rand_data):
 
 
 def test_beta_brute(rand_data):
-    """IndivBeta counts (genBeta.cpp:92-175): beta_ij = ibscnt/num/2 with
-    ibscnt = #het-mismatch-free... derived directly from genotype pairs:
-    per valid pair of samples, ibscnt += (one het) + 2*(ibs2)."""
+    """IndivBeta (genBeta.cpp:92-234): raw ratios from per-pair counts —
+    off-diag r_ij = 0.5*ibscnt/num with ibscnt = #(either het) +
+    2*#(equal homozygotes); diag r_ii = 0.5*cnt/num (inbreeding=FALSE)
+    with cnt = 2 - (g==1) per locus — then the Weir–Goudet baseline
+    transform beta = (r - r̄)/(1 - r̄), r̄ = mean off-diagonal ratio."""
     from snprelate_tpu import indiv_beta
 
     data, g = rand_data
     res = indiv_beta(data, autosome_only=False, remove_monosnp=False,
                      missing_rate=np.nan, inbreeding=False)
     n = g.shape[1]
-    for i in range(0, n, 8):
-        for j in range(0, n, 6):
+    r = np.empty((n, n))
+    for i in range(n):
+        for j in range(n):
             v = (g[:, i] < 3) & (g[:, j] < 3)
             gi, gj = g[v, i].astype(int), g[v, j].astype(int)
             if i == j:
-                # diagonal per locus: het -> 1, hom -> 2
-                # (genBeta.cpp:208-216); inbreeding=False => 0.5*cnt/num
-                vi = g[:, i] < 3
-                cnt = (2 - (g[vi, i] == 1).astype(int)).sum()
-                expect = 0.5 * cnt / vi.sum()
+                r[i, i] = 0.5 * (2 - (gi == 1).astype(int)).sum() / v.sum()
             else:
-                # genBeta.cpp:92-175 plane logic: het = either sample het
-                # (+1); ibs2 = not-het and equal homozygotes (+2)
                 het_or = (gi == 1) | (gj == 1)
                 ibs2 = (~het_or) & (gi == gj)
-                cnt = het_or.sum() + 2 * ibs2.sum()
-                expect = 0.5 * cnt / v.sum()
-            np.testing.assert_allclose(
-                res.beta[i, j], expect, rtol=1e-12,
-                err_msg=f"pair {i},{j}")
+                r[i, j] = 0.5 * (het_or.sum() + 2 * ibs2.sum()) / v.sum()
+    ravg = r[~np.eye(n, dtype=bool)].mean()
+    expect = (r - ravg) / (1.0 - ravg)
+    np.testing.assert_allclose(res.beta, expect, rtol=1e-10)
 
 
 def test_grm_gcta_random_vs_numpy(rand_data):
