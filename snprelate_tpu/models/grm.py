@@ -205,11 +205,11 @@ def merge_grm(filelist, out_fn=None, weight=None, verbose=False):
         scale = 2.0 / (1.0 - mn)
         out = (out - mn) * scale
         np.fill_diagonal(out, np.diag(out) * 0.5 + 1.0)
-        res = GRMResult(sampid, snp_id, method, out)
+        res = GRMResult(sampid, snp_id, method, out, avg_val=avg)
         if out_fn is not None:
             save_grm(res, out_fn, avg_val=avg)
             return None
-        return res, avg
+        return res
 
     out = np.zeros((n, n))
     for r, wt in zip(parts, weight):

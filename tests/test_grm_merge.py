@@ -43,7 +43,7 @@ def test_merge_indivbeta(hapmap, tmp_path):
         grm(hapmap, snp_id=s, method="IndivBeta", out_fn=fn)
         fns.append(fn)
     full = grm(hapmap, method="IndivBeta", snp_id=snpid)
-    merged, _avg = merge_grm(fns)
+    merged = merge_grm(fns)
     np.testing.assert_allclose(merged.grm, full.grm, rtol=1e-8, atol=1e-10)
 
 
