@@ -1,12 +1,14 @@
 """Benchmark: fused GRM+IBS pairwise-kernel throughput on one chip.
 
-Runs the flagship fused step (plane cross-grams -> IBS/KING/Beta counts,
-plus Eigenstrat-normalized covariance -> GRM/PCA) over a synthetic cohort
-staged in HBM, and reports genotype-pair-SNP comparisons per second per chip.
+Runs the flagship fused step (symmetric plane cross-grams -> IBS/KING/Beta
+counts, plus Eigenstrat-normalized covariance -> GRM/PCA) over a synthetic
+cohort staged in HBM, and reports genotype-pair-SNP comparisons per second
+per chip.
 
-vs_baseline = fraction of int8-MXU speed-of-light for the same contraction
+vs_baseline = fraction of MXU speed-of-light for the same contraction
 volume (the driver's north-star metric; the reference publishes no numbers,
-BASELINE.md). Peak used: TPU v5e 394.5 int8 TOPS / 197 bf16 TFLOPS.
+BASELINE.md). Peak used: TPU v5e 394.5 int8 TOPS (789 int4) / 197 bf16
+TFLOPS.
 
 Output: one JSON line {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -22,34 +24,22 @@ def main():
     import jax
     import jax.numpy as jnp
     from snprelate_tpu.ops.decode import decode2bit, genotype_planes
-    from snprelate_tpu.ops.pairwise import _cross_grams, make_pca_block
+    from snprelate_tpu.ops.pairwise import (_sym_grams, make_pca_block,
+                                            norm_precision)
 
     n_samp = int(os.environ.get("BENCH_NSAMP", 8192))
     n_snp = int(os.environ.get("BENCH_NSNP", 262144))
-    chunk = int(os.environ.get("BENCH_CHUNK", 16384))
+    chunk = int(os.environ.get("BENCH_CHUNK", 32768))
     n_chunks = n_snp // chunk
 
     rng = np.random.default_rng(1)
     packed = rng.integers(0, 256, (n_chunks, chunk, n_samp // 4), np.uint8)
     packed_d = jax.device_put(jnp.asarray(packed))
 
-    from snprelate_tpu.ops.pairwise import _flat_planes, norm_precision
-    from snprelate_tpu.ops.pallas_kernels import (mirror_upper, syrk_int_raw,
-                                                  syrk_supported)
-
-    # SYRK measured slower end-to-end than XLA int4 full matmul; keep off
-    use_syrk = os.environ.get("BENCH_SYRK", "0") == "1"
-
     def fused_step(carry, pk):
         grams, cov = carry
         geno = decode2bit(pk)
-        flat = _flat_planes(pk)
-        if use_syrk:
-            grams = grams + syrk_int_raw(flat.astype(jnp.int8))
-        else:
-            f4 = flat.astype(jnp.int4)
-            grams = grams + jnp.matmul(f4, f4.T,
-                                       preferred_element_type=jnp.int32)
+        grams = grams + _sym_grams(genotype_planes(geno))
         x, _ = make_pca_block(geno, False)
         cov = cov + jnp.matmul(x.T, x, preferred_element_type=jnp.float32,
                                precision=norm_precision())
@@ -57,17 +47,15 @@ def main():
 
     @jax.jit
     def run(pk_all):
-        init = (jnp.zeros((3 * n_samp, 3 * n_samp), jnp.int32),
+        init = (jnp.zeros((6, n_samp, n_samp), jnp.int32),
                 jnp.zeros((n_samp, n_samp), jnp.float32))
         (grams, cov), _ = jax.lax.scan(fused_step, init, pk_all)
-        if use_syrk:
-            grams = mirror_upper(grams, 512)
         return grams, cov
 
     def materialize(g, c):
         # block_until_ready does not wait for execution on the axon tunnel
         # backend; a device->host copy of a small dependent slice does.
-        return np.asarray(g[:2, :2]), np.asarray(c[:2, :2])
+        return np.asarray(g[0, :2, :2]), np.asarray(c[:2, :2])
 
     # warmup/compile
     g, c = run(packed_d)
@@ -84,13 +72,14 @@ def main():
     pair_snp = 0.5 * n_samp * (n_samp + 1) * n_snp  # pair-SNP comparisons
     value = pair_snp / dt
 
-    # speed-of-light model: 9 int4 plane grams (2*9*N^2*M ops at the v5e
-    # int4 rate, 2x int8 = 789 TOPS) + 1 f32 cov matmul at norm_precision()
-    # (bf16 multi-pass: HIGHEST=6 passes, HIGH=3, DEFAULT=1 at 197 TFLOPS)
+    # speed-of-light model: 6 symmetric int4 plane-gram blocks (2*6*N^2*M ops
+    # at the v5e int4 rate, 2x int8 = 789 TOPS) + 1 f32 cov matmul at
+    # norm_precision() (bf16 multi-pass: HIGHEST=6 passes, HIGH=3, DEFAULT=1
+    # at 197 TFLOPS)
     from jax import lax as _lax
     passes = {_lax.Precision.HIGHEST: 6, _lax.Precision.HIGH: 3,
               _lax.Precision.DEFAULT: 1}[norm_precision()]
-    int4_ops = 2.0 * 9 * n_samp * n_samp * n_snp
+    int4_ops = 2.0 * 6 * n_samp * n_samp * n_snp
     f32_ops = 2.0 * n_samp * n_samp * n_snp
     sol_t = int4_ops / 789e12 + f32_ops / (197e12 / passes)
     vs_baseline = sol_t / dt

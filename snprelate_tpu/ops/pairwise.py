@@ -110,6 +110,34 @@ def _cross_grams(planes: jax.Array) -> jax.Array:
     return c.reshape(p3, n, p3, n).transpose(0, 2, 1, 3)
 
 
+# upper-triangle plane-pair order for the symmetric 6-block gram
+_SYM_PAIRS = ((0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2))
+
+
+def _sym_grams(planes: jax.Array) -> jax.Array:
+    """(3, S, N) planes -> (6, N, N) cross-grams for plane pairs a <= b
+    (order ``_SYM_PAIRS``). C[b,a] = C[a,b]^T by symmetry, so only 6 of the
+    9 blocks are computed — measured faster than the single (3N, 3N) matmul
+    at bench scale (less MXU work and 2/3 the int32 carry traffic)."""
+    p = planes.transpose(0, 2, 1).astype(_plane_mm_dtype())  # (3, N, S)
+    return jnp.stack([
+        jnp.matmul(p[a], p[b].T, preferred_element_type=jnp.int32)
+        for a, b in _SYM_PAIRS])
+
+
+def _mirror6(g6: np.ndarray) -> np.ndarray:
+    """(6, N, N) symmetric blocks -> full (3, 3, N, N):
+    N_ba(i,j) = N_ab(j,i)."""
+    g6 = np.asarray(g6)
+    n = g6.shape[1]
+    c = np.empty((3, 3, n, n), g6.dtype)
+    for k, (a, b) in enumerate(_SYM_PAIRS):
+        c[a, b] = g6[k]
+        if a != b:
+            c[b, a] = g6[k].T
+    return c
+
+
 def _flat_planes(packed: jax.Array) -> jax.Array:
     """packed chunk -> (3N, S) int8 plane matrix."""
     planes = genotype_planes(decode2bit(packed))  # (3, S, N)
@@ -117,38 +145,12 @@ def _flat_planes(packed: jax.Array) -> jax.Array:
     return planes.transpose(0, 2, 1).reshape(p3 * n, s)
 
 
-@functools.partial(jax.jit, donate_argnums=0, static_argnums=2)
-def _gram2d_step(carry2d, packed, use_syrk: bool):
-    """carry2d (3N, 3N) int32 += flat @ flat.T; with use_syrk only the upper
-    block triangle is computed (Pallas SYRK, ops/pallas_kernels.py) and the
-    carry stays in raw upper form until _finalize_grams."""
-    from .pallas_kernels import syrk_int_raw
-
-    flat = _flat_planes(packed)
-    if use_syrk:
-        return carry2d + syrk_int_raw(flat.astype(jnp.int8))
-    return carry2d + jnp.matmul(flat.astype(_plane_mm_dtype()),
-                                flat.astype(_plane_mm_dtype()).T,
-                                preferred_element_type=jnp.int32)
-
-
-def _finalize_grams(carry2d, use_syrk: bool) -> np.ndarray:
-    """(3N, 3N) raw accumulation -> (3, 3, N, N), mirroring the upper block
-    triangle when the SYRK path was used."""
-    from .pallas_kernels import mirror_upper
-
-    m = carry2d.shape[0]
-    if use_syrk:
-        carry2d = mirror_upper(jnp.asarray(carry2d), 512)
-    return np.asarray(carry2d).reshape(3, m // 3, 3, m // 3).transpose(0, 2, 1, 3)
-
-
 @functools.partial(jax.jit, donate_argnums=0)
-def _plane_gram_step(carry: jax.Array, packed: jax.Array) -> jax.Array:
-    """carry (3,3,N,N) int32 += cross-grams of one chunk."""
+def _gram6_step(carry6, packed):
+    """carry6 (6, N, N) int32 += symmetric plane cross-grams of one chunk."""
     geno = decode2bit(packed)  # (S, Npad)
     planes = genotype_planes(geno)  # (3, S, N)
-    return carry + _cross_grams(planes)
+    return carry6 + _sym_grams(planes)
 
 
 def plane_grams(chunks: Iterable[np.ndarray], n_samp_padded: int) -> np.ndarray:
@@ -157,10 +159,10 @@ def plane_grams(chunks: Iterable[np.ndarray], n_samp_padded: int) -> np.ndarray:
     N = 4 * packed_bytes (padding samples are missing -> zero planes).
     Returns int64 numpy.
     """
-    carry = jnp.zeros((3, 3, n_samp_padded, n_samp_padded), jnp.int32)
+    carry = jnp.zeros((6, n_samp_padded, n_samp_padded), jnp.int32)
     for packed in chunks:
-        carry = _plane_gram_step(carry, jnp.asarray(packed))
-    return np.asarray(carry).astype(np.int64)
+        carry = _gram6_step(carry, jnp.asarray(packed))
+    return _mirror6(carry).astype(np.int64)
 
 
 class PairCounts:
@@ -213,23 +215,24 @@ class PairCounts:
 
 def pair_counts(ws, chunk: int = 2048, pad_to: int = 128,
                 checkpoint=None, checkpoint_every: int = 64) -> PairCounts:
-    """Run the integer pairwise engine over a Workspace selection."""
-    # NOTE: the triangular Pallas SYRK path (ops/pallas_kernels.py) measured
-    # slower end-to-end than XLA's full int4 matmul at bench scale (worse
-    # overlap + 2x int8 HBM traffic); keep it opt-in.
+    """Run the integer pairwise engine over a Workspace selection.
+
+    Uses the symmetric 6-block gram (``_sym_grams``); the triangular Pallas
+    SYRK path (ops/pallas_kernels.py) measured slower end-to-end than XLA
+    int4 matmuls at bench scale and stays opt-in for experimentation.
+    """
     n_pad = -(-ws.n_samp // pad_to) * pad_to
-    use_syrk = False
     ck = Checkpointer(checkpoint, checkpoint_every,
-                      meta=(1, ws.n_snp, ws.n_samp, chunk))
+                      meta=(6, ws.n_snp, ws.n_samp, chunk))
     step, saved = ck.load()
     carry = (jnp.asarray(saved[0]) if saved
-             else jnp.zeros((3 * n_pad, 3 * n_pad), jnp.int32))
+             else jnp.zeros((6, n_pad, n_pad), jnp.int32))
     for packed in _stream(ws, chunk, n_pad, start_chunk=step):
-        carry = _gram2d_step(carry, packed, use_syrk)
+        carry = _gram6_step(carry, packed)
         step += 1
         ck.maybe_save(step, lambda: [carry])
     n = ws.n_samp
-    c = _finalize_grams(carry, use_syrk)
+    c = _mirror6(carry)
     return PairCounts(c[:, :, :n, :n].astype(np.int64))
 
 
@@ -375,7 +378,7 @@ def _king_homo_step(carry, packed):
     fdt = waf.dtype
     geno = decode2bit(packed)
     planes = genotype_planes(geno)
-    grams = grams + _cross_grams(planes)
+    grams = grams + _sym_grams(planes)
     gsum, gnum, valid = chunk_snp_stats(geno)
     # p = 0.5*sum/num, 0 when num == 0 (genKING.cpp:246-251)
     p = jnp.where(gnum > 0, 0.5 * gsum.astype(fdt) / gnum.astype(fdt), 0.0)
@@ -394,14 +397,14 @@ def king_homo_counts(ws, chunk: int = 2048, pad_to: int = 128):
     """Returns (PairCounts, SumAFreq, SumAFreq2) for KING-homo."""
     n_pad = -(-ws.n_samp // pad_to) * pad_to
     fdt = _default_float_dtype()
-    carry = (jnp.zeros((3, 3, n_pad, n_pad), jnp.int32),
+    carry = (jnp.zeros((6, n_pad, n_pad), jnp.int32),
              jnp.zeros((n_pad, n_pad), fdt),
              jnp.zeros((n_pad, n_pad), fdt))
     for packed in _stream(ws, chunk, n_pad):
         carry = _king_homo_step(carry, packed)
     grams, waf, waf2 = carry
     n = ws.n_samp
-    return (PairCounts(np.asarray(grams)[:, :, :n, :n].astype(np.int64)),
+    return (PairCounts(_mirror6(grams)[:, :, :n, :n].astype(np.int64)),
             np.asarray(waf)[:n, :n].astype(np.float64),
             np.asarray(waf2)[:n, :n].astype(np.float64))
 

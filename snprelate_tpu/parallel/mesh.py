@@ -27,7 +27,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.decode import decode2bit, genotype_planes
-from ..ops.pairwise import (_cross_grams, make_pca_block,
+from ..ops.pairwise import (_mirror6, _sym_grams, make_pca_block,
                             norm_precision)
 
 
@@ -42,16 +42,17 @@ def make_mesh(n_data: Optional[int] = None, n_samp: int = 1,
 
 @functools.partial(jax.jit, donate_argnums=0, static_argnums=(2,))
 def _sharded_gram_step(carry, packed_batch, mesh: Mesh):
-    """carry: (D, 3, 3, N, N) partials sharded (data, -, -, samp, -);
-    packed_batch: (D, S, B) sharded over data. Each device computes its own
-    chunk's cross-grams locally; rows of the n x n output are sharded over
-    'samp' (XLA all-gathers the right-hand operand over 'samp' only)."""
+    """carry: (D, 6, N, N) symmetric-block partials sharded
+    (data, -, samp, -); packed_batch: (D, S, B) sharded over data. Each
+    device computes its own chunk's cross-grams locally; rows of the n x n
+    output are sharded over 'samp' (XLA all-gathers the right-hand operand
+    over 'samp' only)."""
     def one(packed):
-        return _cross_grams(genotype_planes(decode2bit(packed)))
+        return _sym_grams(genotype_planes(decode2bit(packed)))
 
     out = carry + jax.vmap(one)(packed_batch)
     return jax.lax.with_sharding_constraint(
-        out, NamedSharding(mesh, P("data", None, None, "samp", None)))
+        out, NamedSharding(mesh, P("data", None, "samp", None)))
 
 
 def sharded_pair_counts(ws, mesh: Mesh, chunk: int = 2048) -> np.ndarray:
@@ -63,10 +64,10 @@ def sharded_pair_counts(ws, mesh: Mesh, chunk: int = 2048) -> np.ndarray:
     n_samp_dev = mesh.shape["samp"]
     n_pad = -(-ws.n_samp // (128 * n_samp_dev)) * (128 * n_samp_dev)
     nbytes = n_pad // 4
-    carry_sh = NamedSharding(mesh, P("data", None, None, "samp", None))
+    carry_sh = NamedSharding(mesh, P("data", None, "samp", None))
     batch_sh = NamedSharding(mesh, P("data", None, None))
     carry = jax.device_put(
-        jnp.zeros((d, 3, 3, n_pad, n_pad), jnp.int32), carry_sh)
+        jnp.zeros((d, 6, n_pad, n_pad), jnp.int32), carry_sh)
 
     batch = []
     for _start, packed in ws.packed_chunks(chunk):
@@ -85,7 +86,7 @@ def sharded_pair_counts(ws, mesh: Mesh, chunk: int = 2048) -> np.ndarray:
         carry = _sharded_gram_step(carry, pb, mesh)
     total = jnp.sum(carry, axis=0)  # all-reduce over 'data'
     n = ws.n_samp
-    return np.asarray(total)[:, :, :n, :n].astype(np.int64)
+    return _mirror6(total)[:, :, :n, :n].astype(np.int64)
 
 
 @functools.partial(jax.jit, donate_argnums=0, static_argnums=(2,))
