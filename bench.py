@@ -24,13 +24,16 @@ def main():
     import jax
     import jax.numpy as jnp
     from snprelate_tpu.ops.decode import decode2bit, genotype_planes
-    from snprelate_tpu.ops.pairwise import (_sym_grams, make_pca_block,
+    from snprelate_tpu.ops.pairwise import (_choose_nblk, _sym_blocks,
+                                            _sym_grams, make_pca_block,
                                             norm_precision)
 
     n_samp = int(os.environ.get("BENCH_NSAMP", 8192))
     n_snp = int(os.environ.get("BENCH_NSNP", 262144))
     chunk = int(os.environ.get("BENCH_CHUNK", 32768))
     n_chunks = n_snp // chunk
+    nblk = _choose_nblk(n_samp)
+    nbl = nblk * (nblk + 1) // 2
 
     rng = np.random.default_rng(1)
     packed = rng.integers(0, 256, (n_chunks, chunk, n_samp // 4), np.uint8)
@@ -41,21 +44,23 @@ def main():
         geno = decode2bit(pk)
         grams = grams + _sym_grams(genotype_planes(geno))
         x, _ = make_pca_block(geno, False)
-        cov = cov + jnp.matmul(x.T, x, preferred_element_type=jnp.float32,
-                               precision=norm_precision())
+        cov = cov + _sym_blocks(x, x, nblk,
+                                preferred_element_type=jnp.float32,
+                                precision=norm_precision())
         return (grams, cov), ()
 
     @jax.jit
     def run(pk_all):
         init = (jnp.zeros((6, n_samp, n_samp), jnp.int32),
-                jnp.zeros((n_samp, n_samp), jnp.float32))
+                jnp.zeros((nbl, n_samp // nblk, n_samp // nblk),
+                          jnp.float32))
         (grams, cov), _ = jax.lax.scan(fused_step, init, pk_all)
         return grams, cov
 
     def materialize(g, c):
         # block_until_ready does not wait for execution on the axon tunnel
         # backend; a device->host copy of a small dependent slice does.
-        return np.asarray(g[0, :2, :2]), np.asarray(c[:2, :2])
+        return np.asarray(g[0, :2, :2]), np.asarray(c[0, :2, :2])
 
     # warmup/compile
     g, c = run(packed_d)
@@ -73,14 +78,14 @@ def main():
     value = pair_snp / dt
 
     # speed-of-light model: 6 symmetric int4 plane-gram blocks (2*6*N^2*M ops
-    # at the v5e int4 rate, 2x int8 = 789 TOPS) + 1 f32 cov matmul at
-    # norm_precision() (bf16 multi-pass: HIGHEST=6 passes, HIGH=3, DEFAULT=1
-    # at 197 TFLOPS)
+    # at the v5e int4 rate, 2x int8 = 789 TOPS) + the block-triangular f32
+    # cov (nbl blocks of (N/nblk)^2) at norm_precision() (bf16 multi-pass:
+    # HIGHEST=6 passes, HIGH=3, DEFAULT=1 at 197 TFLOPS)
     from jax import lax as _lax
     passes = {_lax.Precision.HIGHEST: 6, _lax.Precision.HIGH: 3,
               _lax.Precision.DEFAULT: 1}[norm_precision()]
     int4_ops = 2.0 * 6 * n_samp * n_samp * n_snp
-    f32_ops = 2.0 * n_samp * n_samp * n_snp
+    f32_ops = 2.0 * nbl * (n_samp // nblk) ** 2 * n_snp
     sol_t = int4_ops / 789e12 + f32_ops / (197e12 / passes)
     vs_baseline = sol_t / dt
 

@@ -1,0 +1,139 @@
+"""Block-triangular symmetric gram path (nblk > 1): the streaming engines
+switch to upper-sample-block-triangle matmuls above 2048 padded samples
+(ops/pairwise.py `_choose_nblk`). The hapmap fixtures are too small to hit
+it, so cross-check every blocked engine against direct dense NumPy on a
+2048-sample random cohort with missingness."""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def big_data():
+    from snprelate_tpu.io.store import create_geno
+
+    rng = np.random.default_rng(7)
+    n_snp, n_samp = 384, 2048
+    g = rng.choice([0, 1, 2, 3], size=(n_snp, n_samp),
+                   p=[0.35, 0.3, 0.3, 0.05]).astype(np.uint8)
+    data = create_geno(
+        g, sample_id=[f"s{i}" for i in range(n_samp)],
+        snp_id=np.arange(n_snp), snp_position=np.arange(n_snp) * 50,
+        snp_chromosome=np.ones(n_snp, np.int32))
+    return data, g
+
+
+def _workspace(data):
+    from snprelate_tpu.workspace import init_workspace
+
+    ws, _ = init_workspace(data, autosome_only=False, remove_monosnp=False,
+                           missing_rate=np.nan, verbose=False)
+    return ws
+
+
+def test_choose_nblk():
+    from snprelate_tpu.ops.pairwise import _choose_nblk, _pad_blocks
+
+    assert _choose_nblk(128) == 1
+    assert _choose_nblk(1024) == 1
+    assert _choose_nblk(2048) == 2
+    assert _choose_nblk(4096) == 4
+    assert _choose_nblk(8192) == 8
+    assert _choose_nblk(9088) == 1  # 71*128: blocks would be misaligned
+    # engines pad up to a blockable size instead
+    assert _pad_blocks(279) == (384, 1)
+    assert _pad_blocks(2048) == (2048, 2)
+    assert _pad_blocks(9000) == (9216, 8)
+    n_pad, nblk = _pad_blocks(9000)
+    assert _choose_nblk(n_pad) == nblk
+
+
+def test_sym_blocks_assemble():
+    import jax.numpy as jnp
+
+    from snprelate_tpu.ops.pairwise import _assemble_sym, _sym_blocks
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((64, 512))
+    w = x * rng.standard_normal((64, 1))  # per-SNP weight: stays symmetric
+    for nblk in (1, 2, 4):
+        blocks = _sym_blocks(jnp.asarray(w), jnp.asarray(x), nblk,
+                             preferred_element_type=jnp.float64)
+        full = _assemble_sym(blocks, nblk)
+        np.testing.assert_allclose(full, w.T @ x, rtol=1e-9, atol=1e-12)
+
+
+def test_pca_covariance_blocked(big_data):
+    from snprelate_tpu.ops.pairwise import _pad_blocks, pca_covariance
+
+    data, g = big_data
+    ws = _workspace(data)
+    assert _pad_blocks(ws.n_samp)[1] == 2
+    cov = pca_covariance(ws)
+
+    gf = g.astype(np.float64)
+    valid = g < 3
+    num = valid.sum(1)
+    avg = np.where(valid, gf, 0).sum(1) / num
+    s = avg * 0.5
+    scale = np.where((s > 0) & (s < 1), 1.0 / np.sqrt(s * (1 - s)), 0.0)
+    x = (np.where(valid, gf, avg[:, None]) - avg[:, None]) * scale[:, None]
+    np.testing.assert_allclose(cov, x.T @ x, rtol=1e-9, atol=1e-9)
+
+
+def test_gcta_blocked(big_data):
+    from snprelate_tpu.ops.pairwise import gcta_grm_parts
+
+    data, g = big_data
+    ws = _workspace(data)
+    cov, vgram, nlocus = gcta_grm_parts(ws)
+    valid = g < 3
+    num = valid.sum(1)
+    gsum = np.where(valid, g, 0).sum(1)
+    poly = (gsum > 0) & (gsum < 2 * num)
+    vp = (valid & poly[:, None]).astype(np.int64)
+    assert nlocus == int(poly.sum())
+    np.testing.assert_array_equal(vgram, vp.T @ vp)
+    assert np.allclose(cov, cov.T)
+
+
+def test_king_homo_blocked(big_data):
+    from snprelate_tpu.ops.pairwise import king_homo_counts
+
+    data, g = big_data
+    ws = _workspace(data)
+    counts, waf, waf2 = king_homo_counts(ws)
+    valid = (g < 3)
+    num = valid.sum(1)
+    gsum = np.where(valid, g, 0).sum(1)
+    p = np.where(num > 0, 0.5 * gsum / num, 0.0)
+    w = p * (1 - p)
+    v = valid.astype(np.float64)
+    np.testing.assert_allclose(waf, (v * w[:, None]).T @ v, rtol=1e-10)
+    np.testing.assert_allclose(waf2, (v * (w * w)[:, None]).T @ v,
+                               rtol=1e-10)
+    # spot-check integer planes against direct counts
+    i, j = 13, 1777
+    both = valid[:, i] & valid[:, j]
+    d = np.abs(g[:, i].astype(int) - g[:, j].astype(int))[both]
+    assert counts.ibs0[i, j] == (d == 2).sum()
+    assert counts.ibs2[i, j] == (d == 0).sum()
+
+
+def test_eigmix_blocked(big_data):
+    from snprelate_tpu.ops.pairwise import eigmix_parts
+
+    data, g = big_data
+    ws = _workspace(data)
+    num_mat, wvg, het = eigmix_parts(ws)
+    gf = g.astype(np.float64)
+    valid = g < 3
+    n_valid = valid.sum(1)
+    avg = np.where(valid, gf, 0).sum(1) / n_valid
+    x = np.where(valid, gf, avg[:, None]) - avg[:, None]
+    np.testing.assert_allclose(num_mat, x.T @ x, rtol=1e-9, atol=1e-9)
+    af = 0.5 * avg
+    d = 4 * af * (1 - af)
+    v = valid.astype(np.float64)
+    np.testing.assert_allclose(wvg, (v * d[:, None]).T @ v, rtol=1e-10)
+    np.testing.assert_array_equal(het, (g == 1).sum(0))
