@@ -39,28 +39,33 @@ def main():
     packed = rng.integers(0, 256, (n_chunks, chunk, n_samp // 4), np.uint8)
     packed_d = jax.device_put(jnp.asarray(packed))
 
+    def tree_add(c, d):
+        return tuple(a + b for a, b in zip(c, d))
+
     def fused_step(carry, pk):
         grams, cov = carry
         geno = decode2bit(pk)
-        grams = grams + _sym_grams(genotype_planes(geno))
+        grams = tree_add(grams, _sym_grams(genotype_planes(geno)))
         x, _ = make_pca_block(geno, False)
-        cov = cov + _sym_blocks(x, x, nblk,
-                                preferred_element_type=jnp.float32,
-                                precision=norm_precision())
+        cov = tree_add(cov, _sym_blocks(x, x, nblk,
+                                        preferred_element_type=jnp.float32,
+                                        precision=norm_precision()))
         return (grams, cov), ()
 
     @jax.jit
     def run(pk_all):
-        init = (jnp.zeros((6, n_samp, n_samp), jnp.int32),
-                jnp.zeros((nbl, n_samp // nblk, n_samp // nblk),
-                          jnp.float32))
+        nb = n_samp // nblk
+        init = (tuple(jnp.zeros((n_samp, n_samp), jnp.int32)
+                      for _ in range(6)),
+                tuple(jnp.zeros((nb, nb), jnp.float32) for _ in range(nbl)))
         (grams, cov), _ = jax.lax.scan(fused_step, init, pk_all)
         return grams, cov
 
     def materialize(g, c):
         # block_until_ready does not wait for execution on the axon tunnel
         # backend; a device->host copy of a small dependent slice does.
-        return np.asarray(g[0, :2, :2]), np.asarray(c[0, :2, :2])
+        # g and c are full jit outputs, so nothing is DCE'd.
+        return np.asarray(g[0][:2, :2]), np.asarray(c[0][:2, :2])
 
     # warmup/compile
     g, c = run(packed_d)

@@ -114,15 +114,17 @@ def _cross_grams(planes: jax.Array) -> jax.Array:
 _SYM_PAIRS = ((0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2))
 
 
-def _sym_grams(planes: jax.Array) -> jax.Array:
-    """(3, S, N) planes -> (6, N, N) cross-grams for plane pairs a <= b
-    (order ``_SYM_PAIRS``). C[b,a] = C[a,b]^T by symmetry, so only 6 of the
-    9 blocks are computed — measured faster than the single (3N, 3N) matmul
-    at bench scale (less MXU work and 2/3 the int32 carry traffic)."""
+def _sym_grams(planes: jax.Array) -> tuple:
+    """(3, S, N) planes -> 6-tuple of (N, N) cross-grams for plane pairs
+    a <= b (order ``_SYM_PAIRS``). C[b,a] = C[a,b]^T by symmetry, so only 6
+    of the 9 blocks are computed — measured faster than the single (3N, 3N)
+    matmul at bench scale. Returned as a tuple (not stacked) so per-block
+    carry adds fuse into each matmul's epilogue instead of materializing a
+    stacked copy (measured +5% end-to-end)."""
     p = planes.transpose(0, 2, 1).astype(_plane_mm_dtype())  # (3, N, S)
-    return jnp.stack([
+    return tuple(
         jnp.matmul(p[a], p[b].T, preferred_element_type=jnp.int32)
-        for a, b in _SYM_PAIRS])
+        for a, b in _SYM_PAIRS)
 
 
 def _mirror6(g6: np.ndarray) -> np.ndarray:
@@ -167,9 +169,10 @@ def _pad_blocks(n: int, pad_to: int = 128):
 
 
 def _sym_blocks(w: jax.Array, x: jax.Array, nblk: int, *,
-                preferred_element_type, precision=None) -> jax.Array:
+                preferred_element_type, precision=None) -> tuple:
     """Upper block triangle of ``w.T @ x`` for a symmetric product
-    (w = x, or w = x weighted per SNP): (nblk*(nblk+1)//2, nb, nb)."""
+    (w = x, or w = x weighted per SNP): tuple of nblk*(nblk+1)//2 (nb, nb)
+    blocks (unstacked so carry adds fuse into the matmul epilogues)."""
     n = x.shape[1]
     nb = n // nblk
     outs = []
@@ -179,7 +182,7 @@ def _sym_blocks(w: jax.Array, x: jax.Array, nblk: int, *,
                 w[:, a * nb:(a + 1) * nb].T, x[:, b * nb:(b + 1) * nb],
                 preferred_element_type=preferred_element_type,
                 precision=precision))
-    return jnp.stack(outs)
+    return tuple(outs)
 
 
 def _assemble_sym(blocks: np.ndarray, nblk: int) -> np.ndarray:
@@ -205,12 +208,20 @@ def _flat_planes(packed: jax.Array) -> jax.Array:
     return planes.transpose(0, 2, 1).reshape(p3 * n, s)
 
 
+def _tree_add(carry, delta):
+    return tuple(c + d for c, d in zip(carry, delta))
+
+
 @functools.partial(jax.jit, donate_argnums=0)
 def _gram6_step(carry6, packed):
-    """carry6 (6, N, N) int32 += symmetric plane cross-grams of one chunk."""
+    """carry6: 6-tuple of (N, N) int32 += symmetric plane cross-grams."""
     geno = decode2bit(packed)  # (S, Npad)
     planes = genotype_planes(geno)  # (3, S, N)
-    return carry6 + _sym_grams(planes)
+    return _tree_add(carry6, _sym_grams(planes))
+
+
+def _zeros6(n_pad):
+    return tuple(jnp.zeros((n_pad, n_pad), jnp.int32) for _ in range(6))
 
 
 def plane_grams(chunks: Iterable[np.ndarray], n_samp_padded: int) -> np.ndarray:
@@ -219,10 +230,10 @@ def plane_grams(chunks: Iterable[np.ndarray], n_samp_padded: int) -> np.ndarray:
     N = 4 * packed_bytes (padding samples are missing -> zero planes).
     Returns int64 numpy.
     """
-    carry = jnp.zeros((6, n_samp_padded, n_samp_padded), jnp.int32)
+    carry = _zeros6(n_samp_padded)
     for packed in chunks:
         carry = _gram6_step(carry, jnp.asarray(packed))
-    return _mirror6(carry).astype(np.int64)
+    return _mirror6(np.stack([np.asarray(c) for c in carry])).astype(np.int64)
 
 
 class PairCounts:
@@ -283,16 +294,16 @@ def pair_counts(ws, chunk: int = 2048, pad_to: int = 128,
     """
     n_pad = -(-ws.n_samp // pad_to) * pad_to
     ck = Checkpointer(checkpoint, checkpoint_every,
-                      meta=(6, ws.n_snp, ws.n_samp, chunk))
+                      meta=(61, ws.n_snp, ws.n_samp, chunk))
     step, saved = ck.load()
-    carry = (jnp.asarray(saved[0]) if saved
-             else jnp.zeros((6, n_pad, n_pad), jnp.int32))
+    carry = (tuple(jnp.asarray(a) for a in saved) if saved
+             else _zeros6(n_pad))
     for packed in _stream(ws, chunk, n_pad, start_chunk=step):
         carry = _gram6_step(carry, packed)
         step += 1
-        ck.maybe_save(step, lambda: [carry])
+        ck.maybe_save(step, lambda: list(carry))
     n = ws.n_samp
-    c = _mirror6(carry)
+    c = _mirror6(np.stack([np.asarray(a) for a in carry]))
     return PairCounts(c[:, :, :n, :n].astype(np.int64))
 
 
@@ -320,10 +331,11 @@ def make_pca_block(geno: jax.Array, bayesian: bool = False):
 
 @functools.partial(jax.jit, donate_argnums=0, static_argnums=(2, 3))
 def _pca_step(carry, packed, bayesian: bool, nblk: int):
-    """carry: stacked upper sample-block triangle of the covariance."""
+    """carry: tuple of upper sample-block-triangle covariance blocks."""
     x, _ = make_pca_block(decode2bit(packed), bayesian)
-    return carry + _sym_blocks(x, x, nblk, preferred_element_type=x.dtype,
-                               precision=norm_precision())
+    return _tree_add(carry, _sym_blocks(
+        x, x, nblk, preferred_element_type=x.dtype,
+        precision=norm_precision()))
 
 
 @functools.partial(jax.jit, donate_argnums=0, static_argnums=2)
@@ -333,10 +345,11 @@ def _gcta_step(carry, packed, nblk: int):
     x, (gsum, gnum, valid) = make_pca_block(geno, False)
     poly = (gsum > 0) & (gsum < 2 * gnum)  # genPCA.cpp:1202-1224
     vp = (valid & poly[:, None]).astype(jnp.int8)
-    cov = cov + _sym_blocks(x, x, nblk, preferred_element_type=x.dtype,
-                            precision=norm_precision())
-    vgram = vgram + _sym_blocks(vp, vp, nblk,
-                                preferred_element_type=jnp.int32)
+    cov = _tree_add(cov, _sym_blocks(
+        x, x, nblk, preferred_element_type=x.dtype,
+        precision=norm_precision()))
+    vgram = _tree_add(vgram, _sym_blocks(
+        vp, vp, nblk, preferred_element_type=jnp.int32))
     return cov, vgram, nlocus + poly.sum(dtype=jnp.int32)
 
 
@@ -388,6 +401,11 @@ class Checkpointer:
             self.save(step, arrays_fn())
 
 
+def _zeros_blocks(nblk, nb, dtype):
+    return tuple(jnp.zeros((nb, nb), dtype)
+                 for _ in range(nblk * (nblk + 1) // 2))
+
+
 def pca_covariance(ws, bayesian: bool = False, chunk: int = 2048,
                    pad_to: int = 128, checkpoint=None,
                    checkpoint_every: int = 64) -> np.ndarray:
@@ -396,16 +414,16 @@ def pca_covariance(ws, bayesian: bool = False, chunk: int = 2048,
     nb = n_pad // nblk
     fdt = _default_float_dtype()
     ck = Checkpointer(checkpoint, checkpoint_every,
-                      meta=(2, ws.n_snp, ws.n_samp, chunk, int(bayesian),
+                      meta=(21, ws.n_snp, ws.n_samp, chunk, int(bayesian),
                             nblk))
     step, saved = ck.load()
-    cov = (jnp.asarray(saved[0]) if saved
-           else jnp.zeros((nblk * (nblk + 1) // 2, nb, nb), fdt))
+    cov = (tuple(jnp.asarray(a) for a in saved) if saved
+           else _zeros_blocks(nblk, nb, fdt))
     for packed in _stream(ws, chunk, n_pad, start_chunk=step):
         cov = _pca_step(cov, packed, bayesian, nblk)
         step += 1
-        ck.maybe_save(step, lambda: [cov])
-    full = _assemble_sym(cov, nblk)
+        ck.maybe_save(step, lambda: list(cov))
+    full = _assemble_sym(np.stack([np.asarray(a) for a in cov]), nblk)
     return full[: ws.n_samp, : ws.n_samp].astype(np.float64)
 
 
@@ -418,20 +436,25 @@ def gcta_grm_parts(ws, chunk: int = 2048, pad_to: int = 128,
     nbl = nblk * (nblk + 1) // 2
     fdt = _default_float_dtype()
     ck = Checkpointer(checkpoint, checkpoint_every,
-                      meta=(3, ws.n_snp, ws.n_samp, chunk, nblk))
+                      meta=(31, ws.n_snp, ws.n_samp, chunk, nblk))
     step, saved = ck.load()
-    carry = (tuple(jnp.asarray(a) for a in saved) if saved
-             else (jnp.zeros((nbl, nb, nb), fdt),
-                   jnp.zeros((nbl, nb, nb), jnp.int32),
-                   jnp.zeros((), jnp.int32)))
+    if saved:
+        carry = (tuple(jnp.asarray(a) for a in saved[:nbl]),
+                 tuple(jnp.asarray(a) for a in saved[nbl:2 * nbl]),
+                 jnp.asarray(saved[2 * nbl]))
+    else:
+        carry = (_zeros_blocks(nblk, nb, fdt),
+                 _zeros_blocks(nblk, nb, jnp.int32),
+                 jnp.zeros((), jnp.int32))
     for packed in _stream(ws, chunk, n_pad, start_chunk=step):
         carry = _gcta_step(carry, packed, nblk)
         step += 1
-        ck.maybe_save(step, lambda: list(carry))
+        ck.maybe_save(step, lambda: [*carry[0], *carry[1], carry[2]])
     cov, vgram, nlocus = carry
     n = ws.n_samp
-    return (_assemble_sym(cov, nblk)[:n, :n].astype(np.float64),
-            _assemble_sym(vgram, nblk)[:n, :n].astype(np.int64),
+    stk = lambda t: np.stack([np.asarray(a) for a in t])
+    return (_assemble_sym(stk(cov), nblk)[:n, :n].astype(np.float64),
+            _assemble_sym(stk(vgram), nblk)[:n, :n].astype(np.int64),
             int(nlocus))
 
 
@@ -442,22 +465,22 @@ def gcta_grm_parts(ws, chunk: int = 2048, pad_to: int = 128,
 @functools.partial(jax.jit, donate_argnums=0, static_argnums=2)
 def _king_homo_step(carry, packed, nblk: int):
     grams, waf, waf2 = carry
-    fdt = waf.dtype
+    fdt = waf[0].dtype
     geno = decode2bit(packed)
     planes = genotype_planes(geno)
-    grams = grams + _sym_grams(planes)
+    grams = _tree_add(grams, _sym_grams(planes))
     gsum, gnum, valid = chunk_snp_stats(geno)
     # p = 0.5*sum/num, 0 when num == 0 (genKING.cpp:246-251)
     p = jnp.where(gnum > 0, 0.5 * gsum.astype(fdt) / gnum.astype(fdt), 0.0)
     w = p * (1.0 - p)
     v = valid.astype(fdt)
     # Sum_s w_s v_i v_j is symmetric: block-triangular weighted grams
-    waf = waf + _sym_blocks(v * w[:, None], v, nblk,
-                            preferred_element_type=fdt,
-                            precision=MM_PRECISION)
-    waf2 = waf2 + _sym_blocks(v * (w * w)[:, None], v, nblk,
-                              preferred_element_type=fdt,
-                              precision=MM_PRECISION)
+    waf = _tree_add(waf, _sym_blocks(v * w[:, None], v, nblk,
+                                     preferred_element_type=fdt,
+                                     precision=MM_PRECISION))
+    waf2 = _tree_add(waf2, _sym_blocks(v * (w * w)[:, None], v, nblk,
+                                       preferred_element_type=fdt,
+                                       precision=MM_PRECISION))
     return grams, waf, waf2
 
 
@@ -465,18 +488,18 @@ def king_homo_counts(ws, chunk: int = 2048, pad_to: int = 128):
     """Returns (PairCounts, SumAFreq, SumAFreq2) for KING-homo."""
     n_pad, nblk = _pad_blocks(ws.n_samp, pad_to)
     nb = n_pad // nblk
-    nbl = nblk * (nblk + 1) // 2
     fdt = _default_float_dtype()
-    carry = (jnp.zeros((6, n_pad, n_pad), jnp.int32),
-             jnp.zeros((nbl, nb, nb), fdt),
-             jnp.zeros((nbl, nb, nb), fdt))
+    carry = (_zeros6(n_pad),
+             _zeros_blocks(nblk, nb, fdt),
+             _zeros_blocks(nblk, nb, fdt))
     for packed in _stream(ws, chunk, n_pad):
         carry = _king_homo_step(carry, packed, nblk)
     grams, waf, waf2 = carry
     n = ws.n_samp
-    return (PairCounts(_mirror6(grams)[:, :, :n, :n].astype(np.int64)),
-            _assemble_sym(waf, nblk)[:n, :n].astype(np.float64),
-            _assemble_sym(waf2, nblk)[:n, :n].astype(np.float64))
+    stk = lambda t: np.stack([np.asarray(a) for a in t])
+    return (PairCounts(_mirror6(stk(grams))[:, :, :n, :n].astype(np.int64)),
+            _assemble_sym(stk(waf), nblk)[:n, :n].astype(np.float64),
+            _assemble_sym(stk(waf2), nblk)[:n, :n].astype(np.float64))
 
 
 # ---------------------------------------------------------------------------
@@ -487,19 +510,20 @@ def king_homo_counts(ws, chunk: int = 2048, pad_to: int = 128):
 @functools.partial(jax.jit, donate_argnums=0, static_argnums=2)
 def _eigmix_step(carry, packed, nblk: int):
     cov, wvg, hetcnt, afsum = carry
-    fdt = cov.dtype
+    fdt = cov[0].dtype
     geno = decode2bit(packed)
     gsum, gnum, valid = chunk_snp_stats(geno)
     avg = jnp.where(gnum > 0, gsum.astype(fdt) / gnum.astype(fdt), 0.0)
     x = jnp.where(valid, geno.astype(fdt), avg[:, None]) - avg[:, None]
-    cov = cov + _sym_blocks(x, x, nblk, preferred_element_type=fdt,
-                            precision=MM_PRECISION)
+    cov = _tree_add(cov, _sym_blocks(x, x, nblk,
+                                     preferred_element_type=fdt,
+                                     precision=MM_PRECISION))
     af = 0.5 * avg
     d = 4.0 * af * (1.0 - af)  # per-SNP denominator weight
     v = valid.astype(fdt)
-    wvg = wvg + _sym_blocks(v * d[:, None], v, nblk,
-                            preferred_element_type=fdt,
-                            precision=MM_PRECISION)
+    wvg = _tree_add(wvg, _sym_blocks(v * d[:, None], v, nblk,
+                                     preferred_element_type=fdt,
+                                     precision=MM_PRECISION))
     hetcnt = hetcnt + (geno == 1).sum(axis=0, dtype=jnp.int32)
     return cov, wvg, hetcnt, afsum + d.sum()
 
@@ -508,14 +532,14 @@ def eigmix_parts(ws, chunk: int = 2048, pad_to: int = 128):
     """Returns (num=XX^T, denom=(V.d)V^T, het per sample, afreq per snp)."""
     n_pad, nblk = _pad_blocks(ws.n_samp, pad_to)
     nb = n_pad // nblk
-    nbl = nblk * (nblk + 1) // 2
     fdt = _default_float_dtype()
-    carry = (jnp.zeros((nbl, nb, nb), fdt), jnp.zeros((nbl, nb, nb), fdt),
+    carry = (_zeros_blocks(nblk, nb, fdt), _zeros_blocks(nblk, nb, fdt),
              jnp.zeros((n_pad,), jnp.int32), jnp.zeros((), fdt))
     for packed in _stream(ws, chunk, n_pad):
         carry = _eigmix_step(carry, packed, nblk)
     cov, wvg, hetcnt, _ = carry
     n = ws.n_samp
-    return (_assemble_sym(cov, nblk)[:n, :n].astype(np.float64),
-            _assemble_sym(wvg, nblk)[:n, :n].astype(np.float64),
+    stk = lambda t: np.stack([np.asarray(a) for a in t])
+    return (_assemble_sym(stk(cov), nblk)[:n, :n].astype(np.float64),
+            _assemble_sym(stk(wvg), nblk)[:n, :n].astype(np.float64),
             np.asarray(hetcnt)[:n].astype(np.int64))

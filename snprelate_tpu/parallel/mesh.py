@@ -48,7 +48,7 @@ def _sharded_gram_step(carry, packed_batch, mesh: Mesh):
     output are sharded over 'samp' (XLA all-gathers the right-hand operand
     over 'samp' only)."""
     def one(packed):
-        return _sym_grams(genotype_planes(decode2bit(packed)))
+        return jnp.stack(_sym_grams(genotype_planes(decode2bit(packed))))
 
     out = carry + jax.vmap(one)(packed_batch)
     return jax.lax.with_sharding_constraint(
