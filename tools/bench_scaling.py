@@ -56,10 +56,10 @@ def main():
         n_data = nd // n_samp_axis
         mesh = make_mesh(n_data, n_samp_axis)
         n_pad = -(-args.nsamp // (128 * n_samp_axis)) * (128 * n_samp_axis)
-        carry_sh = NamedSharding(mesh, P("data", None, None, "samp", None))
+        carry_sh = NamedSharding(mesh, P("data", None, "samp", None))
         batch_sh = NamedSharding(mesh, P("data", None, None))
         carry = jax.device_put(
-            jnp.zeros((n_data, 3, 3, n_pad, n_pad), jnp.int32), carry_sh)
+            jnp.zeros((n_data, 6, n_pad, n_pad), jnp.int32), carry_sh)
         batches = [
             jax.device_put(
                 rng.integers(0, 256, (n_data, args.chunk, n_pad // 4),
@@ -68,11 +68,11 @@ def main():
         ]
         # warmup
         carry = _sharded_gram_step(carry, batches[0], mesh)
-        _ = np.asarray(carry[0, 0, 0, :2, :2])
+        _ = np.asarray(carry[0, 0, :2, :2])
         t0 = time.perf_counter()
         for pb in batches:
             carry = _sharded_gram_step(carry, pb, mesh)
-        _ = np.asarray(jnp.sum(carry, axis=0)[0, 0, :2, :2])
+        _ = np.asarray(jnp.sum(carry, axis=0)[0, :2, :2])
         dt = time.perf_counter() - t0
         n_snp_done = len(batches) * n_data * args.chunk
         pairs = 0.5 * args.nsamp * (args.nsamp + 1) * n_snp_done
