@@ -47,7 +47,7 @@ def _beta_raw(c: PairCounts, inbreeding: bool):
 def indiv_beta(data, sample_id=None, snp_id=None, autosome_only=True,
                remove_monosnp=True, maf=math.nan, missing_rate=0.01,
                method="weighted", inbreeding=True, verbose=False,
-               chunk=2048) -> IndivBetaResult:
+               chunk=None) -> IndivBetaResult:
     """snpgdsIndivBeta (R/IBD.R:838)."""
     if method != "weighted":
         raise ValueError("method must be 'weighted'")
@@ -70,7 +70,7 @@ def indiv_beta_rel(beta: IndivBetaResult, beta_rel: float):
                            beta.avg_val)
 
 
-def beta_grm_matrix(ws, chunk=2048) -> np.ndarray:
+def beta_grm_matrix(ws, chunk=None) -> np.ndarray:
     """GRM method='IndivBeta' (CalcIndivBetaGRM, genBeta.cpp:263-357):
     min-rescaled beta matrix with diagonal mapped to (x-min)*scale/2 + 1."""
     c = pair_counts(ws, chunk=chunk)

@@ -30,7 +30,7 @@ class EigMixResult:
     diagadj: bool
 
 
-def eigmix_ibd_matrix(ws, diagadj: bool = True, chunk: int = 2048) -> np.ndarray:
+def eigmix_ibd_matrix(ws, diagadj: bool = True, chunk=None) -> np.ndarray:
     num, denom, het = eigmix_parts(ws, chunk=chunk)
     if diagadj:
         num = num.copy()
@@ -42,7 +42,7 @@ def eigmix_ibd_matrix(ws, diagadj: bool = True, chunk: int = 2048) -> np.ndarray
 def eigmix(data, sample_id=None, snp_id=None, autosome_only=True,
            remove_monosnp=True, maf=math.nan, missing_rate=0.01,
            eigen_cnt=32, diagadj=True, ibdmat=False, verbose=False,
-           chunk=2048) -> EigMixResult:
+           chunk=None) -> EigMixResult:
     """snpgdsEIGMIX (R/PCA.R:311)."""
     ws, _ = init_workspace(data, sample_id, snp_id, autosome_only,
                            remove_monosnp, maf, missing_rate, verbose=verbose)

@@ -48,7 +48,7 @@ def grm(data, sample_id=None, snp_id=None, autosome_only=True,
         remove_monosnp=True, maf=math.nan, missing_rate=0.01,
         method="GCTA", out_fn=None, out_prec="double",
         out_compress="LZMA_RA", mesh=None, verbose=False,
-        chunk=2048, checkpoint=None) -> GRMResult:
+        chunk=None, checkpoint=None) -> GRMResult:
     """snpgdsGRM (R/IBD.R:543). With out_fn, also writes the
     SNPRELATE_OUTPUT GDS artifact for snpgdsMergeGRM. With checkpoint=path,
     the accumulators are saved every 64 chunks and a rerun resumes

@@ -118,7 +118,7 @@ def _est_plink_kinship(ibs0, ibs1, ibs2, e, constraint: bool):
 def ibd_mom(data, sample_id=None, snp_id=None, autosome_only=True,
             remove_monosnp=True, maf=math.nan, missing_rate=0.01,
             allele_freq=None, kinship=False, kinship_constraint=False,
-            verbose=False, chunk=2048) -> IBDMoMResult:
+            verbose=False, chunk=None) -> IBDMoMResult:
     """snpgdsIBDMoM (R/IBD.R:22)."""
     ws, afreq_used = init_workspace(data, sample_id, snp_id, autosome_only,
                                     remove_monosnp, maf, missing_rate,

@@ -34,7 +34,7 @@ class IBSNumResult:
 
 def ibs(data, sample_id=None, snp_id=None, autosome_only=True,
         remove_monosnp=True, maf=math.nan, missing_rate=0.01,
-        verbose=False, chunk=2048, checkpoint=None) -> IBSResult:
+        verbose=False, chunk=None, checkpoint=None) -> IBSResult:
     """snpgdsIBS (R/IBS.R:22): average IBS
     (0.5*IBS1 + IBS2) / (IBS0+IBS1+IBS2) per pair (genIBS.cpp:470-475)."""
     ws, _ = init_workspace(data, sample_id, snp_id, autosome_only,
@@ -48,7 +48,7 @@ def ibs(data, sample_id=None, snp_id=None, autosome_only=True,
 
 def ibs_num(data, sample_id=None, snp_id=None, autosome_only=True,
             remove_monosnp=True, maf=math.nan, missing_rate=0.01,
-            verbose=False, chunk=2048, checkpoint=None) -> IBSNumResult:
+            verbose=False, chunk=None, checkpoint=None) -> IBSNumResult:
     """snpgdsIBSNum (R/IBS.R:50): raw IBS0/1/2 counts."""
     ws, _ = init_workspace(data, sample_id, snp_id, autosome_only,
                            remove_monosnp, maf, missing_rate, verbose=verbose)

@@ -42,7 +42,7 @@ class KINGHomoResult:
 
 def ibd_king(data, sample_id=None, snp_id=None, autosome_only=True,
              remove_monosnp=True, maf=math.nan, missing_rate=0.01,
-             type="KING-robust", family_id=None, verbose=False, chunk=2048):
+             type="KING-robust", family_id=None, verbose=False, chunk=None):
     """snpgdsIBDKING (R/IBD.R:333)."""
     ws, _ = init_workspace(data, sample_id, snp_id, autosome_only,
                            remove_monosnp, maf, missing_rate, verbose=verbose)

@@ -293,10 +293,12 @@ def _randomized_pca_cached(ws, eigen_cnt, aux_dim, iter_num, seed, chunk,
 
 
 def randomized_pca(ws, eigen_cnt=16, aux_dim=None, iter_num=10, seed=None,
-                   chunk=4096, p_all=None, mesh=None):
+                   chunk=None, p_all=None, mesh=None):
     from .pca import PCAResult
 
     n, m = ws.n_samp, ws.n_snp
+    if chunk is None:
+        chunk = 4096 if p_all is None else p_all.shape[1]
     if aux_dim is None:
         aux_dim = 2 * eigen_cnt
     hsize = aux_dim * (iter_num + 1)

@@ -156,6 +156,18 @@ def _choose_nblk(n_pad: int) -> int:
     return 1
 
 
+def auto_chunk(n_pad: int, n_snp: int) -> int:
+    """SNP-chunk auto-tuning: the HBM analog of the reference's cache-sized
+    block policy (GetOptimzedCache / DetectOptimizedNumOfSNP,
+    dGenGWAS.cpp:2290-2315). Sizes the chunk so the decoded f32 block plus
+    plane/operand copies stay well inside HBM (~2.4 GB at 6 bytes/element),
+    large enough to amortize the n x n carry update per chunk."""
+    c = int(4.0e8) // max(n_pad, 1)
+    c = min(32768, 1 << max(c, 1024).bit_length() - 1)  # pow2 floor >= 1024
+    need = -(-n_snp // 1024) * 1024  # don't exceed the dataset
+    return max(1024, min(c, need))
+
+
 def _pad_blocks(n: int, pad_to: int = 128):
     """(n_pad, nblk) for a raw sample count: pads up to a multiple of
     ``pad_to * nblk`` so the block-triangular layout always applies once
@@ -284,7 +296,7 @@ class PairCounts:
         return self.C[0, 0] + self.C[2, 2]
 
 
-def pair_counts(ws, chunk: int = 2048, pad_to: int = 128,
+def pair_counts(ws, chunk=None, pad_to: int = 128,
                 checkpoint=None, checkpoint_every: int = 64) -> PairCounts:
     """Run the integer pairwise engine over a Workspace selection.
 
@@ -293,6 +305,8 @@ def pair_counts(ws, chunk: int = 2048, pad_to: int = 128,
     int4 matmuls at bench scale and stays opt-in for experimentation.
     """
     n_pad = -(-ws.n_samp // pad_to) * pad_to
+    if chunk is None:
+        chunk = auto_chunk(n_pad, ws.n_snp)
     ck = Checkpointer(checkpoint, checkpoint_every,
                       meta=(61, ws.n_snp, ws.n_samp, chunk))
     step, saved = ck.load()
@@ -406,11 +420,13 @@ def _zeros_blocks(nblk, nb, dtype):
                  for _ in range(nblk * (nblk + 1) // 2))
 
 
-def pca_covariance(ws, bayesian: bool = False, chunk: int = 2048,
+def pca_covariance(ws, bayesian: bool = False, chunk=None,
                    pad_to: int = 128, checkpoint=None,
                    checkpoint_every: int = 64) -> np.ndarray:
     """Exact-PCA genetic covariance (unscaled; CExactPCA::Run)."""
     n_pad, nblk = _pad_blocks(ws.n_samp, pad_to)
+    if chunk is None:
+        chunk = auto_chunk(n_pad, ws.n_snp)
     nb = n_pad // nblk
     fdt = _default_float_dtype()
     ck = Checkpointer(checkpoint, checkpoint_every,
@@ -427,11 +443,13 @@ def pca_covariance(ws, bayesian: bool = False, chunk: int = 2048,
     return full[: ws.n_samp, : ws.n_samp].astype(np.float64)
 
 
-def gcta_grm_parts(ws, chunk: int = 2048, pad_to: int = 128,
+def gcta_grm_parts(ws, chunk=None, pad_to: int = 128,
                    checkpoint=None, checkpoint_every: int = 64):
     """GCTA GRM numerator + per-pair denominators (CGCTA_AlgArith::Run):
     GRM = Cov / (2 * (nLocus - Denom)) with Denom = nLocus - VpVp^T."""
     n_pad, nblk = _pad_blocks(ws.n_samp, pad_to)
+    if chunk is None:
+        chunk = auto_chunk(n_pad, ws.n_snp)
     nb = n_pad // nblk
     nbl = nblk * (nblk + 1) // 2
     fdt = _default_float_dtype()
@@ -484,9 +502,11 @@ def _king_homo_step(carry, packed, nblk: int):
     return grams, waf, waf2
 
 
-def king_homo_counts(ws, chunk: int = 2048, pad_to: int = 128):
+def king_homo_counts(ws, chunk=None, pad_to: int = 128):
     """Returns (PairCounts, SumAFreq, SumAFreq2) for KING-homo."""
     n_pad, nblk = _pad_blocks(ws.n_samp, pad_to)
+    if chunk is None:
+        chunk = auto_chunk(n_pad, ws.n_snp)
     nb = n_pad // nblk
     fdt = _default_float_dtype()
     carry = (_zeros6(n_pad),
@@ -528,9 +548,11 @@ def _eigmix_step(carry, packed, nblk: int):
     return cov, wvg, hetcnt, afsum + d.sum()
 
 
-def eigmix_parts(ws, chunk: int = 2048, pad_to: int = 128):
+def eigmix_parts(ws, chunk=None, pad_to: int = 128):
     """Returns (num=XX^T, denom=(V.d)V^T, het per sample, afreq per snp)."""
     n_pad, nblk = _pad_blocks(ws.n_samp, pad_to)
+    if chunk is None:
+        chunk = auto_chunk(n_pad, ws.n_snp)
     nb = n_pad // nblk
     fdt = _default_float_dtype()
     carry = (_zeros_blocks(nblk, nb, fdt), _zeros_blocks(nblk, nb, fdt),

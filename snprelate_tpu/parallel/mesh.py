@@ -27,7 +27,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.decode import decode2bit, genotype_planes
-from ..ops.pairwise import (_mirror6, _sym_grams, make_pca_block,
+from ..ops.pairwise import (_mirror6, _sym_grams, auto_chunk, make_pca_block,
                             norm_precision)
 
 
@@ -55,7 +55,7 @@ def _sharded_gram_step(carry, packed_batch, mesh: Mesh):
         out, NamedSharding(mesh, P("data", None, "samp", None)))
 
 
-def sharded_pair_counts(ws, mesh: Mesh, chunk: int = 2048) -> np.ndarray:
+def sharded_pair_counts(ws, mesh: Mesh, chunk=None) -> np.ndarray:
     """Multi-device plane cross-grams: returns (3,3,n,n) int64.
 
     SNP chunks round-robin across the 'data' axis; per-device partials are
@@ -63,6 +63,8 @@ def sharded_pair_counts(ws, mesh: Mesh, chunk: int = 2048) -> np.ndarray:
     d = mesh.shape["data"]
     n_samp_dev = mesh.shape["samp"]
     n_pad = -(-ws.n_samp // (128 * n_samp_dev)) * (128 * n_samp_dev)
+    if chunk is None:
+        chunk = auto_chunk(n_pad, ws.n_snp)
     nbytes = n_pad // 4
     carry_sh = NamedSharding(mesh, P("data", None, "samp", None))
     batch_sh = NamedSharding(mesh, P("data", None, None))
@@ -103,10 +105,12 @@ def _sharded_cov_step(carry, packed_batch, mesh: Mesh):
         out, NamedSharding(mesh, P("data", "samp", None)))
 
 
-def sharded_pca_covariance(ws, mesh: Mesh, chunk: int = 2048) -> np.ndarray:
+def sharded_pca_covariance(ws, mesh: Mesh, chunk=None) -> np.ndarray:
     d = mesh.shape["data"]
     n_samp_dev = mesh.shape["samp"]
     n_pad = -(-ws.n_samp // (128 * n_samp_dev)) * (128 * n_samp_dev)
+    if chunk is None:
+        chunk = auto_chunk(n_pad, ws.n_snp)
     nbytes = n_pad // 4
     fdt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     carry_sh = NamedSharding(mesh, P("data", "samp", None))
@@ -168,11 +172,13 @@ def _batched_chunks(ws, chunk, n_pad, d):
         yield np.stack(batch + pad)
 
 
-def sharded_gcta_parts(ws, mesh: Mesh, chunk: int = 2048):
+def sharded_gcta_parts(ws, mesh: Mesh, chunk=None):
     """Multi-device GCTA GRM parts (cov, validity gram, nlocus)."""
     d = mesh.shape["data"]
     n_samp_dev = mesh.shape["samp"]
     n_pad = -(-ws.n_samp // (128 * n_samp_dev)) * (128 * n_samp_dev)
+    if chunk is None:
+        chunk = auto_chunk(n_pad, ws.n_snp)
     fdt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     c_sh = NamedSharding(mesh, P("data", "samp", None))
     b_sh = NamedSharding(mesh, P("data", None, None))
