@@ -173,16 +173,124 @@ def cut_tree(hc: HClusterResult, z_threshold=15.0, outlier_n=5, n_perm=5000,
     return res
 
 
-def draw_tree(cut: CutTreeResult, hc: HClusterResult, ax=None, **kw):
-    """snpgdsDrawTree (R/AllUtilities.R:1764) analog via scipy/matplotlib."""
+def _merge_node_xy(hc: HClusterResult):
+    """(x_center, height) of every merge in dendrogram coordinates
+    (scipy leaves sit at 10*rank + 5)."""
+    n = len(hc.sample_id)
+    rank = np.empty(n, np.int64)
+    rank[hc.order] = np.arange(n)
+    leaf_x = 10.0 * rank + 5.0
+    cx = np.empty(n - 1)
+    for i in range(n - 1):
+        xs = []
+        for k in range(2):
+            c = int(hc.linkage[i, k])
+            xs.append(leaf_x[c] if c < n else cx[c - n])
+        cx[i] = 0.5 * (xs[0] + xs[1])
+    return cx, hc.linkage[:, 2].copy()
+
+
+def draw_tree(cut, hc: HClusterResult = None, type="dendrogram",
+              yaxis_height=True, yaxis_kinship=True,
+              y_kinship_baseline=np.nan, y_label_kinship=False,
+              outlier_n=None,
+              shadow_col=((0.5, 0.5, 0.5, 0.25), (0.5, 0.5, 0.5, 0.05)),
+              outlier_col=(1.0, 0.5, 0.5, 0.5), leaflab="none",
+              labels=None, y_label=0.2, ax=None, **kw):
+    """snpgdsDrawTree (R/AllUtilities.R:1761-1896) analog via
+    scipy/matplotlib: dendrogram with per-group shadow rectangles (outlier
+    groups tinted), optional right-hand coancestry axis with relationship
+    guide lines, merge-edge Z/H labels from snpgdsCutTree's label.H/label.Z
+    options (R/AllUtilities.R:530-560), or the sorted Z-score profile
+    (type="z-score")."""
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
     from scipy.cluster.hierarchy import dendrogram
 
+    if isinstance(cut, HClusterResult) and hc is None:
+        cut, hc = None, cut
+
+    if type == "z-score":
+        if cut is None or cut.merge is None:
+            raise ValueError("There is no Z score in this object.")
+        y = np.sort(np.asarray(cut.merge["z"]))[::-1]
+        if ax is None:
+            _fig, ax = plt.subplots(figsize=(6, 4))
+        ax.semilogx(np.arange(1, len(y) + 1), y, "+-")
+        ax.axhline(15, color="gray", ls="--")
+        ax.set_xlabel("the order of Z score")
+        ax.set_ylabel("Z score")
+        return ax
+
+    if hc is None:
+        raise ValueError("draw_tree needs the HClusterResult")
     if ax is None:
         _fig, ax = plt.subplots(figsize=(10, 4))
-    dendrogram(hc.linkage, labels=list(hc.sample_id), ax=ax, **kw)
+    dendrogram(hc.linkage,
+               labels=None if leaflab == "none" else list(hc.sample_id),
+               no_labels=leaflab == "none", ax=ax, link_color_func=None,
+               **kw)
+    n = len(hc.sample_id)
+
+    if yaxis_height:
+        ax.set_ylabel(kw.get("ylab", "individual dissimilarity"))
+
+    baseline = (float(y_kinship_baseline)
+                if np.isfinite(y_kinship_baseline)
+                else float(hc.linkage[:, 2].max()))
+    if yaxis_kinship:
+        right = ax.secondary_yaxis("right")
+        ym = np.linspace(0, 1, 6)
+        right.set_yticks((1 - ym) * baseline, [f"{v:g}" for v in ym])
+        right.set_ylabel("coancestry coefficient")
+        if y_label_kinship:
+            names = ["twins", "PC/FS", "DFC/HS", "FC"]
+            for frac, nm in zip((0.5, 0.25, 1 / 8, 1 / 16), names):
+                h = (1 - frac) * baseline
+                ax.axhline(h, ls="--", color="gray", lw=0.8)
+                ax.text(ax.get_xlim()[1], h, nm, fontsize=7,
+                        color="gray", va="bottom", ha="right")
+
+    if cut is not None:
+        if outlier_n is None:
+            outlier_n = cut.outlier_n
+        # contiguous group runs along the leaf order -> shadow rectangles
+        glab = np.asarray(cut.samp_group, object)[hc.order]
+        edges = np.flatnonzero(np.r_[True, glab[1:] != glab[:-1], True])
+        jj, k = 0, 0
+        y0, y1 = ax.get_ylim()
+        for a, b in zip(edges[:-1], edges[1:]):
+            cnt = b - a
+            if cnt > outlier_n:
+                ax.axvspan(10.0 * a, 10.0 * b, color=shadow_col[jj], lw=0)
+                jj = 1 - jj
+                if labels is not None and k < len(labels):
+                    ax.text(10.0 * (a + b) / 2, y_label, labels[k],
+                            ha="center")
+                k += 1
+            else:
+                ax.axvspan(10.0 * a, 10.0 * b, color=outlier_col, lw=0)
+        # merge-edge Z / H labels (reference attaches these as dendrogram
+        # edgetext in snpgdsCutTree, R/AllUtilities.R:530-560)
+        disp = getattr(cut, "display", {})
+        if cut.merge is not None and (disp.get("label_H")
+                                      or disp.get("label_Z", True)):
+            cx, hh = _merge_node_xy(hc)
+            for i in range(n - 1):
+                z = cut.merge["z"][i]
+                if z < cut.z_threshold:
+                    continue
+                if disp.get("label_H"):
+                    txt = (f"{hh[i]:.2g} ({z:.1f})"
+                           if disp.get("label_Z", True) else f"{hh[i]:.2g}")
+                else:
+                    txt = f"Z: {z:.1f}"
+                ax.annotate(txt, (cx[i], hh[i]), fontsize=6,
+                            ha="center", va="bottom",
+                            bbox=dict(boxstyle="round,pad=0.1", fc="white",
+                                      ec="gray", lw=0.3, alpha=0.8))
+        ax.set_ylim(y0, y1)
     return ax
 
 

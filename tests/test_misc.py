@@ -125,3 +125,26 @@ def test_snp_list_intersect(hapmap):
     assert len(rv["idx1"]) == 150
     # identical lists: never a flip (ambiguous A/T-C/G pairs set bit2)
     assert all(f is not None and (f & 1) == 0 for f in rv["flag2"])
+
+
+def test_draw_tree_parity(hapmap):
+    """snpgdsDrawTree options: z-score plot, kinship axis, group shadows,
+    merge Z labels (R/AllUtilities.R:1761-1896)."""
+    import snprelate_tpu as sr
+
+    ids = np.asarray(hapmap.sample_id[:60], object)
+    res = sr.ibs(hapmap, sample_id=ids, missing_rate=np.nan,
+                 remove_monosnp=False)
+    hc = sr.hcluster(res)
+    ct = sr.cut_tree(hc, n_perm=100, seed=1, label_H=True)
+    ax = sr.draw_tree(ct, hc, y_label_kinship=True, labels=["a", "b"])
+    assert ax is not None
+    # annotations exist for merges above threshold
+    n_above = int((ct.merge["z"] >= ct.z_threshold).sum())
+    texts = [t for t in ax.texts]
+    assert len(texts) >= min(n_above, 1)
+    ax2 = sr.draw_tree(ct, type="z-score")
+    assert ax2.get_ylabel() == "Z score"
+    # hcluster-only call still draws
+    ax3 = sr.draw_tree(hc)
+    assert ax3 is not None
