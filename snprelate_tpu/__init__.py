@@ -5,6 +5,33 @@ Public API mirrors the reference's exported snpgds* functions with snake_case
 names; `snpgds*` aliases are provided for discoverability.
 """
 
+def _setup_compile_cache():
+    """Persistent XLA compilation cache: first-compile of the large jitted
+    engines costs 2-10 s each on TPU; caching them on disk amortizes that
+    across sessions (the accelerator-era analog of the reference shipping
+    precompiled .so kernels). Opt out with SNPRELATE_TPU_COMPILE_CACHE=0."""
+    import os
+
+    path = os.environ.get("SNPRELATE_TPU_COMPILE_CACHE")
+    if path == "0":
+        return
+    if not path:
+        path = os.path.join(os.path.expanduser("~"), ".cache",
+                            "snprelate_tpu", "xla")
+    try:
+        import jax
+
+        if jax.config.jax_compilation_cache_dir is None:
+            os.makedirs(path, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", path)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              1.0)
+    except Exception:  # cache is best-effort; never block import
+        pass
+
+
+_setup_compile_cache()
+
 from .io.store import SNPData, create_geno, open_snp_gds, example_filename
 from .io.seqarray import open_seq_gds, write_seq_gds
 from .io.gds import open_gds, write_snp_gds

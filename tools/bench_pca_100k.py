@@ -53,10 +53,17 @@ def main():
     res = randomized_pca(ws, eigen_cnt=32, aux_dim=64, iter_num=iters,
                          seed=1, chunk=chunk, p_all=p_all)
     dt = time.perf_counter() - t0
+    # warm run: jits cached (in-memory + persistent XLA cache), the
+    # steady-state number for repeated analyses
+    t0 = time.perf_counter()
+    res = randomized_pca(ws, eigen_cnt=32, aux_dim=64, iter_num=iters,
+                         seed=1, chunk=chunk, p_all=p_all)
+    warm = time.perf_counter() - t0
     out = {
         "metric": "randomized PCA top-32 PCs wall-clock (1 chip)",
         "n_samp": n_samp, "n_snp": n_snp, "iters": iters,
         "gen_s": round(gen_t, 1), "pca_s": round(dt, 1),
+        "pca_warm_s": round(warm, 1),
         "eigenvect_shape": list(res.eigenvect.shape),
         "top_eigenval": [round(float(x), 3) for x in res.eigenval[:4]],
     }
