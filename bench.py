@@ -31,7 +31,8 @@ def main():
     n_samp = int(os.environ.get("BENCH_NSAMP", 8192))
     n_snp = int(os.environ.get("BENCH_NSNP", 262144))
     chunk = int(os.environ.get("BENCH_CHUNK", 32768))
-    n_chunks = n_snp // chunk
+    n_chunks = max(1, n_snp // chunk)
+    n_snp = n_chunks * chunk  # credit only the SNPs actually processed
     nblk = _choose_nblk(n_samp)
     nbl = nblk * (nblk + 1) // 2
 

@@ -9,11 +9,13 @@ def _setup_compile_cache():
     """Persistent XLA compilation cache: first-compile of the large jitted
     engines costs 2-10 s each on TPU; caching them on disk amortizes that
     across sessions (the accelerator-era analog of the reference shipping
-    precompiled .so kernels). Opt out with SNPRELATE_TPU_COMPILE_CACHE=0."""
+    precompiled .so kernels). Opt out with SNPRELATE_TPU_COMPILE_CACHE=0
+    (also: off/false/no); any other value is used as the cache dir."""
     import os
 
     path = os.environ.get("SNPRELATE_TPU_COMPILE_CACHE")
-    if path == "0":
+    if path is not None and path.strip().lower() in ("0", "", "off",
+                                                     "false", "no"):
         return
     if not path:
         path = os.path.join(os.path.expanduser("~"), ".cache",

@@ -227,14 +227,14 @@ def draw_tree(cut, hc: HClusterResult = None, type="dendrogram",
         raise ValueError("draw_tree needs the HClusterResult")
     if ax is None:
         _fig, ax = plt.subplots(figsize=(10, 4))
+    ylab = kw.pop("ylab", "individual dissimilarity")
     dendrogram(hc.linkage,
                labels=None if leaflab == "none" else list(hc.sample_id),
-               no_labels=leaflab == "none", ax=ax, link_color_func=None,
-               **kw)
+               no_labels=leaflab == "none", ax=ax, **kw)
     n = len(hc.sample_id)
 
     if yaxis_height:
-        ax.set_ylabel(kw.get("ylab", "individual dissimilarity"))
+        ax.set_ylabel(ylab)
 
     baseline = (float(y_kinship_baseline)
                 if np.isfinite(y_kinship_baseline)

@@ -2,8 +2,7 @@
 
 The packed layout is (n_snp, ceil(n_samp/4)) uint8 with the first sample in
 the low bits (io/store.py:pack2bit). Decode runs inside jit so XLA fuses it
-into the downstream normalization/plane construction; a Pallas kernel
-variant (fused decode + plane matmul) lives in ops/pallas_kernels.py.
+into the downstream normalization/plane construction.
 
 Reference analog: the bit unpack tables / PackSNPGeno codecs in
 dGenGWAS.cpp:1402-1535 — re-designed here as vectorized shifts instead of

@@ -171,13 +171,14 @@ def auto_chunk(n_pad: int, n_snp: int) -> int:
 def _pad_blocks(n: int, pad_to: int = 128):
     """(n_pad, nblk) for a raw sample count: pads up to a multiple of
     ``pad_to * nblk`` so the block-triangular layout always applies once
-    n is large enough (the extra padding samples are all-missing)."""
-    n_pad = -(-n // pad_to) * pad_to
+    n is large enough (the extra padding samples are all-missing). Picks
+    the largest block count whose own padded size keeps blocks >= 1024."""
     for b in (8, 4, 2):
+        step = pad_to * b
+        n_pad = -(-n // step) * step
         if n_pad >= 1024 * b:
-            step = pad_to * b
-            return -(-n // step) * step, b
-    return n_pad, 1
+            return n_pad, b
+    return -(-n // pad_to) * pad_to, 1
 
 
 def _sym_blocks(w: jax.Array, x: jax.Array, nblk: int, *,
@@ -300,9 +301,9 @@ def pair_counts(ws, chunk=None, pad_to: int = 128,
                 checkpoint=None, checkpoint_every: int = 64) -> PairCounts:
     """Run the integer pairwise engine over a Workspace selection.
 
-    Uses the symmetric 6-block gram (``_sym_grams``); the triangular Pallas
-    SYRK path (ops/pallas_kernels.py) measured slower end-to-end than XLA
-    int4 matmuls at bench scale and stays opt-in for experimentation.
+    Uses the symmetric 6-block gram (``_sym_grams``). A triangular Pallas
+    SYRK kernel was evaluated (git history) and measured slower end-to-end
+    than XLA int4 matmuls at bench scale, so XLA runs the contraction.
     """
     n_pad = -(-ws.n_samp // pad_to) * pad_to
     if chunk is None:
