@@ -15,7 +15,8 @@ from dataclasses import dataclass
 import numpy as np
 
 from ..workspace import init_workspace
-from ..ops.ld import joint_table, ld_from_joint, snp_planes_np
+from ..ops.ld import (band_exceeds_tile, joint_table, ld_from_joint,
+                      snp_planes_np)
 
 _METHODS = ("composite", "r", "dprime", "corr", "cov")
 
@@ -85,11 +86,101 @@ def ld_mat(data, sample_id=None, snp_id=None, slide=250,
     return LDMatResult(ws.sample_id, ws.snp_id, out, slide)
 
 
+def _prune_chromosome_banded(geno, pos, start_idx, slide_max_bp,
+                             slide_max_n, threshold, method,
+                             block=1024, col_tile=4096, w_cap=32768):
+    """Fast path for _prune_chromosome when positions are sorted: the |LD|
+    band of each SNP block against its whole backward (forward) window is
+    computed with the jitted joint-table engine (MXU matmuls), and the
+    inherently sequential keep/drop scan becomes cheap NumPy lookups —
+    instead of one host einsum per SNP. Exactly equivalent to the scalar
+    scan for monotone positions: once a SNP leaves the window it can never
+    re-enter (index and bp distances both grow monotonically), so window
+    membership is a pure range predicate. Returns None when positions are
+    unsorted or the window span exceeds ``w_cap`` (caller falls back)."""
+    n = geno.shape[0]
+    pos = np.asarray(pos)
+    if n > 1 and not np.all(np.diff(pos) >= 0):
+        return None
+    idx = np.arange(n)
+    lo_bp = np.searchsorted(pos, pos - slide_max_bp, side="left")
+    hi_bp = np.searchsorted(pos, pos + slide_max_bp, side="right") - 1
+    smn = int(min(slide_max_n, n))
+    jlo = np.maximum(lo_bp, idx - smn)  # inclusive window bounds
+    jhi = np.minimum(hi_bp, idx + smn)
+    if n and max((idx - jlo).max(), (jhi - idx).max()) > w_cap:
+        return None
+
+    out = np.zeros(n, bool)
+    out[start_idx] = True
+
+    def band_rows(i0, i1, lo, hi):
+        """Boolean |LD| > threshold band, evaluated on device so only the
+        decision bits cross the host boundary (ops/ld.band_exceeds_tile).
+        Tiles are padded to fixed (block, col_tile) shapes with missing
+        genotypes (NaN LD -> False) so only ONE kernel shape compiles."""
+        band = np.empty((i1 - i0, hi - lo), bool)
+        gi = geno[i0:i1]
+        if gi.shape[0] < block:
+            gi = np.pad(gi, ((0, block - gi.shape[0]), (0, 0)),
+                        constant_values=3)
+        for c0 in range(lo, hi, col_tile):
+            c1 = min(c0 + col_tile, hi)
+            gj = geno[c0:c1]
+            if gj.shape[0] < col_tile:
+                gj = np.pad(gj, ((0, col_tile - gj.shape[0]), (0, 0)),
+                            constant_values=3)
+            tile = np.asarray(band_exceeds_tile(gi, gj, threshold, method))
+            band[:, c0 - lo:c1 - lo] = tile[: i1 - i0, : c1 - c0]
+        return band
+
+    # increasing scan: window = kept j in [max(start_idx, jlo[i]), i)
+    for i0 in range(start_idx + 1, n, block):
+        i1 = min(i0 + block, n)
+        lo = max(start_idx, int(jlo[i0:i1].min()))
+        band = band_rows(i0, i1, lo, i1)
+        for i in range(i0, i1):
+            a = max(start_idx, int(jlo[i]))
+            row = band[i - i0, a - lo:i - lo]
+            out[i] = not row[out[a:i]].any()
+
+    # decreasing scan: kept j in (i, min(jhi[i], jhi[start_idx])] — SNPs
+    # above start_idx only count while inside start_idx's own window (the
+    # scalar scan seeds its window that way, genLD.cpp:879-905)
+    jmax_seed = int(jhi[start_idx]) if n else 0
+    for i1 in range(start_idx, 0, -block):
+        i0 = max(0, i1 - block)
+        hi = min(n, min(int(jhi[i0:i1].max()), jmax_seed) + 1)
+        band = band_rows(i0, i1, i0, hi) if hi > i0 else None
+        for i in range(i1 - 1, i0 - 1, -1):
+            b = min(int(jhi[i]), jmax_seed)  # inclusive
+            if b <= i:
+                out[i] = True
+                continue
+            row = band[i - i0, i + 1 - i0:b + 1 - i0]
+            out[i] = not row[out[i + 1:b + 1]].any()
+    return out
+
+
 def _prune_chromosome(geno: np.ndarray, pos: np.ndarray, start_idx: int,
                       slide_max_bp: float, slide_max_n: float,
                       threshold: float, method: str) -> np.ndarray:
     """Perform_LD_Pruning (genLD.cpp:810-925): bidirectional scan keeping a
     SNP iff |LD| <= threshold against every kept SNP in the sliding window."""
+    fast = _prune_chromosome_banded(geno, pos, start_idx, slide_max_bp,
+                                    slide_max_n, threshold, method)
+    if fast is not None:
+        return fast
+    return _prune_chromosome_scalar(geno, pos, start_idx, slide_max_bp,
+                                    slide_max_n, threshold, method)
+
+
+def _prune_chromosome_scalar(geno: np.ndarray, pos: np.ndarray,
+                             start_idx: int, slide_max_bp: float,
+                             slide_max_n: float, threshold: float,
+                             method: str) -> np.ndarray:
+    """Literal per-SNP window scan (handles unsorted positions, where the
+    reference's drop-permanence semantics are not a range predicate)."""
     n = geno.shape[0]
     planes = snp_planes_np(geno).astype(np.float32)  # (3, S, N)
     out = np.zeros(n, bool)

@@ -13,6 +13,8 @@ on the MXU, and the measures are evaluated vectorized:
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -111,6 +113,144 @@ def em_haplo(nA_A, nA_B, nB_A, nB_B, nDH2):
             pB_A = np.where(em, c, pB_A)
             pB_B = np.where(em, d, pB_B)
     return pA_A, pA_B, pB_A, pB_B
+
+
+# --- device-side LD evaluation (jax port of ld_from_joint/em_haplo) ---
+# Used by the LD-pruning band path: the |LD| > threshold decision is made
+# on device so only a boolean band crosses the host boundary (the joint
+# tables are 36x larger). On CPU/x64 this is bit-identical to the numpy
+# path (same IEEE f64 elementwise ops); on TPU it runs in f32.
+
+
+def _em_haplo_jnp(nA_A, nA_B, nB_A, nB_B, nDH2):
+    fdt = nA_A.dtype
+    eps = jnp.asarray(np.finfo(np.dtype(fdt)).eps, fdt)
+    n_total = nA_A + nA_B + nB_A + nB_B + nDH2
+
+    def plog(x):
+        return jnp.log(x + eps)
+
+    pA_A = nA_A / n_total
+    pA_B = nA_B / n_total
+    pB_A = nB_A / n_total
+    pB_B = nB_B / n_total
+
+    em = (n_total > 0) & (nDH2 > 0)
+    init_f = jnp.asarray(0.01, fdt)
+    div = nA_A + nA_B + nB_A + nB_B + 4.0 * init_f
+    a = (nA_A + init_f) / div
+    b = (nA_B + init_f) / div
+    c = (nB_A + init_f) / div
+    d = (nB_B + init_f) / div
+    nDH = jnp.floor(nDH2 / 2)
+
+    def loglik(a, b, c, d):
+        return (nA_A * plog(a) + nA_B * plog(b) + nB_A * plog(c)
+                + nB_B * plog(d) + nDH * plog(a * d + b * c))
+
+    old = loglik(a, b, c, d)
+    contol = jnp.maximum(jnp.abs(jnp.sqrt(eps) * old), eps)
+
+    def cond(state):
+        it, active, *_ = state
+        return (it < 1000) & jnp.any(active)
+
+    def body(state):
+        it, active, a, b, c, d, old = state
+        p_ad = a * d
+        p_bc = b * c
+        ndh_ad = jnp.where(p_ad + p_bc > 0, p_ad / (p_ad + p_bc) * nDH, 0.0)
+        ndh_bc = nDH - ndh_ad
+        a = jnp.where(active, (nA_A + ndh_ad) / n_total, a)
+        b = jnp.where(active, (nA_B + ndh_bc) / n_total, b)
+        c = jnp.where(active, (nB_A + ndh_bc) / n_total, c)
+        d = jnp.where(active, (nB_B + ndh_ad) / n_total, d)
+        ll = loglik(a, b, c, d)
+        conv = jnp.abs(ll - old) <= contol
+        old = jnp.where(active, ll, old)
+        return it + 1, active & ~conv, a, b, c, d, old
+
+    _, _, a, b, c, d, _ = jax.lax.while_loop(
+        cond, body, (jnp.zeros((), jnp.int32), em, a, b, c, d, old))
+    return (jnp.where(em, a, pA_A), jnp.where(em, b, pA_B),
+            jnp.where(em, c, pB_A), jnp.where(em, d, pB_B))
+
+
+def _ld_from_joint_jnp(J, method: str):
+    """J: 3x3 nested list of same-shaped float arrays (J[a][b] = joint
+    count tiles) -> LD values. A grid of 2D tiles instead of a stacked
+    (3,3,Si,Sj) array: the 4D transpose form compiled 15x slower."""
+    n = sum(J[a][b] for a in range(3) for b in range(3))
+    nan = jnp.asarray(jnp.nan, J[0][0].dtype)
+    if method == "composite":
+        naa = J[0][0] + J[0][1] + J[0][2]
+        naA = J[1][0] + J[1][1] + J[1][2]
+        nAA = J[2][0] + J[2][1] + J[2][2]
+        nbb = J[0][0] + J[1][0] + J[2][0]
+        nbB = J[0][1] + J[1][1] + J[2][1]
+        nBB = J[0][2] + J[1][2] + J[2][2]
+        delta = ((J[2][2] + J[0][0] - J[0][2] - J[2][0]) / (2 * n)
+                 - (naa - nAA) * (nbb - nBB) / (2.0 * n * n))
+        pa = (2 * naa + naA) / (2 * n)
+        pA = 1 - pa
+        pAA = nAA / n
+        pb = (2 * nbb + nbB) / (2 * n)
+        pB = 1 - pb
+        pBB = nBB / n
+        DA = pAA - pA * pA
+        DB = pBB - pB * pB
+        t = (pA * pa + DA) * (pB * pb + DB)
+        return jnp.where((n > 0) & (t > 0),
+                         delta / jnp.sqrt(jnp.where(t > 0, t, 1.0)), nan)
+    if method in ("corr", "cov"):
+        X = sum(a * J[a][b] for a in range(3) for b in range(3))
+        Y = sum(b * J[a][b] for a in range(3) for b in range(3))
+        XY = sum(a * b * J[a][b] for a in range(3) for b in range(3))
+        if method == "cov":
+            return jnp.where(n > 1, (XY - X * Y / n)
+                             / jnp.maximum(n - 1, 1), nan)
+        XX = sum(a * a * J[a][b] for a in range(3) for b in range(3))
+        YY = sum(b * b * J[a][b] for a in range(3) for b in range(3))
+        c1 = XX - X * X / n
+        c2 = YY - Y * Y / n
+        val = c1 * c2
+        return jnp.where((n > 0) & (val > 0),
+                         (XY - X * Y / n)
+                         / jnp.sqrt(jnp.where(val > 0, val, 1.0)), nan)
+    if method in ("r", "dprime"):
+        nA_A = 2 * J[2][2] + J[2][1] + J[1][2]
+        nA_B = 2 * J[2][0] + J[2][1] + J[1][0]
+        nB_A = 2 * J[0][2] + J[0][1] + J[1][2]
+        nB_B = 2 * J[0][0] + J[0][1] + J[1][0]
+        nDH2 = 2 * J[1][1]
+        pA_A, pA_B, pB_A, pB_B = _em_haplo_jnp(nA_A, nA_B, nB_A, nB_B, nDH2)
+        pA = pA_A + pA_B
+        p_A = pA_A + pB_A
+        pB = pB_A + pB_B
+        p_B = pA_B + pB_B
+        D = pA_A - pA * p_A
+        if method == "r":
+            return D / jnp.sqrt(pA * p_A * pB * p_B)
+        return D / jnp.where(D >= 0, jnp.minimum(pA * p_B, pB * p_A),
+                             jnp.maximum(-pA * p_A, -pB * p_B))
+    raise ValueError(f"unknown LD method {method!r}")
+
+
+@functools.partial(jax.jit, static_argnames=("method",))
+def band_exceeds_tile(gi, gj, threshold, method: str):
+    """|LD(gi_s, gj_t)| > threshold boolean tile, fully on device: genotype
+    blocks (S, N) uint8 in, (Si, Sj) bool out — only the band of decisions
+    crosses the host boundary (NaN LD compares False = keep, matching the
+    host scan). Padding rows of genotype 3 give all-zero counts -> NaN ->
+    False."""
+    fdt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    pi = [(gi == k).astype(jnp.int8) for k in range(3)]
+    pj = [(gj == k).astype(jnp.int8) for k in range(3)]
+    J = [[jnp.matmul(pi[a], pj[b].T,
+                     preferred_element_type=jnp.int32).astype(fdt)
+          for b in range(3)] for a in range(3)]
+    ld = _ld_from_joint_jnp(J, method)
+    return jnp.abs(ld) > threshold
 
 
 def haplo_counts(J: np.ndarray):

@@ -142,3 +142,38 @@ def test_apart_selection():
         p = np.sort(pos[(chrom == ch) & sel])
         assert (np.diff(p) >= 100000).all()
         assert len(p) >= 1
+
+
+def test_prune_banded_equals_scalar():
+    """The banded fast path must reproduce the literal window scan exactly
+    (sorted positions; several window limits, methods, start points)."""
+    from snprelate_tpu.models.ld import (_prune_chromosome_banded,
+                                         _prune_chromosome_scalar)
+
+    rng = np.random.default_rng(11)
+    n_snp, n_samp = 400, 64
+    base = rng.choice([0, 1, 2], size=(n_snp // 4, n_samp)).astype(np.uint8)
+    g = np.repeat(base, 4, axis=0)
+    flip = rng.random(g.shape) < 0.25
+    g = np.where(flip, rng.integers(0, 4, g.shape), g).astype(np.uint8)
+    pos = np.sort(rng.integers(0, 200_000, n_snp))
+
+    for method in ("composite", "corr", "r"):
+        for start in (0, 150, n_snp - 1):
+            for bp, mn in ((50_000, 2**31 - 1), (500_000, 25),
+                           (30_000, 60)):
+                fast = _prune_chromosome_banded(
+                    g, pos, start, bp, mn, 0.2, method, block=64,
+                    col_tile=128)
+                slow = _prune_chromosome_scalar(g, pos, start, bp, mn,
+                                                0.2, method)
+                assert fast is not None
+                np.testing.assert_array_equal(fast, slow,
+                                              err_msg=f"{method}/{start}/"
+                                                      f"{bp}/{mn}")
+
+    # unsorted positions must fall back (banded returns None)
+    pos2 = pos.copy()
+    pos2[10], pos2[11] = pos2[11] + 1000, pos2[10]
+    assert _prune_chromosome_banded(g, pos2, 0, 50_000, 100, 0.2,
+                                    "composite") is None
