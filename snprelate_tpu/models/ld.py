@@ -16,7 +16,7 @@ import numpy as np
 
 from ..workspace import init_workspace
 from ..ops.ld import (band_exceeds_tile, joint_table, ld_from_joint,
-                      snp_planes_np)
+                      ld_values_tile, snp_planes_np)
 
 _METHODS = ("composite", "r", "dprime", "corr", "cov")
 
@@ -59,14 +59,21 @@ def ld_mat(data, sample_id=None, snp_id=None, slide=250,
     if slide > n_snp:
         slide = n_snp
 
+    # LD values are evaluated on device (ops/ld.ld_values_tile): only the
+    # (Si, Sj) measures cross the host boundary, not the 36x joint tables.
+    def tile_vals(gi, gj):
+        if gi.shape[0] * gj.shape[0] > 4096:
+            return np.asarray(ld_values_tile(gi, gj, method),
+                              dtype=np.float64)
+        return ld_from_joint(joint_table(gi, gj, use_device=False), method)
+
     if slide <= 0:
         out = np.empty((n_snp, n_snp))
         for i0 in range(0, n_snp, tile):
             i1 = min(i0 + tile, n_snp)
             for j0 in range(i0, n_snp, tile):
                 j1 = min(j0 + tile, n_snp)
-                J = joint_table(geno[i0:i1], geno[j0:j1])
-                v = ld_from_joint(J, method)
+                v = tile_vals(geno[i0:i1], geno[j0:j1])
                 out[i0:i1, j0:j1] = v
                 out[j0:j1, i0:i1] = v.T
         return LDMatResult(ws.sample_id, ws.snp_id, out, slide)
@@ -77,8 +84,7 @@ def ld_mat(data, sample_id=None, snp_id=None, slide=250,
     for i0 in range(0, ncol, tile):
         i1 = min(i0 + tile, ncol)
         j1 = min(i1 + slide, n_snp)
-        J = joint_table(geno[i0:i1], geno[i0:j1])
-        v = ld_from_joint(J, method)  # (i1-i0, j1-i0)
+        v = tile_vals(geno[i0:i1], geno[i0:j1])  # (i1-i0, j1-i0)
         for local_i in range(i1 - i0):
             i = i0 + local_i
             kmax = min(slide, n_snp - i - 1)

@@ -237,6 +237,20 @@ def _ld_from_joint_jnp(J, method: str):
 
 
 @functools.partial(jax.jit, static_argnames=("method",))
+def ld_values_tile(gi, gj, method: str):
+    """LD(gi_s, gj_t) value tile on device: genotype blocks (S, N) uint8 in,
+    (Si, Sj) float out — transfers the measure instead of the 36x-larger
+    joint tables."""
+    fdt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    pi = [(gi == k).astype(jnp.int8) for k in range(3)]
+    pj = [(gj == k).astype(jnp.int8) for k in range(3)]
+    J = [[jnp.matmul(pi[a], pj[b].T,
+                     preferred_element_type=jnp.int32).astype(fdt)
+          for b in range(3)] for a in range(3)]
+    return _ld_from_joint_jnp(J, method)
+
+
+@functools.partial(jax.jit, static_argnames=("method",))
 def band_exceeds_tile(gi, gj, threshold, method: str):
     """|LD(gi_s, gj_t)| > threshold boolean tile, fully on device: genotype
     blocks (S, N) uint8 in, (Si, Sj) bool out — only the band of decisions
