@@ -19,7 +19,8 @@ from dataclasses import dataclass
 import numpy as np
 
 from ..workspace import init_workspace
-from ..ops.pairwise import gcta_grm_parts, pca_covariance
+from ..ops.pairwise import (gcta_grm_parts, gcta_parts_rows, pca_cov_rows,
+                            pca_covariance)
 
 
 @dataclass
@@ -44,22 +45,48 @@ def _gcta(ws, chunk, mesh=None, checkpoint=None):
         return cov / denom
 
 
+def _auto_row_tiling(n: int, method: str, mesh) -> bool:
+    """Large-N single-device GRMs switch to the row-tiled engine once the
+    HBM-resident n x n carries (~2.5 n^2 words) would not fit on a 16 GB
+    chip."""
+    return (mesh is None and method in ("GCTA", "Eigenstrat")
+            and 2.5 * 4 * float(n) * n > 4e9)
+
+
 def grm(data, sample_id=None, snp_id=None, autosome_only=True,
         remove_monosnp=True, maf=math.nan, missing_rate=0.01,
         method="GCTA", out_fn=None, out_prec="double",
         out_compress="LZMA_RA", mesh=None, verbose=False,
-        chunk=None, checkpoint=None) -> GRMResult:
+        chunk=None, checkpoint=None, sample_block=None) -> GRMResult:
     """snpgdsGRM (R/IBD.R:543). With out_fn, also writes the
     SNPRELATE_OUTPUT GDS artifact for snpgdsMergeGRM. With checkpoint=path,
     the accumulators are saved every 64 chunks and a rerun resumes
-    (generalized snpgdsLDpruning autosave / GRM out-of-core protocol)."""
+    (generalized snpgdsLDpruning autosave / GRM out-of-core protocol).
+    sample_block: compute the GRM in row tiles of this many samples (device
+    memory O(block x n) — the large-cohort path, auto-enabled for GCTA/
+    Eigenstrat when the n x n accumulators would exceed HBM)."""
     ws, _ = init_workspace(data, sample_id, snp_id, autosome_only,
                            remove_monosnp, maf, missing_rate, verbose=verbose)
     n = ws.n_samp
     if method == "Weighted":
         # "Weighted GCTA" is the EIGMIX-based GRM (R/IBD.R:552-556)
         method = "EIGMIX"
-    if method == "GCTA":
+    if sample_block is None and _auto_row_tiling(n, method, mesh):
+        sample_block = 4096
+    if sample_block is not None and mesh is None \
+            and method in ("GCTA", "Eigenstrat"):
+        mat = np.empty((n, n))
+        if method == "GCTA":
+            for r0, nr, cov, vgr, _nl in gcta_parts_rows(
+                    ws, sample_block=sample_block, chunk=chunk):
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    mat[r0:r0 + nr] = cov / (2.0 * vgr)
+        else:
+            for r0, nr, cov in pca_cov_rows(ws, sample_block=sample_block,
+                                            chunk=chunk):
+                mat[r0:r0 + nr] = cov
+            mat *= (n - 1) / float(np.trace(mat))
+    elif method == "GCTA":
         mat = _gcta(ws, chunk, mesh, checkpoint)
     elif method == "Eigenstrat":
         if mesh is not None:

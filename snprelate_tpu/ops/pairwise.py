@@ -478,6 +478,93 @@ def gcta_grm_parts(ws, chunk=None, pad_to: int = 128,
 
 
 # ---------------------------------------------------------------------------
+# Row-tiled large-N engine: GRM rows [r0, r0+B) x all samples with device
+# memory O(B * N) instead of O(N^2) — the accelerator analog of the
+# reference's streamed GRM rows (grm_save_to_gds, genPCA.cpp:1571-1583).
+# Lifts the single-chip sample ceiling from ~20k (HBM-resident n x n
+# carries) to host-RAM scale; each row tile re-streams the SNP chunks
+# (staged once in HBM when they fit).
+
+
+@functools.partial(jax.jit, donate_argnums=0, static_argnums=3)
+def _gcta_rows_step(carry, packed, row0, nrows: int):
+    cov, vgr, nloc = carry
+    geno = decode2bit(packed)
+    x, (gsum, gnum, valid) = make_pca_block(geno, False)
+    poly = (gsum > 0) & (gsum < 2 * gnum)
+    vp = (valid & poly[:, None]).astype(jnp.int8)
+    xa = lax.dynamic_slice_in_dim(x, row0, nrows, axis=1)
+    vpa = lax.dynamic_slice_in_dim(vp, row0, nrows, axis=1)
+    cov = cov + jnp.matmul(xa.T, x, preferred_element_type=x.dtype,
+                           precision=norm_precision())
+    vgr = vgr + jnp.matmul(vpa.T, vp, preferred_element_type=jnp.int32)
+    return cov, vgr, nloc + poly.sum(dtype=jnp.int32)
+
+
+@functools.partial(jax.jit, donate_argnums=0, static_argnums=(3, 4))
+def _pca_rows_step(carry, packed, row0, nrows: int, bayesian: bool):
+    x, _ = make_pca_block(decode2bit(packed), bayesian)
+    xa = lax.dynamic_slice_in_dim(x, row0, nrows, axis=1)
+    return carry + jnp.matmul(xa.T, x, preferred_element_type=x.dtype,
+                              precision=norm_precision())
+
+
+def _stage_or_stream(ws, chunk, n_pad, hbm_budget=2_000_000_000):
+    """Returns a callable yielding device packed chunks; stages them all in
+    HBM when they fit (so row tiles do not re-read + re-transfer)."""
+    total = ws.n_snp * (n_pad // 4)
+    if total <= hbm_budget:
+        staged = [jnp.asarray(p) for p in _stream(ws, chunk, n_pad)]
+        return lambda: staged
+    return lambda: _stream(ws, chunk, n_pad)
+
+
+def gcta_parts_rows(ws, sample_block: int = 4096, chunk=None,
+                    pad_to: int = 128):
+    """Row-tiled CGCTA_AlgArith: yields (row0, nrows, cov_rows, vgram_rows,
+    nlocus) per sample tile. Use via models.grm for out-of-core GRMs beyond
+    HBM-resident n x n."""
+    sample_block = -(-sample_block // pad_to) * pad_to
+    # pad to a block multiple so every dynamic_slice is in bounds
+    n_pad = -(-ws.n_samp // sample_block) * sample_block
+    if chunk is None:
+        chunk = auto_chunk(max(n_pad, sample_block), ws.n_snp)
+    fdt = _default_float_dtype()
+    chunks = _stage_or_stream(ws, chunk, n_pad)
+    n = ws.n_samp
+    nloc_final = None
+    for r0 in range(0, n, sample_block):
+        nr = min(sample_block, n - r0)
+        carry = (jnp.zeros((sample_block, n_pad), fdt),
+                 jnp.zeros((sample_block, n_pad), jnp.int32),
+                 jnp.zeros((), jnp.int32))
+        for packed in chunks():
+            carry = _gcta_rows_step(carry, packed, r0, sample_block)
+        cov, vgr, nloc = carry
+        nloc_final = int(nloc)
+        yield (r0, nr, np.asarray(cov)[:nr, :n].astype(np.float64),
+               np.asarray(vgr)[:nr, :n].astype(np.int64), nloc_final)
+
+
+def pca_cov_rows(ws, sample_block: int = 4096, bayesian: bool = False,
+                 chunk=None, pad_to: int = 128):
+    """Row-tiled exact-PCA covariance: yields (row0, nrows, cov_rows)."""
+    sample_block = -(-sample_block // pad_to) * pad_to
+    n_pad = -(-ws.n_samp // sample_block) * sample_block
+    if chunk is None:
+        chunk = auto_chunk(max(n_pad, sample_block), ws.n_snp)
+    fdt = _default_float_dtype()
+    chunks = _stage_or_stream(ws, chunk, n_pad)
+    n = ws.n_samp
+    for r0 in range(0, n, sample_block):
+        nr = min(sample_block, n - r0)
+        carry = jnp.zeros((sample_block, n_pad), fdt)
+        for packed in chunks():
+            carry = _pca_rows_step(carry, packed, r0, sample_block, bayesian)
+        yield r0, nr, np.asarray(carry)[:nr, :n].astype(np.float64)
+
+
+# ---------------------------------------------------------------------------
 # KING-homo: plane grams + AF-weighted validity grams (genKING.cpp:58-266)
 
 

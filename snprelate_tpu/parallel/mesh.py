@@ -31,6 +31,14 @@ from ..ops.pairwise import (_mirror6, _sym_grams, auto_chunk, make_pca_block,
                             norm_precision)
 
 
+def _reduce_replicated(carry, mesh: Mesh):
+    """Sum partials over the data axis and replicate the result on every
+    device, so the host read works on multi-process (multi-host) runtimes
+    where per-device shards are not all addressable."""
+    return jax.jit(lambda c: jnp.sum(c, axis=0),
+                   out_shardings=NamedSharding(mesh, P()))(carry)
+
+
 def make_mesh(n_data: Optional[int] = None, n_samp: int = 1,
               devices=None) -> Mesh:
     devices = np.asarray(devices if devices is not None else jax.devices())
@@ -86,7 +94,7 @@ def sharded_pair_counts(ws, mesh: Mesh, chunk=None) -> np.ndarray:
         pad = [np.full_like(batch[0], 0xFF)] * (d - len(batch))
         pb = jax.device_put(np.stack(batch + pad), batch_sh)
         carry = _sharded_gram_step(carry, pb, mesh)
-    total = jnp.sum(carry, axis=0)  # all-reduce over 'data'
+    total = _reduce_replicated(carry, mesh)  # all-reduce over 'data'
     n = ws.n_samp
     return _mirror6(total)[:, :, :n, :n].astype(np.int64)
 
@@ -130,7 +138,7 @@ def sharded_pca_covariance(ws, mesh: Mesh, chunk=None) -> np.ndarray:
         pad = [np.full_like(batch[0], 0xFF)] * (d - len(batch))
         carry = _sharded_cov_step(
             carry, jax.device_put(np.stack(batch + pad), batch_sh), mesh)
-    total = jnp.sum(carry, axis=0)
+    total = _reduce_replicated(carry, mesh)
     n = ws.n_samp
     return np.asarray(total)[:n, :n].astype(np.float64)
 
@@ -189,6 +197,8 @@ def sharded_gcta_parts(ws, mesh: Mesh, chunk=None):
         carry = _sharded_gcta_step(carry, jax.device_put(pb, b_sh), mesh)
     cov, vgram, nlocus = carry
     n = ws.n_samp
-    return (np.asarray(jnp.sum(cov, 0))[:n, :n].astype(np.float64),
-            np.asarray(jnp.sum(vgram, 0))[:n, :n].astype(np.int64),
-            int(jnp.sum(nlocus)))
+    return (np.asarray(_reduce_replicated(cov, mesh))[:n, :n]
+            .astype(np.float64),
+            np.asarray(_reduce_replicated(vgram, mesh))[:n, :n]
+            .astype(np.int64),
+            int(np.asarray(_reduce_replicated(nlocus, mesh))))

@@ -137,3 +137,18 @@ def test_eigmix_blocked(big_data):
     v = valid.astype(np.float64)
     np.testing.assert_allclose(wvg, (v * d[:, None]).T @ v, rtol=1e-10)
     np.testing.assert_array_equal(het, (g == 1).sum(0))
+
+
+def test_grm_row_tiled_equals_full(big_data):
+    """Row-tiled large-N GRM path == HBM-resident path (GCTA+Eigenstrat)."""
+    import snprelate_tpu as sr
+
+    data, _g = big_data
+    for method in ("GCTA", "Eigenstrat"):
+        full = sr.grm(data, method=method, autosome_only=False,
+                      remove_monosnp=False, missing_rate=np.nan)
+        tiled = sr.grm(data, method=method, autosome_only=False,
+                       remove_monosnp=False, missing_rate=np.nan,
+                       sample_block=512)
+        np.testing.assert_allclose(tiled.grm, full.grm, rtol=1e-9,
+                                   atol=1e-12, err_msg=method)

@@ -1,0 +1,71 @@
+"""True multi-process jax.distributed test: 2 OS processes x 2 virtual CPU
+devices form one global (data, samp) mesh; the sharded engines must produce
+the same results as the single-process reference computation. This is the
+CPU stand-in for a multi-host TPU pod slice (SURVEY.md §4: the reference
+has no distributed tests because it has nothing distributed)."""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_mesh(tmp_path):
+    worker = os.path.join(os.path.dirname(__file__), "_mp_worker.py")
+    out = str(tmp_path / "mp_result.npz")
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(pid), "2", str(port), out],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for pid in range(2)]
+    logs = []
+    for p in procs:
+        try:
+            stdout, _ = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("multi-process workers timed out")
+        logs.append(stdout.decode(errors="replace"))
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, f"worker failed:\n{log[-3000:]}"
+
+    z = np.load(out)
+
+    # single-process reference on the same data
+    from snprelate_tpu.io.store import create_geno
+    from snprelate_tpu.ops.pairwise import gcta_grm_parts, pair_counts
+    from snprelate_tpu.workspace import init_workspace
+
+    rng = np.random.default_rng(5)
+    n_snp, n_samp = 700, 96
+    g = rng.choice([0, 1, 2, 3], size=(n_snp, n_samp),
+                   p=[0.3, 0.3, 0.3, 0.1]).astype(np.uint8)
+    data = create_geno(g, sample_id=[f"s{i}" for i in range(n_samp)],
+                       snp_id=np.arange(n_snp),
+                       snp_position=np.arange(n_snp) * 50,
+                       snp_chromosome=np.ones(n_snp, np.int32))
+    ws, _ = init_workspace(data, autosome_only=False, remove_monosnp=False,
+                           missing_rate=np.nan, verbose=False)
+    c = pair_counts(ws, chunk=128)
+    cov, vgram, nlocus = gcta_grm_parts(ws, chunk=128)
+
+    np.testing.assert_array_equal(z["counts"], c.C)
+    np.testing.assert_allclose(z["cov"], cov, rtol=1e-10, atol=1e-12)
+    np.testing.assert_array_equal(z["vgram"], vgram)
+    assert int(z["nlocus"]) == nlocus
