@@ -118,40 +118,211 @@ def _loglik_3(pr: np.ndarray, k0, k1):
     return np.where(bad, -np.inf, ll)
 
 
+def _em_loop(pr: np.ndarray, params: np.ndarray, ll0: np.ndarray,
+             convtol: np.ndarray, max_iter: int):
+    """Shared EM fixed-point over a pair batch (EMAlg genIBD.cpp:582-656 /
+    EM_Jacq_Alg :989-1080 update rule): per-pair convergence on the
+    log-likelihood; the active work set is COMPACTED each iteration so
+    converged pairs stop costing array work (the batch otherwise iterates
+    at full width until its slowest pair converges)."""
+    b = pr.shape[0]
+    out_p = params.copy()
+    out_ll = np.where(np.isfinite(ll0), ll0, 1e8)
+    niter = np.full(b, max_iter, np.int32)
+    widx = np.arange(b)
+    pr_w, p_w = pr, params
+    old_ll_w = np.zeros(b)
+    convtol_w = convtol
+    for it in range(0, max_iter + 1):
+        if widx.size == 0:
+            break
+        with np.errstate(divide="ignore", invalid="ignore"):
+            mul = pr_w * p_w[:, None, :]  # (W,S,K)
+            mulsum = mul.sum(-1)
+            pos = mulsum > 0
+            w = np.where(pos[..., None], mul / np.where(
+                pos[..., None], mulsum[..., None], 1.0), 0.0)
+            nsnp = pos.sum(1)
+            ll = np.where(pos, np.log(np.where(pos, mulsum, 1.0)),
+                          0.0).sum(1)
+            newp = w.sum(1) / nsnp[:, None]
+        conv = np.abs(ll - old_ll_w) <= convtol_w
+        out_ll[widx] = ll
+        # converged pairs keep their pre-update params (EMAlg reverts)
+        out_p[widx[conv]] = p_w[conv]
+        niter[widx[conv]] = it
+        keep = ~conv
+        widx = widx[keep]
+        pr_w = pr_w[keep]
+        p_w = newp[keep]
+        old_ll_w = ll[keep]
+        convtol_w = convtol_w[keep]
+    out_p[widx] = p_w  # still unconverged after max_iter: last update
+    return out_p, out_ll, niter
+
+
+# --- device EM: the same fixed point as _em_loop, run as a jax while_loop
+# on the accelerator (SURVEY §2.3: the reference's mutex-guarded pair queue
+# becomes a vmapped EM with convergence masks). The Pr(IBS|IBD) gather also
+# happens on device so only genotype codes cross the host boundary.
+# f64 on CPU (bit-compatible with the numpy path); f32 on TPU — the
+# convergence tolerance reltol*(|ll|+reltol) ~ 2e-5 absolute is well above
+# f32 reduction noise (~3e-6 at 10^4 SNPs), k estimates agree to ~1e-6.
+
+
+def _loglik_dev(pr, k, bad: int):
+    import jax.numpy as jnp
+
+    s = jnp.einsum("bsk,bk->bs", pr, k)
+    ll = jnp.where(s > 0, jnp.log(jnp.where(s > 0, s, 1.0)), 0.0).sum(1)
+    badm = ((s <= 0) & (pr[:, :, bad] > 0)).any(1)
+    return jnp.where(badm, -jnp.inf, ll)
+
+
+def _em_loop_dev(pr, params, ll0, convtol, max_iter: int):
+    import jax
+    import jax.numpy as jnp
+
+    b = pr.shape[0]
+    out_ll = jnp.where(jnp.isfinite(ll0), ll0, 1e8)
+    niter = jnp.full(b, max_iter, jnp.int32)
+    out_p = params
+
+    def cond(st):
+        it, p, old_ll, out_p, out_ll, niter, active = st
+        return (it <= max_iter) & active.any()
+
+    def body(st):
+        it, p, old_ll, out_p, out_ll, niter, active = st
+        mulsum = jnp.einsum("bsk,bk->bs", pr, p)
+        pos = mulsum > 0
+        inv = jnp.where(pos, 1.0 / jnp.where(pos, mulsum, 1.0), 0.0)
+        nsnp = pos.sum(1)
+        ll = jnp.where(pos, jnp.log(jnp.where(pos, mulsum, 1.0)),
+                       0.0).sum(1)
+        newp = p * jnp.einsum("bsk,bs->bk", pr, inv) / nsnp[:, None]
+        conv = jnp.abs(ll - old_ll) <= convtol
+        fin = active & conv
+        out_p = jnp.where(fin[:, None], p, out_p)  # pre-update (EMAlg)
+        out_ll = jnp.where(active, ll, out_ll)
+        niter = jnp.where(fin, it, niter)
+        p = jnp.where((active & ~conv)[:, None], newp, p)
+        old_ll = jnp.where(active, ll, old_ll)
+        return it + 1, p, old_ll, out_p, out_ll, niter, active & ~conv
+
+    st = (jnp.zeros((), jnp.int32), params, jnp.zeros(b, ll0.dtype),
+          out_p, out_ll, niter, jnp.ones(b, bool))
+    _, p, _, out_p, out_ll, niter, active = jax.lax.while_loop(cond, body,
+                                                               st)
+    out_p = jnp.where(active[:, None], p, out_p)  # never converged
+    return out_p, out_ll, niter
+
+
+def _make_em3_dev():
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnums=(5, 7))
+    def em3(table, g1, g2, k0, k1, max_iter: int, reltol, adjust: bool):
+        s_idx = jnp.arange(table.shape[0])
+        pr = table[s_idx[None, :], g1, g2]  # (B,S,3)
+        k = jnp.stack([k0, k1, 1 - k0 - k1], -1)
+        ll0 = _loglik_dev(pr, k, 0)
+        convtol = jnp.where(jnp.isfinite(ll0),
+                            jnp.maximum(reltol * (jnp.abs(ll0)
+                                                  + jnp.abs(reltol)), 0.0),
+                            reltol)
+        k, out_ll, niter = _em_loop_dev(pr, k, ll0, convtol, max_iter)
+        k0o, k1o = k[:, 0], k[:, 1]
+        if adjust:
+            for ck0, ck1 in RELATEDNESS_K.values():
+                kc = jnp.broadcast_to(
+                    jnp.asarray([ck0, ck1, 1 - ck0 - ck1], table.dtype),
+                    k.shape)
+                cll = _loglik_dev(pr, kc, 0)
+                better = jnp.isfinite(cll) & (out_ll < cll)
+                k0o = jnp.where(better, ck0, k0o)
+                k1o = jnp.where(better, ck1, k1o)
+                out_ll = jnp.where(better, cll, out_ll)
+        return k0o, k1o, out_ll, niter
+
+    return em3
+
+
+_EM3_DEV = None
+
+
+def em_3state_dev(table, g1, g2, k0, k1, max_iter, reltol, adjust):
+    """Device EM over a pair batch: table (S,4,4,3) staged once (jnp array),
+    g1/g2 (B,S) uint8 genotype codes."""
+    global _EM3_DEV
+    if _EM3_DEV is None:
+        _EM3_DEV = _make_em3_dev()
+    k0o, k1o, ll, ni = _EM3_DEV(table, g1, g2, k0, k1, int(max_iter),
+                                float(reltol), bool(adjust))
+    return (np.asarray(k0o, np.float64), np.asarray(k1o, np.float64),
+            np.asarray(ll, np.float64), np.asarray(ni))
+
+
+def _make_em9_dev():
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnums=(3,))
+    def em9(table, g1, g2, max_iter: int, reltol):
+        s_idx = jnp.arange(table.shape[0])
+        pr = table[s_idx[None, :], g1, g2]  # (B,S,9)
+        b = pr.shape[0]
+        D = jnp.full((b, 9), 0.01, table.dtype).at[:, 8].set(1 - 0.08)
+        ll0 = _loglik_dev(pr, D, 8)
+        convtol = jnp.where(jnp.isfinite(ll0),
+                            jnp.maximum(reltol * (jnp.abs(ll0)
+                                                  + jnp.abs(reltol)), 0.0),
+                            reltol)
+        return _em_loop_dev(pr, D, ll0, convtol, max_iter)
+
+    return em9
+
+
+_EM9_DEV = None
+
+
+def em_jacquard_dev(table, g1, g2, max_iter, reltol):
+    global _EM9_DEV
+    if _EM9_DEV is None:
+        _EM9_DEV = _make_em9_dev()
+    D, ll, ni = _EM9_DEV(table, g1, g2, int(max_iter), float(reltol))
+    return np.asarray(D, np.float64), np.asarray(ll, np.float64), \
+        np.asarray(ni)
+
+
+def _use_device_em(b: int, s: int) -> bool:
+    import os
+
+    env = os.environ.get("SNPRELATE_TPU_EM", "")
+    if env == "numpy":
+        return False
+    if env == "jax":
+        return True
+    import jax
+
+    return jax.default_backend() == "tpu" and b * s >= 65536
+
+
 def em_3state(pr: np.ndarray, k0: np.ndarray, k1: np.ndarray,
               max_iter: int, reltol: float, loglik_adjust: bool):
     """EMAlg (genIBD.cpp:582-656) over a batch of pairs."""
-    b = pr.shape[0]
     k = np.stack([k0, k1, 1 - k0 - k1], -1)  # (B,3)
     ll0 = _loglik_3(pr, k[:, 0], k[:, 1])
     finite = np.isfinite(ll0)
     convtol = np.where(finite,
                        np.maximum(reltol * (np.abs(ll0) + abs(reltol)), 0.0),
                        reltol)
-    old_ll = np.zeros(b)
-    niter = np.full(b, max_iter, np.int32)
-    active = np.ones(b, bool)
-    out_ll = np.where(finite, ll0, 1e8)
-    for it in range(0, max_iter + 1):
-        if not active.any():
-            break
-        mul = pr * k[:, None, :]  # (B,S,3)
-        mulsum = mul.sum(-1)
-        pos = mulsum > 0
-        with np.errstate(divide="ignore", invalid="ignore"):
-            w = np.where(pos[..., None], mul / np.where(
-                pos[..., None], mulsum[..., None], 1.0), 0.0)
-        nsnp = pos.sum(1)
-        ll = np.where(pos, np.log(np.where(pos, mulsum, 1.0)), 0.0).sum(1)
-        newk = w.sum(1) / nsnp[:, None]
-        conv = np.abs(ll - old_ll) <= convtol
-        # converged pairs keep their pre-update k (EMAlg reverts to oldk)
-        upd = active & ~conv
-        k = np.where(upd[:, None], newk, k)
-        out_ll = np.where(active, ll, out_ll)
-        niter = np.where(active & conv, it, niter)
-        old_ll = np.where(active, ll, old_ll)
-        active = active & ~conv
+    k, out_ll, niter = _em_loop(pr, k, ll0, convtol, max_iter)
     k0o, k1o = k[:, 0], k[:, 1]
     if loglik_adjust:
         for ck0, ck1 in RELATEDNESS_K.values():
@@ -277,31 +448,7 @@ def em_jacquard(pr: np.ndarray, max_iter: int, reltol: float):
     convtol = np.where(finite,
                        np.maximum(reltol * (np.abs(ll0) + abs(reltol)), 0.0),
                        reltol)
-    old_ll = np.zeros(b)
-    out_ll = np.where(finite, ll0, 1e8)
-    niter = np.full(b, max_iter, np.int32)
-    active = np.ones(b, bool)
-    for it in range(0, max_iter + 1):
-        if not active.any():
-            break
-        mul = pr * D[:, None, :]
-        mulsum = mul.sum(-1)
-        pos = mulsum > 0
-        with np.errstate(divide="ignore", invalid="ignore"):
-            w = np.where(pos[..., None],
-                         mul / np.where(pos[..., None], mulsum[..., None],
-                                        1.0), 0.0)
-        nsnp = pos.sum(1)
-        ll = np.where(pos, np.log(np.where(pos, mulsum, 1.0)), 0.0).sum(1)
-        newD = w.sum(1) / nsnp[:, None]
-        conv = np.abs(ll - old_ll) <= convtol
-        upd = active & ~conv
-        D = np.where(upd[:, None], newD, D)
-        out_ll = np.where(active, ll, out_ll)
-        niter = np.where(active & conv, it, niter)
-        old_ll = np.where(active, ll, old_ll)
-        active = active & ~conv
-    return D, out_ll, niter
+    return _em_loop(pr, D, ll0, convtol, max_iter)
 
 
 @dataclass
@@ -340,11 +487,22 @@ def ibd_mle(data, sample_id=None, snp_id=None, autosome_only=True,
         table = pr_jacq_table(af)
         Dmats = {f"D{i+1}": np.zeros((n, n)) for i in range(8)}
         nit = np.zeros((n, n), np.int32)
+        use_dev = _use_device_em(batch, table.shape[0])
+        if use_dev:
+            import jax.numpy as jnp
+            from ..ops.pairwise import _default_float_dtype
+
+            table_d = jnp.asarray(table, _default_float_dtype())
+            gT_d = jnp.asarray(gT)
         for s in range(0, npairs, batch):
             e = min(s + batch, npairs)
             i_idx, j_idx = iu[0][s:e], iu[1][s:e]
-            pr = _gather_pr(table, gT[i_idx], gT[j_idx])
-            D, ll, ni = em_jacquard(pr, max_niter, reltol)
+            if use_dev:
+                D, ll, ni = em_jacquard_dev(table_d, gT_d[i_idx],
+                                            gT_d[j_idx], max_niter, reltol)
+            else:
+                pr = _gather_pr(table, gT[i_idx], gT[j_idx])
+                D, ll, ni = em_jacquard(pr, max_niter, reltol)
             for k in range(8):
                 Dmats[f"D{k+1}"][i_idx, j_idx] = D[:, k]
                 Dmats[f"D{k+1}"][j_idx, i_idx] = D[:, k]
@@ -372,10 +530,16 @@ def ibd_mle(data, sample_id=None, snp_id=None, autosome_only=True,
     k0m = np.zeros((n, n))
     k1m = np.zeros((n, n))
     nit = np.zeros((n, n), np.int32)
+    use_dev = method == "EM" and _use_device_em(batch, table.shape[0])
+    if use_dev:
+        import jax.numpy as jnp
+        from ..ops.pairwise import _default_float_dtype
+
+        table_d = jnp.asarray(table, _default_float_dtype())
+        gT_d = jnp.asarray(gT)
     for s in range(0, npairs, batch):
         e = min(s + batch, npairs)
         i_idx, j_idx = iu[0][s:e], iu[1][s:e]
-        pr = _gather_pr(table, gT[i_idx], gT[j_idx])
         k0 = k0i[i_idx, j_idx].copy()
         k1 = k1i[i_idx, j_idx].copy()
         # clip initial values (Entry_MLEIBD, genIBD.cpp:820-830)
@@ -385,10 +549,17 @@ def ibd_mle(data, sample_id=None, snp_id=None, autosome_only=True,
         k2 = np.maximum(k2, INIT_TOL)
         ssum = k0 + k1 + k2
         k0, k1 = k0 / ssum, k1 / ssum
-        if method == "EM":
+        if use_dev:
+            k0o, k1o, ll, ni = em_3state_dev(table_d, gT_d[i_idx],
+                                             gT_d[j_idx], k0, k1,
+                                             max_niter, reltol,
+                                             coeff_correct)
+        elif method == "EM":
+            pr = _gather_pr(table, gT[i_idx], gT[j_idx])
             k0o, k1o, ll, ni = em_3state(pr, k0, k1, max_niter, reltol,
                                          coeff_correct)
         else:
+            pr = _gather_pr(table, gT[i_idx], gT[j_idx])
             k0o = np.empty(e - s)
             k1o = np.empty(e - s)
             ni = np.empty(e - s, np.int32)

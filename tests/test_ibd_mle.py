@@ -133,3 +133,44 @@ def test_loglik_consistency(hapmap):
     iu = np.triu_indices(6, 1)
     # the MLE (with loglik adjustment) cannot be worse than 'unrelated'
     assert (ll_est[iu] >= ll_unrel[iu] - 1e-6).all()
+
+
+def test_device_em_equals_numpy():
+    """The jax while_loop EM (device path, f64 on CPU) must match the
+    compacted numpy EM: same fixed point, revert-on-converge, niter and
+    loglik-adjust semantics."""
+    import jax.numpy as jnp
+
+    from snprelate_tpu.models.ibd_mle import (_gather_pr, em_3state,
+                                              em_3state_dev, em_jacquard,
+                                              em_jacquard_dev, pr_ibd_table,
+                                              pr_jacq_table)
+
+    rng = np.random.default_rng(3)
+    B, S = 64, 300
+    af = rng.uniform(0.05, 0.95, S)
+    g1 = rng.integers(0, 4, (B, S)).astype(np.uint8)
+    g2 = rng.integers(0, 4, (B, S)).astype(np.uint8)
+    k0 = rng.uniform(0.1, 0.8, B)
+    k1 = rng.uniform(0.05, np.minimum(0.9, 1 - k0) - 0.02, B)
+    reltol = float(np.sqrt(np.finfo(np.float64).eps))
+
+    t3 = pr_ibd_table(af)
+    for adjust in (False, True):
+        ref = em_3state(_gather_pr(t3, g1, g2), k0.copy(), k1.copy(),
+                        1000, reltol, adjust)
+        dev = em_3state_dev(jnp.asarray(t3), jnp.asarray(g1),
+                            jnp.asarray(g2), k0.copy(), k1.copy(),
+                            1000, reltol, adjust)
+        np.testing.assert_allclose(dev[0], ref[0], rtol=1e-8, atol=1e-10)
+        np.testing.assert_allclose(dev[1], ref[1], rtol=1e-8, atol=1e-10)
+        np.testing.assert_allclose(dev[2], ref[2], rtol=1e-8)
+        np.testing.assert_array_equal(dev[3], ref[3])
+
+    t9 = pr_jacq_table(af)
+    refD, refll, refni = em_jacquard(_gather_pr(t9, g1, g2), 1000, reltol)
+    devD, devll, devni = em_jacquard_dev(jnp.asarray(t9), jnp.asarray(g1),
+                                         jnp.asarray(g2), 1000, reltol)
+    np.testing.assert_allclose(devD, refD, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(devll, refll, rtol=1e-8)
+    np.testing.assert_array_equal(devni, refni)
