@@ -600,15 +600,39 @@ def ibd_mle_loglik(data, ibdobj: IBDMLEResult, k0=math.nan, k1=math.nan,
         k0, k1 = RELATEDNESS_K[relatedness]
     fixed = np.isfinite(k0) and np.isfinite(k1)
     iu = np.triu_indices(n, 0)
+    use_dev = _use_device_em(256, table.shape[0])
+    if use_dev:
+        import jax
+        import jax.numpy as jnp
+
+        from ..ops.pairwise import _default_float_dtype
+
+        table_d = jnp.asarray(table, _default_float_dtype())
+        gT_d = jnp.asarray(gT)
+
+        @jax.jit
+        def ll_tile(g1, g2, kk):
+            s_idx = jnp.arange(table_d.shape[0])
+            pr = table_d[s_idx[None, :], g1, g2]
+            return _loglik_dev(pr, kk, 0)
+
     for s in range(0, len(iu[0]), 256):
         e = min(s + 256, len(iu[0]))
         i_idx, j_idx = iu[0][s:e], iu[1][s:e]
-        pr = _gather_pr(table, gT[i_idx], gT[j_idx])
         if fixed:
-            ll = _loglik_3(pr, k0, k1)
+            bk0 = np.full(e - s, k0)
+            bk1 = np.full(e - s, k1)
         else:
-            ll = _loglik_3(pr, ibdobj.k0[i_idx, j_idx],
-                           ibdobj.k1[i_idx, j_idx])
+            bk0 = ibdobj.k0[i_idx, j_idx]
+            bk1 = ibdobj.k1[i_idx, j_idx]
+        if use_dev:
+            kk = np.stack([bk0, bk1, 1 - bk0 - bk1], -1)
+            ll = np.asarray(ll_tile(gT_d[i_idx], gT_d[j_idx],
+                                    jnp.asarray(kk, table_d.dtype)),
+                            np.float64)
+        else:
+            pr = _gather_pr(table, gT[i_idx], gT[j_idx])
+            ll = _loglik_3(pr, bk0, bk1)
         out[i_idx, j_idx] = ll
         out[j_idx, i_idx] = ll
     return out
