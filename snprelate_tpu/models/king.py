@@ -19,7 +19,7 @@ from typing import Optional
 import numpy as np
 
 from ..workspace import init_workspace
-from ..ops.pairwise import king_homo_counts, pair_counts
+from ..ops.pairwise import king_homo_counts, pair_counts, plane_gram_rows
 
 
 @dataclass
@@ -98,3 +98,48 @@ def ibd_king(data, sample_id=None, snp_id=None, autosome_only=True,
     np.fill_diagonal(ibs0, 0.0)
     np.fill_diagonal(kinship, 0.5)
     return KINGRobustResult(ws.sample_id, ws.snp_id, None, ibs0, kinship)
+
+
+def king_ibd_selection(data, kinship_cutoff, sample_id=None, snp_id=None,
+                       autosome_only=True, remove_monosnp=True,
+                       maf=math.nan, missing_rate=0.01,
+                       sample_block=4096, chunk=None, verbose=False):
+    """Streaming KING-robust relatedness screening for cohorts whose n x n
+    kinship matrix does not fit anywhere: equivalent to
+    ibd_selection(ibd_king(data, type="KING-robust"), kinship_cutoff) but
+    computed in sample-row strips with device memory O(block x n) and host
+    memory proportional to the number of RELATED pairs only (the typical
+    biobank pipeline: find relatives, never materialize the matrix).
+    Between-family estimator only (family_id semantics need the full
+    matrix path). Returns {ID1, ID2, IBS0, kinship} like snpgdsIBDSelection
+    (R/IBD.R:463)."""
+    if not np.isfinite(kinship_cutoff):
+        raise ValueError("kinship_cutoff must be finite")
+    ws, _ = init_workspace(data, sample_id, snp_id, autosome_only,
+                           remove_monosnp, maf, missing_rate, verbose=verbose)
+    sid = np.asarray(ws.sample_id, object)
+    id1, id2, ibs0_v, kin_v = [], [], [], []
+    for r0, nr, C in plane_gram_rows(ws, sample_block=sample_block,
+                                     chunk=chunk):
+        nvalid = C.sum((0, 1)).astype(np.float64)
+        ibs0 = (C[0, 2] + C[2, 0]).astype(np.float64)
+        sum_sq = (C[0, 1] + C[1, 0] + C[1, 2] + C[2, 1]
+                  + 4 * (C[0, 2] + C[2, 0])).astype(np.float64)
+        n1 = C[1].sum(0).astype(np.float64)
+        n2 = C[:, 1].sum(0).astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            kin = 0.5 - sum_sq / (4.0 * np.minimum(n1, n2))
+            ibs0f = np.where(nvalid > 0, ibs0 / nvalid, np.nan)
+        # strictly-lower-triangle pairs (i > j), i global in [r0, r0+nr)
+        gi = np.arange(r0, r0 + nr)[:, None]
+        tri = gi > np.arange(C.shape[3])[None, :]
+        hit = tri & (np.nan_to_num(kin, nan=-np.inf) >= kinship_cutoff)
+        ii, jj = np.nonzero(hit)
+        id1.append(sid[jj])
+        id2.append(sid[ii + r0])
+        ibs0_v.append(ibs0f[ii, jj])
+        kin_v.append(kin[ii, jj])
+    return {"ID1": np.concatenate(id1) if id1 else np.array([], object),
+            "ID2": np.concatenate(id2) if id2 else np.array([], object),
+            "IBS0": np.concatenate(ibs0_v) if ibs0_v else np.array([]),
+            "kinship": np.concatenate(kin_v) if kin_v else np.array([])}

@@ -546,6 +546,45 @@ def gcta_parts_rows(ws, sample_block: int = 4096, chunk=None,
                np.asarray(vgr)[:nr, :n].astype(np.int64), nloc_final)
 
 
+_ALL_PAIRS = tuple((a, b) for a in range(3) for b in range(3))
+
+
+@functools.partial(jax.jit, donate_argnums=0, static_argnums=3)
+def _gram_rows_step(carry9, packed, row0, nrows: int):
+    """9-tuple of (B, N) int32 plane cross-gram row strips += one chunk:
+    N_ab(i, j) for i in [row0, row0+B)."""
+    planes = genotype_planes(decode2bit(packed))  # (3, S, N)
+    p = planes.transpose(0, 2, 1).astype(_plane_mm_dtype())  # (3, N, S)
+    pr = [lax.dynamic_slice_in_dim(p[a], row0, nrows, axis=0)
+          for a in range(3)]
+    return tuple(
+        c + jnp.matmul(pr[a], p[b].T, preferred_element_type=jnp.int32)
+        for c, (a, b) in zip(carry9, _ALL_PAIRS))
+
+
+def plane_gram_rows(ws, sample_block: int = 4096, chunk=None,
+                    pad_to: int = 128):
+    """Row-tiled integer pairwise counts: yields (row0, nrows, C) with
+    C (3, 3, nrows, n) int64 — PairCounts row strips with device memory
+    O(block x n). The large-N analog of pair_counts (e.g. biobank KING
+    screening); all 9 plane pairs are computed per strip (the 6-block
+    symmetry only applies to the full square)."""
+    sample_block = -(-sample_block // pad_to) * pad_to
+    n_pad = -(-ws.n_samp // sample_block) * sample_block
+    if chunk is None:
+        chunk = auto_chunk(max(n_pad, sample_block), ws.n_snp)
+    chunks = _stage_or_stream(ws, chunk, n_pad)
+    n = ws.n_samp
+    for r0 in range(0, n, sample_block):
+        nr = min(sample_block, n - r0)
+        carry = tuple(jnp.zeros((sample_block, n_pad), jnp.int32)
+                      for _ in range(9))
+        for packed in chunks():
+            carry = _gram_rows_step(carry, packed, r0, sample_block)
+        c = np.stack([np.asarray(b)[:nr, :n] for b in carry])
+        yield r0, nr, c.reshape(3, 3, nr, n).astype(np.int64)
+
+
 def pca_cov_rows(ws, sample_block: int = 4096, bayesian: bool = False,
                  chunk=None, pad_to: int = 128):
     """Row-tiled exact-PCA covariance: yields (row0, nrows, cov_rows)."""

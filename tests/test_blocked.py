@@ -152,3 +152,25 @@ def test_grm_row_tiled_equals_full(big_data):
                        sample_block=512)
         np.testing.assert_allclose(tiled.grm, full.grm, rtol=1e-9,
                                    atol=1e-12, err_msg=method)
+
+
+def test_king_streaming_selection(big_data):
+    """Streaming KING screening == full-matrix ibd_king + ibd_selection."""
+    import snprelate_tpu as sr
+
+    data, _g = big_data
+    kw = dict(autosome_only=False, remove_monosnp=False,
+              missing_rate=np.nan)
+    full = sr.ibd_king(data, type="KING-robust", **kw)
+    ref = sr.ibd_selection(full, kinship_cutoff=0.08)
+    stream = sr.king_ibd_selection(data, kinship_cutoff=0.08,
+                                   sample_block=512, **kw)
+    assert len(stream["ID1"]) == len(ref["ID1"])
+
+    def key(d):
+        return sorted(zip(d["ID1"].tolist(), d["ID2"].tolist(),
+                          np.round(d["kinship"], 12).tolist()))
+
+    assert key(stream) == key(ref)
+    np.testing.assert_allclose(np.sort(stream["IBS0"]),
+                               np.sort(ref["IBS0"]), rtol=1e-12)
