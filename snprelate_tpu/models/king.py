@@ -19,7 +19,7 @@ from typing import Optional
 import numpy as np
 
 from ..workspace import init_workspace
-from ..ops.pairwise import king_homo_counts, pair_counts, plane_gram_rows
+from ..ops.pairwise import king_homo_counts, pair_counts
 
 
 @dataclass
@@ -115,30 +115,77 @@ def king_ibd_selection(data, kinship_cutoff, sample_id=None, snp_id=None,
     (R/IBD.R:463)."""
     if not np.isfinite(kinship_cutoff):
         raise ValueError("kinship_cutoff must be finite")
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.pairwise import (_gram_rows_step, _stage_or_stream,
+                                auto_chunk)
+
     ws, _ = init_workspace(data, sample_id, snp_id, autosome_only,
                            remove_monosnp, maf, missing_rate, verbose=verbose)
     sid = np.asarray(ws.sample_id, object)
+    n = ws.n_samp
+    sample_block = -(-sample_block // 128) * 128
+    n_pad = -(-n // sample_block) * sample_block
+    if chunk is None:
+        chunk = auto_chunk(max(n_pad, sample_block), ws.n_snp)
+    chunks = _stage_or_stream(ws, chunk, n_pad)
+
+    @jax.jit
+    def strip_stats(carry9, row0, cutoff):
+        """Counts strips -> (kin, ibs0 fraction, packed hit bitmask); only
+        the bitmask crosses the host boundary per strip — hits are gathered
+        afterwards (the LD-pruning lesson: ship decisions, not tables)."""
+        C = {(a, b): c for c, (a, b) in
+             zip(carry9, [(x, y) for x in range(3) for y in range(3)])}
+        fdt = jnp.float32 if jax.default_backend() == "tpu" \
+            else jnp.float64
+        nvalid = sum(c for c in carry9).astype(fdt)
+        ibs0 = (C[0, 2] + C[2, 0]).astype(fdt)
+        sum_sq = (C[0, 1] + C[1, 0] + C[1, 2] + C[2, 1]).astype(fdt) \
+            + 4.0 * ibs0
+        n1 = (C[1, 0] + C[1, 1] + C[1, 2]).astype(fdt)
+        n2 = (C[0, 1] + C[1, 1] + C[2, 1]).astype(fdt)
+        mn = jnp.minimum(n1, n2)
+        kin = jnp.where(mn > 0, 0.5 - sum_sq / (4.0 * mn), jnp.nan)
+        ibs0f = jnp.where(nvalid > 0, ibs0 / nvalid, jnp.nan)
+        gi = row0 + jnp.arange(kin.shape[0])[:, None]
+        tri = gi > jnp.arange(kin.shape[1])[None, :]
+        hit = tri & jnp.where(jnp.isnan(kin), False, kin >= cutoff)
+        return kin, ibs0f, jnp.packbits(hit, axis=1)
+
+    @jax.jit
+    def gather_hits(kin, ibs0f, idx):
+        ii, jj = idx
+        return kin[ii, jj], ibs0f[ii, jj]
+
     id1, id2, ibs0_v, kin_v = [], [], [], []
-    for r0, nr, C in plane_gram_rows(ws, sample_block=sample_block,
-                                     chunk=chunk):
-        nvalid = C.sum((0, 1)).astype(np.float64)
-        ibs0 = (C[0, 2] + C[2, 0]).astype(np.float64)
-        sum_sq = (C[0, 1] + C[1, 0] + C[1, 2] + C[2, 1]
-                  + 4 * (C[0, 2] + C[2, 0])).astype(np.float64)
-        n1 = C[1].sum(0).astype(np.float64)
-        n2 = C[:, 1].sum(0).astype(np.float64)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            kin = 0.5 - sum_sq / (4.0 * np.minimum(n1, n2))
-            ibs0f = np.where(nvalid > 0, ibs0 / nvalid, np.nan)
-        # strictly-lower-triangle pairs (i > j), i global in [r0, r0+nr)
-        gi = np.arange(r0, r0 + nr)[:, None]
-        tri = gi > np.arange(C.shape[3])[None, :]
-        hit = tri & (np.nan_to_num(kin, nan=-np.inf) >= kinship_cutoff)
-        ii, jj = np.nonzero(hit)
+    for r0 in range(0, n, sample_block):
+        nr = min(sample_block, n - r0)
+        carry = tuple(jnp.zeros((sample_block, n_pad), jnp.int32)
+                      for _ in range(9))
+        for packed in chunks():
+            carry = _gram_rows_step(carry, packed, r0, sample_block)
+        kin, ibs0f, packed_hit = strip_stats(carry, r0,
+                                             float(kinship_cutoff))
+        mask = np.unpackbits(np.asarray(packed_hit), axis=1,
+                             count=n_pad)[:nr, :n].astype(bool)
+        ii, jj = np.nonzero(mask)
+        if len(ii) == 0:
+            continue
+        # pad hit indices to a power of two so the gather compiles rarely
+        m = 1 << (len(ii) - 1).bit_length()
+        pi = np.zeros(m, np.int32)
+        pj = np.zeros(m, np.int32)
+        pi[: len(ii)] = ii
+        pj[: len(jj)] = jj
+        kv, iv = gather_hits(kin, ibs0f, (jnp.asarray(pi), jnp.asarray(pj)))
         id1.append(sid[jj])
         id2.append(sid[ii + r0])
-        ibs0_v.append(ibs0f[ii, jj])
-        kin_v.append(kin[ii, jj])
+        kin_v.append(np.asarray(kv, np.float64)[: len(ii)])
+        ibs0_v.append(np.asarray(iv, np.float64)[: len(ii)])
     return {"ID1": np.concatenate(id1) if id1 else np.array([], object),
             "ID2": np.concatenate(id2) if id2 else np.array([], object),
             "IBS0": np.concatenate(ibs0_v) if ibs0_v else np.array([]),
