@@ -298,16 +298,31 @@ class PairCounts:
 
 
 def pair_counts(ws, chunk=None, pad_to: int = 128,
-                checkpoint=None, checkpoint_every: int = 64) -> PairCounts:
+                checkpoint=None, checkpoint_every: int = 64,
+                sample_block=None) -> PairCounts:
     """Run the integer pairwise engine over a Workspace selection.
 
     Uses the symmetric 6-block gram (``_sym_grams``). A triangular Pallas
     SYRK kernel was evaluated (git history) and measured slower end-to-end
     than XLA int4 matmuls at bench scale, so XLA runs the contraction.
+
+    sample_block: compute counts in sample-row strips with device memory
+    O(block x n) (``plane_gram_rows``) — auto-enabled once the 6-block
+    carries would exceed HBM (~13k samples). Checkpointing applies to the
+    HBM-resident path only.
     """
     n_pad = -(-ws.n_samp // pad_to) * pad_to
     if chunk is None:
         chunk = auto_chunk(n_pad, ws.n_snp)
+    if sample_block is None and 24.0 * n_pad * n_pad > 4e9:
+        sample_block = 4096
+    if sample_block:
+        n = ws.n_samp
+        C = np.empty((3, 3, n, n), np.int64)
+        for r0, nr, strip in plane_gram_rows(ws, sample_block=sample_block,
+                                             chunk=chunk, pad_to=pad_to):
+            C[:, :, r0:r0 + nr, :] = strip
+        return PairCounts(C)
     ck = Checkpointer(checkpoint, checkpoint_every,
                       meta=(61, ws.n_snp, ws.n_samp, chunk))
     step, saved = ck.load()

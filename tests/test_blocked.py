@@ -174,3 +174,13 @@ def test_king_streaming_selection(big_data):
     assert key(stream) == key(ref)
     np.testing.assert_allclose(np.sort(stream["IBS0"]),
                                np.sort(ref["IBS0"]), rtol=1e-12)
+
+
+def test_pair_counts_row_tiled(big_data):
+    from snprelate_tpu.ops.pairwise import pair_counts
+
+    data, _g = big_data
+    ws = _workspace(data)
+    full = pair_counts(ws)
+    tiled = pair_counts(ws, sample_block=512)
+    np.testing.assert_array_equal(tiled.C, full.C)
