@@ -143,17 +143,22 @@ def king_ibd_selection(data, kinship_cutoff, sample_id=None, snp_id=None,
         fdt = jnp.float32 if jax.default_backend() == "tpu" \
             else jnp.float64
         nvalid = sum(c for c in carry9).astype(fdt)
-        ibs0 = (C[0, 2] + C[2, 0]).astype(fdt)
-        sum_sq = (C[0, 1] + C[1, 0] + C[1, 2] + C[2, 1]).astype(fdt) \
-            + 4.0 * ibs0
-        n1 = (C[1, 0] + C[1, 1] + C[1, 2]).astype(fdt)
-        n2 = (C[0, 1] + C[1, 1] + C[2, 1]).astype(fdt)
-        mn = jnp.minimum(n1, n2)
-        kin = jnp.where(mn > 0, 0.5 - sum_sq / (4.0 * mn), jnp.nan)
-        ibs0f = jnp.where(nvalid > 0, ibs0 / nvalid, jnp.nan)
+        ibs0_i = C[0, 2] + C[2, 0]
+        sum_sq_i = C[0, 1] + C[1, 0] + C[1, 2] + C[2, 1] + 4 * ibs0_i
+        n1_i = C[1, 0] + C[1, 1] + C[1, 2]
+        n2_i = C[0, 1] + C[1, 1] + C[2, 1]
+        mn_i = jnp.minimum(n1_i, n2_i)
+        mn = mn_i.astype(fdt)
+        kin = jnp.where(mn_i > 0, 0.5 - sum_sq_i.astype(fdt) / (4.0 * mn),
+                        jnp.nan)
+        ibs0f = jnp.where(nvalid > 0, ibs0_i.astype(fdt) / nvalid, jnp.nan)
         gi = row0 + jnp.arange(kin.shape[0])[:, None]
         tri = gi > jnp.arange(kin.shape[1])[None, :]
-        hit = tri & jnp.where(jnp.isnan(kin), False, kin >= cutoff)
+        # integer-exact cutoff: kin >= c  <=>  sum_sq <= (2 - 4c) * mn
+        # (exact for the standard power-of-two kinship cutoffs, where the
+        # f32 quotient would otherwise flip exact-boundary pairs)
+        thr = 2.0 - 4.0 * cutoff
+        hit = tri & (mn_i > 0) & (sum_sq_i.astype(fdt) <= thr * mn)
         return kin, ibs0f, jnp.packbits(hit, axis=1)
 
     @jax.jit
