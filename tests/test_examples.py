@@ -28,6 +28,8 @@ def test_every_public_function(hapmap, tmp_path):
     sr.ibd_king(hapmap, sample_id=sid[:25], type="KING-robust",
                 family_id=hapmap.sample_annot["pop.group"][:25])
     sr.ibd_king(hapmap, sample_id=sid[:25], type="KING-homo")
+    sr.king_ibd_selection(hapmap, kinship_cutoff=0.25, sample_id=sid[:25],
+                          missing_rate=np.nan, remove_monosnp=False)
     mom = sr.ibd_mom(hapmap, sample_id=sid[:25], kinship=True)
     sr.ibd_selection(mom, kinship_cutoff=0.1)
     mle = sr.ibd_mle(hapmap, sample_id=sid[:8], snp_id=snps[:500])
