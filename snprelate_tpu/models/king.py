@@ -127,7 +127,8 @@ def king_ibd_selection(data, kinship_cutoff, sample_id=None, snp_id=None,
                            remove_monosnp, maf, missing_rate, verbose=verbose)
     sid = np.asarray(ws.sample_id, object)
     n = ws.n_samp
-    sample_block = -(-sample_block // 128) * 128
+    sample_block = min(-(-sample_block // 128) * 128,
+                       -(-n // 128) * 128)
     n_pad = -(-n // sample_block) * sample_block
     if chunk is None:
         chunk = auto_chunk(max(n_pad, sample_block), ws.n_snp)

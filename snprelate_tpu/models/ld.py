@@ -108,6 +108,12 @@ def _prune_chromosome_banded(geno, pos, start_idx, slide_max_bp,
     pos = np.asarray(pos)
     if n > 1 and not np.all(np.diff(pos) >= 0):
         return None
+    # shrink tiles for small chromosomes (quantized to 256 so only a few
+    # kernel shapes compile); padding a 400-SNP chromosome to 1024x4096
+    # tiles costs ~12x the useful FLOPs
+    q = -(-n // 256) * 256
+    block = min(block, q)
+    col_tile = min(col_tile, q)
     idx = np.arange(n)
     lo_bp = np.searchsorted(pos, pos - slide_max_bp, side="left")
     hi_bp = np.searchsorted(pos, pos + slide_max_bp, side="right") - 1

@@ -162,9 +162,16 @@ def auto_chunk(n_pad: int, n_snp: int) -> int:
     dGenGWAS.cpp:2290-2315). Sizes the chunk so the decoded f32 block plus
     plane/operand copies stay well inside HBM (~2.4 GB at 6 bytes/element),
     large enough to amortize the n x n carry update per chunk."""
+    if jax.default_backend() != "tpu":
+        # CPU (tests, small data): compute-bound, compiles are cheap —
+        # a small fixed chunk wins and keeps one compiled shape
+        return 2048
     c = int(4.0e8) // max(n_pad, 1)
     c = min(32768, 1 << max(c, 1024).bit_length() - 1)  # pow2 floor >= 1024
-    need = -(-n_snp // 1024) * 1024  # don't exceed the dataset
+    # cap by the dataset, rounded UP to a power of two: chunk sizes stay
+    # quantized so different SNP selections reuse the same compiled step
+    # (padding waste is at most 2x and TPU steps at this scale are ~ms)
+    need = 1 << max(n_snp - 1, 1023).bit_length()
     return max(1024, min(c, need))
 
 
@@ -540,7 +547,9 @@ def gcta_parts_rows(ws, sample_block: int = 4096, chunk=None,
     nlocus) per sample tile. Use via models.grm for out-of-core GRMs beyond
     HBM-resident n x n."""
     sample_block = -(-sample_block // pad_to) * pad_to
-    # pad to a block multiple so every dynamic_slice is in bounds
+    # never bigger than the (padded) cohort itself, and pad to a block
+    # multiple so every dynamic_slice is in bounds
+    sample_block = min(sample_block, -(-ws.n_samp // pad_to) * pad_to)
     n_pad = -(-ws.n_samp // sample_block) * sample_block
     if chunk is None:
         chunk = auto_chunk(max(n_pad, sample_block), ws.n_snp)
@@ -585,6 +594,9 @@ def plane_gram_rows(ws, sample_block: int = 4096, chunk=None,
     screening); all 9 plane pairs are computed per strip (the 6-block
     symmetry only applies to the full square)."""
     sample_block = -(-sample_block // pad_to) * pad_to
+    # never bigger than the (padded) cohort itself, and pad to a block
+    # multiple so every dynamic_slice is in bounds
+    sample_block = min(sample_block, -(-ws.n_samp // pad_to) * pad_to)
     n_pad = -(-ws.n_samp // sample_block) * sample_block
     if chunk is None:
         chunk = auto_chunk(max(n_pad, sample_block), ws.n_snp)
@@ -604,6 +616,9 @@ def pca_cov_rows(ws, sample_block: int = 4096, bayesian: bool = False,
                  chunk=None, pad_to: int = 128):
     """Row-tiled exact-PCA covariance: yields (row0, nrows, cov_rows)."""
     sample_block = -(-sample_block // pad_to) * pad_to
+    # never bigger than the (padded) cohort itself, and pad to a block
+    # multiple so every dynamic_slice is in bounds
+    sample_block = min(sample_block, -(-ws.n_samp // pad_to) * pad_to)
     n_pad = -(-ws.n_samp // sample_block) * sample_block
     if chunk is None:
         chunk = auto_chunk(max(n_pad, sample_block), ws.n_snp)
