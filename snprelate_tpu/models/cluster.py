@@ -60,6 +60,25 @@ def _dist_between(dist, idx, n1):
     return dist[np.ix_(a, b)].mean()
 
 
+def _perm_cross_means(u: np.ndarray, dsub: np.ndarray) -> np.ndarray:
+    """sum_{i in A_p, j in B_p} D[i, j] for every permutation split p:
+    diag(U D (1-U)^T) = rowsum((U @ D) * (1 - U)). Large merges run on the
+    accelerator (the gnrDistPerm hot loop, SNPRelate.cpp:549-668)."""
+    if u.size * dsub.shape[0] > 2**24:
+        import jax
+        import jax.numpy as jnp
+
+        @jax.jit
+        def dev(u_, d_):
+            w = jnp.matmul(u_, d_, precision=jax.lax.Precision.HIGHEST)
+            return (w * (1.0 - u_)).sum(1)
+
+        return np.asarray(dev(jnp.asarray(u), jnp.asarray(dsub)),
+                          np.float64)
+    w = u @ dsub
+    return (w * (1.0 - u)).sum(1)
+
+
 @dataclass
 class CutTreeResult:
     sample_id: np.ndarray
@@ -105,12 +124,17 @@ def cut_tree(hc: HClusterResult, z_threshold=15.0, outlier_n=5, n_perm=5000,
                 continue
             L = _dist_between(dist, idx, n1)
             nsub1 = min(n1, n2)
-            # permutation distribution of the between-subset mean distance
-            perms = np.argsort(rng.random((n_perm, len(idx))), axis=1)
-            pidx = idx[perms]
-            a = pidx[:, :nsub1]
-            b = pidx[:, nsub1:]
-            d = dist[a[:, :, None], b[:, None, :]].mean((1, 2))
+            # permutation distribution of the between-subset mean distance,
+            # as indicator matmuls: mean_p = u_p^T D (1-u_p) / (n1*n2) with
+            # u_p the random-split indicator (identical sums to gathering
+            # the permuted blocks, but BLAS/MXU-shaped instead of a
+            # (n_perm, n1, n2) fancy-gather)
+            m = len(idx)
+            perms = np.argsort(rng.random((n_perm, m)), axis=1)
+            u = np.zeros((n_perm, m))
+            np.put_along_axis(u, perms[:, :nsub1], 1.0, axis=1)
+            dsub = dist[np.ix_(idx, idx)]
+            d = _perm_cross_means(u, dsub) / (nsub1 * (m - nsub1))
             mean, sd2 = d.mean(), d.var(ddof=1)
             out_z[im] = (L - mean) / np.sqrt(sd2) if sd2 > 0 else 0.0
 
