@@ -4,13 +4,18 @@ snpgdsHWE + src/genHWE.cpp:46-113, the Wigginton/Cutler/Abecasis 2005 test).
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 from ..workspace import init_workspace
 
 
+@functools.lru_cache(maxsize=1 << 18)
 def hwe_pvalue(obs_hets: int, obs_hom1: int, obs_hom2: int) -> float:
-    """SNPHWE_pValue (genHWE.cpp:46-113), exact arithmetic port."""
+    """SNPHWE_pValue (genHWE.cpp:46-113), exact arithmetic port. Memoized:
+    genotype-count triples repeat heavily across SNPs of a cohort, so the
+    per-SNP O(n_het) recurrence runs once per distinct triple."""
     obs_homc = max(obs_hom1, obs_hom2)
     obs_homr = min(obs_hom1, obs_hom2)
     rare = 2 * obs_homr + obs_hets
