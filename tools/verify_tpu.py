@@ -78,6 +78,27 @@ def main():
           f"diag mean {np.diag(r.grm).mean():.4f}")
     ok &= bool(np.isfinite(r.grm).all())
 
+    # large-N paths on the TPU: row-tiled GRM and streaming KING must match
+    # their HBM-resident counterparts on real hardware
+    rt = grm(hap, sample_id=hap.sample_id[:60], method="GCTA",
+             sample_block=128)
+    rel = np.nanmax(np.abs(rt.grm - r.grm)) / np.nanmax(np.abs(r.grm))
+    print(f"row-tiled GRM vs full max rel err: {rel:.2e} (expect <1e-6)")
+    ok &= rel < 1e-6
+
+    from snprelate_tpu import ibd_king, ibd_selection, king_ibd_selection
+    kfull = ibd_king(hap, type="KING-robust", missing_rate=np.nan,
+                     remove_monosnp=False)
+    sel = ibd_selection(kfull, kinship_cutoff=0.25)
+    stream = king_ibd_selection(hap, kinship_cutoff=0.25,
+                                missing_rate=np.nan, remove_monosnp=False,
+                                sample_block=128)
+    same = sorted(zip(sel["ID1"], sel["ID2"])) == \
+        sorted(zip(stream["ID1"], stream["ID2"]))
+    print(f"streaming KING pairs: {len(stream['ID1'])} "
+          f"(full-path {len(sel['ID1'])}, identical={same})")
+    ok &= same
+
     print("TPU VERIFY:", "PASS" if ok else "FAIL")
     return 0 if ok else 1
 
