@@ -60,21 +60,31 @@ def _dist_between(dist, idx, n1):
     return dist[np.ix_(a, b)].mean()
 
 
+def _perm_cross_dev(u, d):
+    import jax
+    import jax.numpy as jnp
+
+    w = jnp.matmul(u, d, precision=jax.lax.Precision.HIGHEST)
+    return (w * (1.0 - u)).sum(1)
+
+
+_PERM_CROSS_JIT = None
+
+
 def _perm_cross_means(u: np.ndarray, dsub: np.ndarray) -> np.ndarray:
     """sum_{i in A_p, j in B_p} D[i, j] for every permutation split p:
     diag(U D (1-U)^T) = rowsum((U @ D) * (1 - U)). Large merges run on the
-    accelerator (the gnrDistPerm hot loop, SNPRelate.cpp:549-668)."""
+    accelerator (the gnrDistPerm hot loop, SNPRelate.cpp:549-668); the jit
+    is module-level so repeated merge shapes reuse the compiled kernel."""
     if u.size * dsub.shape[0] > 2**24:
         import jax
         import jax.numpy as jnp
 
-        @jax.jit
-        def dev(u_, d_):
-            w = jnp.matmul(u_, d_, precision=jax.lax.Precision.HIGHEST)
-            return (w * (1.0 - u_)).sum(1)
-
-        return np.asarray(dev(jnp.asarray(u), jnp.asarray(dsub)),
-                          np.float64)
+        global _PERM_CROSS_JIT
+        if _PERM_CROSS_JIT is None:
+            _PERM_CROSS_JIT = jax.jit(_perm_cross_dev)
+        return np.asarray(_PERM_CROSS_JIT(jnp.asarray(u),
+                                          jnp.asarray(dsub)), np.float64)
     w = u @ dsub
     return (w * (1.0 - u)).sum(1)
 

@@ -75,16 +75,38 @@ def grm(data, sample_id=None, snp_id=None, autosome_only=True,
         sample_block = 4096
     if sample_block is not None and mesh is None \
             and method in ("GCTA", "Eigenstrat"):
+        # row-tiled large-N path; checkpoint= saves the completed GRM rows
+        # after every tile and a rerun resumes at the first missing tile
         mat = np.empty((n, n))
+        ck = None
+        start_row = 0
+        if checkpoint:
+            from ..ops.pairwise import Checkpointer
+
+            tag = 41 if method == "GCTA" else 42
+            ck = Checkpointer(checkpoint,
+                              meta=(tag, ws.n_snp, n,
+                                    int(sample_block or -1)))
+            _step, saved = ck.load()
+            if saved:
+                rows_done = saved[0]
+                start_row = int(rows_done.shape[0])
+                mat[:start_row] = rows_done
         if method == "GCTA":
             for r0, nr, cov, vgr, _nl in gcta_parts_rows(
-                    ws, sample_block=sample_block, chunk=chunk):
+                    ws, sample_block=sample_block, chunk=chunk,
+                    start_row=start_row):
                 with np.errstate(divide="ignore", invalid="ignore"):
                     mat[r0:r0 + nr] = cov / (2.0 * vgr)
+                if ck:
+                    ck.save(r0 + nr, [mat[: r0 + nr]])
         else:
             for r0, nr, cov in pca_cov_rows(ws, sample_block=sample_block,
-                                            chunk=chunk):
+                                            chunk=chunk,
+                                            start_row=start_row):
                 mat[r0:r0 + nr] = cov
+                if ck:
+                    ck.save(r0 + nr, [mat[: r0 + nr]])
             mat *= (n - 1) / float(np.trace(mat))
     elif method == "GCTA":
         mat = _gcta(ws, chunk, mesh, checkpoint)

@@ -103,7 +103,7 @@ def ibd_king(data, sample_id=None, snp_id=None, autosome_only=True,
 def king_ibd_selection(data, kinship_cutoff, sample_id=None, snp_id=None,
                        autosome_only=True, remove_monosnp=True,
                        maf=math.nan, missing_rate=0.01,
-                       sample_block=4096, chunk=None, verbose=False):
+                       sample_block=None, chunk=None, verbose=False):
     """Streaming KING-robust relatedness screening for cohorts whose n x n
     kinship matrix does not fit anywhere: equivalent to
     ibd_selection(ibd_king(data, type="KING-robust"), kinship_cutoff) but
@@ -115,57 +115,48 @@ def king_ibd_selection(data, kinship_cutoff, sample_id=None, snp_id=None,
     (R/IBD.R:463)."""
     if not np.isfinite(kinship_cutoff):
         raise ValueError("kinship_cutoff must be finite")
-    import functools
-
     import jax
     import jax.numpy as jnp
 
-    from ..ops.pairwise import (_gram_rows_step, _stage_or_stream,
-                                auto_chunk)
+    from ..ops.pairwise import _gram_rows_step, _row_tile_setup
 
     ws, _ = init_workspace(data, sample_id, snp_id, autosome_only,
                            remove_monosnp, maf, missing_rate, verbose=verbose)
     sid = np.asarray(ws.sample_id, object)
     n = ws.n_samp
-    sample_block = min(-(-sample_block // 128) * 128,
-                       -(-n // 128) * 128)
-    n_pad = -(-n // sample_block) * sample_block
-    if chunk is None:
-        chunk = auto_chunk(max(n_pad, sample_block), ws.n_snp)
-    chunks = _stage_or_stream(ws, chunk, n_pad)
+    sample_block, n_pad, chunk, chunks = _row_tile_setup(
+        ws, sample_block, chunk, 128, bytes_per_cell=36)
 
     @jax.jit
     def strip_stats(carry9, row0, cutoff):
-        """Counts strips -> (kin, ibs0 fraction, packed hit bitmask); only
-        the bitmask crosses the host boundary per strip — hits are gathered
-        afterwards (the LD-pruning lesson: ship decisions, not tables)."""
+        """Counts strips -> (integer pair counters, packed hit bitmask);
+        only the bitmask crosses the host boundary per strip and the final
+        cutoff decision + values are recomputed in f64 from the EXACT
+        integer counters of the hit pairs (the mask admits a small f32
+        slack so no true hit is ever missed)."""
         C = {(a, b): c for c, (a, b) in
              zip(carry9, [(x, y) for x in range(3) for y in range(3)])}
-        fdt = jnp.float32 if jax.default_backend() == "tpu" \
-            else jnp.float64
-        nvalid = sum(c for c in carry9).astype(fdt)
+        nvalid_i = sum(c for c in carry9)
         ibs0_i = C[0, 2] + C[2, 0]
         sum_sq_i = C[0, 1] + C[1, 0] + C[1, 2] + C[2, 1] + 4 * ibs0_i
         n1_i = C[1, 0] + C[1, 1] + C[1, 2]
         n2_i = C[0, 1] + C[1, 1] + C[2, 1]
         mn_i = jnp.minimum(n1_i, n2_i)
-        mn = mn_i.astype(fdt)
-        kin = jnp.where(mn_i > 0, 0.5 - sum_sq_i.astype(fdt) / (4.0 * mn),
-                        jnp.nan)
-        ibs0f = jnp.where(nvalid > 0, ibs0_i.astype(fdt) / nvalid, jnp.nan)
-        gi = row0 + jnp.arange(kin.shape[0])[:, None]
-        tri = gi > jnp.arange(kin.shape[1])[None, :]
-        # integer-exact cutoff: kin >= c  <=>  sum_sq <= (2 - 4c) * mn
-        # (exact for the standard power-of-two kinship cutoffs, where the
-        # f32 quotient would otherwise flip exact-boundary pairs)
-        thr = 2.0 - 4.0 * cutoff
-        hit = tri & (mn_i > 0) & (sum_sq_i.astype(fdt) <= thr * mn)
-        return kin, ibs0f, jnp.packbits(hit, axis=1)
+        gi = row0 + jnp.arange(mn_i.shape[0])[:, None]
+        tri = gi > jnp.arange(mn_i.shape[1])[None, :]
+        # kin >= c  <=>  sum_sq <= (2 - 4c) * mn on the integer counters;
+        # evaluated in f32 with a relative slack so rounding can only ADMIT
+        # borderline pairs (the exact f64 filter runs on the gathered ints)
+        thr = (2.0 - 4.0 * cutoff) * (1.0 + 4e-6)
+        hit = tri & (mn_i > 0) & \
+            (sum_sq_i.astype(jnp.float32) <= thr * mn_i.astype(jnp.float32)
+             + 1.0)
+        return (sum_sq_i, mn_i, ibs0_i, nvalid_i), jnp.packbits(hit, axis=1)
 
     @jax.jit
-    def gather_hits(kin, ibs0f, idx):
+    def gather_hits(counters, idx):
         ii, jj = idx
-        return kin[ii, jj], ibs0f[ii, jj]
+        return tuple(c[ii, jj] for c in counters)
 
     id1, id2, ibs0_v, kin_v = [], [], [], []
     for r0 in range(0, n, sample_block):
@@ -174,8 +165,7 @@ def king_ibd_selection(data, kinship_cutoff, sample_id=None, snp_id=None,
                       for _ in range(9))
         for packed in chunks():
             carry = _gram_rows_step(carry, packed, r0, sample_block)
-        kin, ibs0f, packed_hit = strip_stats(carry, r0,
-                                             float(kinship_cutoff))
+        counters, packed_hit = strip_stats(carry, r0, float(kinship_cutoff))
         mask = np.unpackbits(np.asarray(packed_hit), axis=1,
                              count=n_pad)[:nr, :n].astype(bool)
         ii, jj = np.nonzero(mask)
@@ -187,11 +177,17 @@ def king_ibd_selection(data, kinship_cutoff, sample_id=None, snp_id=None,
         pj = np.zeros(m, np.int32)
         pi[: len(ii)] = ii
         pj[: len(jj)] = jj
-        kv, iv = gather_hits(kin, ibs0f, (jnp.asarray(pi), jnp.asarray(pj)))
-        id1.append(sid[jj])
-        id2.append(sid[ii + r0])
-        kin_v.append(np.asarray(kv, np.float64)[: len(ii)])
-        ibs0_v.append(np.asarray(iv, np.float64)[: len(ii)])
+        ss, mn, ib0, nv = (np.asarray(c, np.float64)[: len(ii)]
+                           for c in gather_hits(
+                               counters, (jnp.asarray(pi), jnp.asarray(pj))))
+        kin = 0.5 - ss / (4.0 * mn)  # exact f64 from integer counters
+        keep = kin >= kinship_cutoff
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ibs0f = np.where(nv > 0, ib0 / nv, np.nan)
+        id1.append(sid[jj[keep]])
+        id2.append(sid[ii[keep] + r0])
+        kin_v.append(kin[keep])
+        ibs0_v.append(ibs0f[keep])
     return {"ID1": np.concatenate(id1) if id1 else np.array([], object),
             "ID2": np.concatenate(id2) if id2 else np.array([], object),
             "IBS0": np.concatenate(ibs0_v) if ibs0_v else np.array([]),

@@ -541,23 +541,35 @@ def _stage_or_stream(ws, chunk, n_pad, hbm_budget=2_000_000_000):
     return lambda: _stream(ws, chunk, n_pad)
 
 
-def gcta_parts_rows(ws, sample_block: int = 4096, chunk=None,
-                    pad_to: int = 128):
-    """Row-tiled CGCTA_AlgArith: yields (row0, nrows, cov_rows, vgram_rows,
-    nlocus) per sample tile. Use via models.grm for out-of-core GRMs beyond
-    HBM-resident n x n."""
+def _row_tile_setup(ws, sample_block, chunk, pad_to: int,
+                    bytes_per_cell: int):
+    """Shared preamble of the row-tiled engines: quantize the sample block
+    to pad_to, cap it by BOTH the padded cohort size and the HBM budget
+    for the per-strip carries (bytes_per_cell bytes per block-row x padded
+    sample), pad the sample axis to a block multiple (in-bounds
+    dynamic_slice), resolve the chunk and build the chunk source."""
+    base = -(-ws.n_samp // pad_to) * pad_to
+    if sample_block is None:
+        sample_block = 4096
+    hbm_rows = int(4e9) // max(1, bytes_per_cell * base)
+    sample_block = min(int(sample_block), max(pad_to, hbm_rows), base)
     sample_block = -(-sample_block // pad_to) * pad_to
-    # never bigger than the (padded) cohort itself, and pad to a block
-    # multiple so every dynamic_slice is in bounds
-    sample_block = min(sample_block, -(-ws.n_samp // pad_to) * pad_to)
     n_pad = -(-ws.n_samp // sample_block) * sample_block
     if chunk is None:
         chunk = auto_chunk(max(n_pad, sample_block), ws.n_snp)
+    return sample_block, n_pad, chunk, _stage_or_stream(ws, chunk, n_pad)
+
+
+def gcta_parts_rows(ws, sample_block=None, chunk=None,
+                    pad_to: int = 128, start_row: int = 0):
+    """Row-tiled CGCTA_AlgArith: yields (row0, nrows, cov_rows, vgram_rows,
+    nlocus) per sample tile. Use via models.grm for out-of-core GRMs beyond
+    HBM-resident n x n. start_row resumes at a later tile (checkpointing)."""
+    sample_block, n_pad, chunk, chunks = _row_tile_setup(
+        ws, sample_block, chunk, pad_to, bytes_per_cell=8)
     fdt = _default_float_dtype()
-    chunks = _stage_or_stream(ws, chunk, n_pad)
     n = ws.n_samp
-    nloc_final = None
-    for r0 in range(0, n, sample_block):
+    for r0 in range(start_row, n, sample_block):
         nr = min(sample_block, n - r0)
         carry = (jnp.zeros((sample_block, n_pad), fdt),
                  jnp.zeros((sample_block, n_pad), jnp.int32),
@@ -565,9 +577,8 @@ def gcta_parts_rows(ws, sample_block: int = 4096, chunk=None,
         for packed in chunks():
             carry = _gcta_rows_step(carry, packed, r0, sample_block)
         cov, vgr, nloc = carry
-        nloc_final = int(nloc)
         yield (r0, nr, np.asarray(cov)[:nr, :n].astype(np.float64),
-               np.asarray(vgr)[:nr, :n].astype(np.int64), nloc_final)
+               np.asarray(vgr)[:nr, :n].astype(np.int64), int(nloc))
 
 
 _ALL_PAIRS = tuple((a, b) for a in range(3) for b in range(3))
@@ -586,23 +597,17 @@ def _gram_rows_step(carry9, packed, row0, nrows: int):
         for c, (a, b) in zip(carry9, _ALL_PAIRS))
 
 
-def plane_gram_rows(ws, sample_block: int = 4096, chunk=None,
-                    pad_to: int = 128):
+def plane_gram_rows(ws, sample_block=None, chunk=None,
+                    pad_to: int = 128, start_row: int = 0):
     """Row-tiled integer pairwise counts: yields (row0, nrows, C) with
     C (3, 3, nrows, n) int64 — PairCounts row strips with device memory
     O(block x n). The large-N analog of pair_counts (e.g. biobank KING
     screening); all 9 plane pairs are computed per strip (the 6-block
     symmetry only applies to the full square)."""
-    sample_block = -(-sample_block // pad_to) * pad_to
-    # never bigger than the (padded) cohort itself, and pad to a block
-    # multiple so every dynamic_slice is in bounds
-    sample_block = min(sample_block, -(-ws.n_samp // pad_to) * pad_to)
-    n_pad = -(-ws.n_samp // sample_block) * sample_block
-    if chunk is None:
-        chunk = auto_chunk(max(n_pad, sample_block), ws.n_snp)
-    chunks = _stage_or_stream(ws, chunk, n_pad)
+    sample_block, n_pad, chunk, chunks = _row_tile_setup(
+        ws, sample_block, chunk, pad_to, bytes_per_cell=36)
     n = ws.n_samp
-    for r0 in range(0, n, sample_block):
+    for r0 in range(start_row, n, sample_block):
         nr = min(sample_block, n - r0)
         carry = tuple(jnp.zeros((sample_block, n_pad), jnp.int32)
                       for _ in range(9))
@@ -612,20 +617,14 @@ def plane_gram_rows(ws, sample_block: int = 4096, chunk=None,
         yield r0, nr, c.reshape(3, 3, nr, n).astype(np.int64)
 
 
-def pca_cov_rows(ws, sample_block: int = 4096, bayesian: bool = False,
-                 chunk=None, pad_to: int = 128):
+def pca_cov_rows(ws, sample_block=None, bayesian: bool = False,
+                 chunk=None, pad_to: int = 128, start_row: int = 0):
     """Row-tiled exact-PCA covariance: yields (row0, nrows, cov_rows)."""
-    sample_block = -(-sample_block // pad_to) * pad_to
-    # never bigger than the (padded) cohort itself, and pad to a block
-    # multiple so every dynamic_slice is in bounds
-    sample_block = min(sample_block, -(-ws.n_samp // pad_to) * pad_to)
-    n_pad = -(-ws.n_samp // sample_block) * sample_block
-    if chunk is None:
-        chunk = auto_chunk(max(n_pad, sample_block), ws.n_snp)
+    sample_block, n_pad, chunk, chunks = _row_tile_setup(
+        ws, sample_block, chunk, pad_to, bytes_per_cell=4)
     fdt = _default_float_dtype()
-    chunks = _stage_or_stream(ws, chunk, n_pad)
     n = ws.n_samp
-    for r0 in range(0, n, sample_block):
+    for r0 in range(start_row, n, sample_block):
         nr = min(sample_block, n - r0)
         carry = jnp.zeros((sample_block, n_pad), fdt)
         for packed in chunks():

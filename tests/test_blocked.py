@@ -184,3 +184,26 @@ def test_pair_counts_row_tiled(big_data):
     full = pair_counts(ws)
     tiled = pair_counts(ws, sample_block=512)
     np.testing.assert_array_equal(tiled.C, full.C)
+
+
+def test_grm_row_tiled_checkpoint(big_data, tmp_path):
+    """Row-tiled GRM resumes from per-tile checkpoints."""
+    import snprelate_tpu as sr
+    from snprelate_tpu.ops.pairwise import Checkpointer
+
+    data, _g = big_data
+    kw = dict(method="GCTA", autosome_only=False, remove_monosnp=False,
+              missing_rate=np.nan, sample_block=512)
+    full = sr.grm(data, **kw)
+    n = full.grm.shape[0]
+
+    # simulate a crashed run that completed the first tile
+    ckpt = str(tmp_path / "grm_rows.npz")
+    ck = Checkpointer(ckpt, meta=(41, len(full.snp_id), n, 512))
+    ck.save(512, [full.grm[:512]])
+    resumed = sr.grm(data, checkpoint=ckpt, **kw)
+    np.testing.assert_allclose(resumed.grm, full.grm, rtol=1e-12)
+
+    # a rerun on the now-complete checkpoint recomputes nothing
+    again = sr.grm(data, checkpoint=ckpt, **kw)
+    np.testing.assert_allclose(again.grm, full.grm, rtol=1e-12)
