@@ -45,8 +45,14 @@ def main():
     counts = sharded_pair_counts(ws, mesh, chunk=128)
     cov, vgram, nlocus = sharded_gcta_parts(ws, mesh, chunk=128)
 
+    from snprelate_tpu.models.pca_randomized import randomized_pca
+
+    rp = randomized_pca(ws, eigen_cnt=4, aux_dim=8, iter_num=4, seed=3,
+                        chunk=128, mesh=mesh)
+
     if pid == 0:
-        np.savez(out, counts=counts, cov=cov, vgram=vgram, nlocus=nlocus)
+        np.savez(out, counts=counts, cov=cov, vgram=vgram, nlocus=nlocus,
+                 eigenval=rp.eigenval[:4], eigenvect=rp.eigenvect[:, :4])
     # all processes must stay alive until the collectives finish
     import jax.experimental.multihost_utils as mh
 

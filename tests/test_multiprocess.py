@@ -69,3 +69,15 @@ def test_two_process_mesh(tmp_path):
     np.testing.assert_allclose(z["cov"], cov, rtol=1e-10, atol=1e-12)
     np.testing.assert_array_equal(z["vgram"], vgram)
     assert int(z["nlocus"]) == nlocus
+
+    # sharded randomized PCA across the 2-process mesh vs single-process
+    from snprelate_tpu.models.pca_randomized import randomized_pca
+    rp = randomized_pca(ws, eigen_cnt=4, aux_dim=8, iter_num=4, seed=3,
+                        chunk=128)
+    np.testing.assert_allclose(z["eigenval"], rp.eigenval[:4], rtol=1e-6)
+    # eigenvector signs are arbitrary; compare |dot| of each component
+    for k in range(4):
+        d = abs(float(np.dot(z["eigenvect"][:, k], rp.eigenvect[:, k])))
+        nn = (np.linalg.norm(z["eigenvect"][:, k])
+              * np.linalg.norm(rp.eigenvect[:, k]))
+        assert d / nn > 0.999, (k, d / nn)
