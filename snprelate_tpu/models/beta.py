@@ -53,7 +53,7 @@ def indiv_beta(data, sample_id=None, snp_id=None, autosome_only=True,
         raise ValueError("method must be 'weighted'")
     ws, _ = init_workspace(data, sample_id, snp_id, autosome_only,
                            remove_monosnp, maf, missing_rate, verbose=verbose)
-    c = pair_counts(ws, chunk=chunk)
+    c = pair_counts(ws, chunk=chunk, verbose=verbose)
     beta, avg = _beta_raw(c, inbreeding)
     out = (beta - avg) / (1.0 - avg)
     return IndivBetaResult(ws.sample_id, ws.snp_id, inbreeding, out, avg)
@@ -70,10 +70,10 @@ def indiv_beta_rel(beta: IndivBetaResult, beta_rel: float):
                            beta.avg_val)
 
 
-def beta_grm_matrix(ws, chunk=None) -> np.ndarray:
+def beta_grm_matrix(ws, chunk=None, verbose=False) -> np.ndarray:
     """GRM method='IndivBeta' (CalcIndivBetaGRM, genBeta.cpp:263-357):
     min-rescaled beta matrix with diagonal mapped to (x-min)*scale/2 + 1."""
-    c = pair_counts(ws, chunk=chunk)
+    c = pair_counts(ws, chunk=chunk, verbose=verbose)
     beta, avg = _beta_raw(c, inbreeding=True)
     mn = float(np.min(beta))
     scale = 2.0 / (1.0 - mn)

@@ -32,7 +32,7 @@ def diss(data, sample_id=None, snp_id=None, autosome_only=True,
     """snpgdsDiss (R/IBD.R:432)."""
     ws, _ = init_workspace(data, sample_id, snp_id, autosome_only,
                            remove_monosnp, maf, missing_rate, verbose=verbose)
-    c, waf, _ = king_homo_counts(ws, chunk=chunk)
+    c, waf, _ = king_homo_counts(ws, chunk=chunk, verbose=verbose)
     w = np.array([[a * (2 - b) + (2 - a) * b for b in range(3)]
                   for a in range(3)], np.int64)
     sum_geno = np.einsum("ab,abij->ij", w, c.C).astype(np.float64)

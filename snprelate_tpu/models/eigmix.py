@@ -30,8 +30,9 @@ class EigMixResult:
     diagadj: bool
 
 
-def eigmix_ibd_matrix(ws, diagadj: bool = True, chunk=None) -> np.ndarray:
-    num, denom, het = eigmix_parts(ws, chunk=chunk)
+def eigmix_ibd_matrix(ws, diagadj: bool = True, chunk=None,
+                      verbose=False) -> np.ndarray:
+    num, denom, het = eigmix_parts(ws, chunk=chunk, verbose=verbose)
     if diagadj:
         num = num.copy()
         np.fill_diagonal(num, num.diagonal() - het)
@@ -49,7 +50,8 @@ def eigmix(data, sample_id=None, snp_id=None, autosome_only=True,
     n = ws.n_samp
     if eigen_cnt < 0:
         eigen_cnt = n
-    mat = eigmix_ibd_matrix(ws, diagadj=diagadj, chunk=chunk)
+    mat = eigmix_ibd_matrix(ws, diagadj=diagadj, chunk=chunk,
+                            verbose=verbose)
     af, _, _, _ = snp_stats(ws)
 
     eigenval = eigenvect = None

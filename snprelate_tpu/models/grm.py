@@ -32,14 +32,15 @@ class GRMResult:
     avg_val: float = None
 
 
-def _gcta(ws, chunk, mesh=None, checkpoint=None):
+def _gcta(ws, chunk, mesh=None, checkpoint=None, verbose=False):
     if mesh is not None:
         from ..parallel.mesh import sharded_gcta_parts
 
         cov, vgram, nlocus = sharded_gcta_parts(ws, mesh, chunk=chunk)
     else:
         cov, vgram, nlocus = gcta_grm_parts(ws, chunk=chunk,
-                                            checkpoint=checkpoint)
+                                            checkpoint=checkpoint,
+                                            verbose=verbose)
     denom = 2.0 * vgram  # vgram = #both-valid at polymorphic loci
     with np.errstate(divide="ignore", invalid="ignore"):
         return cov / denom
@@ -95,7 +96,7 @@ def grm(data, sample_id=None, snp_id=None, autosome_only=True,
         if method == "GCTA":
             for r0, nr, cov, vgr, _nl in gcta_parts_rows(
                     ws, sample_block=sample_block, chunk=chunk,
-                    start_row=start_row):
+                    start_row=start_row, verbose=verbose):
                 with np.errstate(divide="ignore", invalid="ignore"):
                     mat[r0:r0 + nr] = cov / (2.0 * vgr)
                 if ck:
@@ -103,32 +104,34 @@ def grm(data, sample_id=None, snp_id=None, autosome_only=True,
         else:
             for r0, nr, cov in pca_cov_rows(ws, sample_block=sample_block,
                                             chunk=chunk,
-                                            start_row=start_row):
+                                            start_row=start_row,
+                                            verbose=verbose):
                 mat[r0:r0 + nr] = cov
                 if ck:
                     ck.save(r0 + nr, [mat[: r0 + nr]])
             mat *= (n - 1) / float(np.trace(mat))
     elif method == "GCTA":
-        mat = _gcta(ws, chunk, mesh, checkpoint)
+        mat = _gcta(ws, chunk, mesh, checkpoint, verbose)
     elif method == "Eigenstrat":
         if mesh is not None:
             from ..parallel.mesh import sharded_pca_covariance
 
             mat = sharded_pca_covariance(ws, mesh, chunk=chunk)
         else:
-            mat = pca_covariance(ws, chunk=chunk, checkpoint=checkpoint)
+            mat = pca_covariance(ws, chunk=chunk, checkpoint=checkpoint,
+                                 verbose=verbose)
         mat *= (n - 1) / float(np.trace(mat))
     elif method == "Corr":
-        mat = _gcta(ws, chunk, mesh, checkpoint)
+        mat = _gcta(ws, chunk, mesh, checkpoint, verbose)
         d = np.sqrt(np.diag(mat).copy())
         mat = mat / np.outer(d, d)
         np.fill_diagonal(mat, 1.0)
     elif method == "EIGMIX":
         from .eigmix import eigmix_ibd_matrix
-        mat = 2.0 * eigmix_ibd_matrix(ws, chunk=chunk)
+        mat = 2.0 * eigmix_ibd_matrix(ws, chunk=chunk, verbose=verbose)
     elif method == "IndivBeta":
         from .beta import beta_grm_matrix
-        mat = beta_grm_matrix(ws, chunk=chunk)
+        mat = beta_grm_matrix(ws, chunk=chunk, verbose=verbose)
     else:
         raise ValueError("Invalid 'method'!")
     res = GRMResult(ws.sample_id, ws.snp_id, method, mat)

@@ -129,7 +129,7 @@ def ibd_mom(data, sample_id=None, snp_id=None, autosome_only=True,
     gsum = np.round(np.nan_to_num(gsum)).astype(np.int64)
     e, p_used = _epr_ibs_ibd(gsum, num, afreq_used,
                              correct=afreq_used is None)
-    c = pair_counts(ws, chunk=chunk)
+    c = pair_counts(ws, chunk=chunk, verbose=verbose)
     k0, k1 = _est_plink_kinship(c.ibs0, c.ibs1, c.ibs2, e, kinship_constraint)
     np.fill_diagonal(k0, 0.0)
     np.fill_diagonal(k1, 0.0)

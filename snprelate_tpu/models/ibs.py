@@ -39,7 +39,8 @@ def ibs(data, sample_id=None, snp_id=None, autosome_only=True,
     (0.5*IBS1 + IBS2) / (IBS0+IBS1+IBS2) per pair (genIBS.cpp:470-475)."""
     ws, _ = init_workspace(data, sample_id, snp_id, autosome_only,
                            remove_monosnp, maf, missing_rate, verbose=verbose)
-    c = pair_counts(ws, chunk=chunk, checkpoint=checkpoint)
+    c = pair_counts(ws, chunk=chunk, checkpoint=checkpoint,
+                    verbose=verbose)
     total = c.nvalid.astype(np.float64)
     with np.errstate(invalid="ignore"):
         avg = (0.5 * c.ibs1 + c.ibs2) / total
@@ -52,5 +53,6 @@ def ibs_num(data, sample_id=None, snp_id=None, autosome_only=True,
     """snpgdsIBSNum (R/IBS.R:50): raw IBS0/1/2 counts."""
     ws, _ = init_workspace(data, sample_id, snp_id, autosome_only,
                            remove_monosnp, maf, missing_rate, verbose=verbose)
-    c = pair_counts(ws, chunk=chunk, checkpoint=checkpoint)
+    c = pair_counts(ws, chunk=chunk, checkpoint=checkpoint,
+                    verbose=verbose)
     return IBSNumResult(ws.sample_id, ws.snp_id, c.ibs0, c.ibs1, c.ibs2)

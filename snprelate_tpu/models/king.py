@@ -49,7 +49,7 @@ def ibd_king(data, sample_id=None, snp_id=None, autosome_only=True,
     n = ws.n_samp
 
     if type == "KING-homo":
-        c, waf, waf2 = king_homo_counts(ws, chunk=chunk)
+        c, waf, waf2 = king_homo_counts(ws, chunk=chunk, verbose=verbose)
         with np.errstate(divide="ignore", invalid="ignore"):
             theta = 0.5 - c.sum_sq / (8.0 * waf)
             k0 = c.ibs0 / (2.0 * waf2)
@@ -85,7 +85,7 @@ def ibd_king(data, sample_id=None, snp_id=None, autosome_only=True,
                 continue
             fam[i] = levels.setdefault(f, len(levels))
 
-    c = pair_counts(ws, chunk=chunk)
+    c = pair_counts(ws, chunk=chunk, verbose=verbose)
     nloci = c.nvalid.astype(np.float64)
     with np.errstate(divide="ignore", invalid="ignore"):
         ibs0 = np.where(nloci > 0, c.ibs0 / nloci, np.nan)

@@ -74,6 +74,7 @@ def pca(data, sample_id=None, snp_id=None, autosome_only=True,
         cov = sharded_pca_covariance(ws, mesh, chunk=chunk)
     else:
         cov = pca_covariance(ws, bayesian=bayesian, chunk=chunk,
+                             verbose=verbose,
                              checkpoint=checkpoint)
     trace_xtx = float(np.trace(cov))
     scale = (n - 1) / trace_xtx

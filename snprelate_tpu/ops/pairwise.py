@@ -306,7 +306,7 @@ class PairCounts:
 
 def pair_counts(ws, chunk=None, pad_to: int = 128,
                 checkpoint=None, checkpoint_every: int = 64,
-                sample_block=None) -> PairCounts:
+                sample_block=None, verbose: bool = False) -> PairCounts:
     """Run the integer pairwise engine over a Workspace selection.
 
     Uses the symmetric 6-block gram (``_sym_grams``). A triangular Pallas
@@ -327,7 +327,8 @@ def pair_counts(ws, chunk=None, pad_to: int = 128,
         n = ws.n_samp
         C = np.empty((3, 3, n, n), np.int64)
         for r0, nr, strip in plane_gram_rows(ws, sample_block=sample_block,
-                                             chunk=chunk, pad_to=pad_to):
+                                             chunk=chunk, pad_to=pad_to,
+                                             verbose=verbose):
             C[:, :, r0:r0 + nr, :] = strip
         return PairCounts(C)
     ck = Checkpointer(checkpoint, checkpoint_every,
@@ -335,7 +336,8 @@ def pair_counts(ws, chunk=None, pad_to: int = 128,
     step, saved = ck.load()
     carry = (tuple(jnp.asarray(a) for a in saved) if saved
              else _zeros6(n_pad))
-    for packed in _stream(ws, chunk, n_pad, start_chunk=step):
+    for packed in _stream(ws, chunk, n_pad, start_chunk=step,
+                          verbose=verbose, label="pair counts: "):
         carry = _gram6_step(carry, packed)
         step += 1
         ck.maybe_save(step, lambda: list(carry))
@@ -390,11 +392,24 @@ def _gcta_step(carry, packed, nblk: int):
     return cov, vgram, nlocus + poly.sum(dtype=jnp.int32)
 
 
-def _stream(ws, chunk, n_pad, start_chunk: int = 0):
-    """Prefetched device chunks (host codec + transfer overlap compute)."""
+def _stream(ws, chunk, n_pad, start_chunk: int = 0, verbose=False,
+            label: str = ""):
+    """Prefetched device chunks (host codec + transfer overlap compute),
+    with optional percent/ETA progress lines (the CdProgression analog,
+    dGenGWAS.cpp:1543-1640)."""
     from ..parallel.stream import device_chunks
 
-    yield from device_chunks(ws, chunk, n_pad, start_chunk=start_chunk)
+    it = device_chunks(ws, chunk, n_pad, start_chunk=start_chunk)
+    if not verbose:
+        yield from it
+        return
+    from ..utils.progress import Progress
+
+    total = max(1, -(-ws.n_snp // chunk) - start_chunk)
+    pr = Progress(total, verbose=True, label=label)
+    for x in it:
+        yield x
+        pr.forward()
 
 
 class Checkpointer:
@@ -445,7 +460,8 @@ def _zeros_blocks(nblk, nb, dtype):
 
 def pca_covariance(ws, bayesian: bool = False, chunk=None,
                    pad_to: int = 128, checkpoint=None,
-                   checkpoint_every: int = 64) -> np.ndarray:
+                   checkpoint_every: int = 64,
+                   verbose: bool = False) -> np.ndarray:
     """Exact-PCA genetic covariance (unscaled; CExactPCA::Run)."""
     n_pad, nblk = _pad_blocks(ws.n_samp, pad_to)
     if chunk is None:
@@ -458,7 +474,8 @@ def pca_covariance(ws, bayesian: bool = False, chunk=None,
     step, saved = ck.load()
     cov = (tuple(jnp.asarray(a) for a in saved) if saved
            else _zeros_blocks(nblk, nb, fdt))
-    for packed in _stream(ws, chunk, n_pad, start_chunk=step):
+    for packed in _stream(ws, chunk, n_pad, start_chunk=step,
+                          verbose=verbose, label="PCA covariance: "):
         cov = _pca_step(cov, packed, bayesian, nblk)
         step += 1
         ck.maybe_save(step, lambda: list(cov))
@@ -467,7 +484,8 @@ def pca_covariance(ws, bayesian: bool = False, chunk=None,
 
 
 def gcta_grm_parts(ws, chunk=None, pad_to: int = 128,
-                   checkpoint=None, checkpoint_every: int = 64):
+                   checkpoint=None, checkpoint_every: int = 64,
+                   verbose: bool = False):
     """GCTA GRM numerator + per-pair denominators (CGCTA_AlgArith::Run):
     GRM = Cov / (2 * (nLocus - Denom)) with Denom = nLocus - VpVp^T."""
     n_pad, nblk = _pad_blocks(ws.n_samp, pad_to)
@@ -487,7 +505,8 @@ def gcta_grm_parts(ws, chunk=None, pad_to: int = 128,
         carry = (_zeros_blocks(nblk, nb, fdt),
                  _zeros_blocks(nblk, nb, jnp.int32),
                  jnp.zeros((), jnp.int32))
-    for packed in _stream(ws, chunk, n_pad, start_chunk=step):
+    for packed in _stream(ws, chunk, n_pad, start_chunk=step,
+                          verbose=verbose, label="GCTA GRM: "):
         carry = _gcta_step(carry, packed, nblk)
         step += 1
         ck.maybe_save(step, lambda: [*carry[0], *carry[1], carry[2]])
@@ -561,7 +580,8 @@ def _row_tile_setup(ws, sample_block, chunk, pad_to: int,
 
 
 def gcta_parts_rows(ws, sample_block=None, chunk=None,
-                    pad_to: int = 128, start_row: int = 0):
+                    pad_to: int = 128, start_row: int = 0,
+                    verbose: bool = False):
     """Row-tiled CGCTA_AlgArith: yields (row0, nrows, cov_rows, vgram_rows,
     nlocus) per sample tile. Use via models.grm for out-of-core GRMs beyond
     HBM-resident n x n. start_row resumes at a later tile (checkpointing)."""
@@ -577,6 +597,8 @@ def gcta_parts_rows(ws, sample_block=None, chunk=None,
         for packed in chunks():
             carry = _gcta_rows_step(carry, packed, r0, sample_block)
         cov, vgr, nloc = carry
+        if verbose:
+            print(f"GRM rows {r0 + nr}/{n}")
         yield (r0, nr, np.asarray(cov)[:nr, :n].astype(np.float64),
                np.asarray(vgr)[:nr, :n].astype(np.int64), int(nloc))
 
@@ -598,7 +620,8 @@ def _gram_rows_step(carry9, packed, row0, nrows: int):
 
 
 def plane_gram_rows(ws, sample_block=None, chunk=None,
-                    pad_to: int = 128, start_row: int = 0):
+                    pad_to: int = 128, start_row: int = 0,
+                    verbose: bool = False):
     """Row-tiled integer pairwise counts: yields (row0, nrows, C) with
     C (3, 3, nrows, n) int64 — PairCounts row strips with device memory
     O(block x n). The large-N analog of pair_counts (e.g. biobank KING
@@ -614,11 +637,14 @@ def plane_gram_rows(ws, sample_block=None, chunk=None,
         for packed in chunks():
             carry = _gram_rows_step(carry, packed, r0, sample_block)
         c = np.stack([np.asarray(b)[:nr, :n] for b in carry])
+        if verbose:
+            print(f"pairwise-count rows {r0 + nr}/{n}")
         yield r0, nr, c.reshape(3, 3, nr, n).astype(np.int64)
 
 
 def pca_cov_rows(ws, sample_block=None, bayesian: bool = False,
-                 chunk=None, pad_to: int = 128, start_row: int = 0):
+                 chunk=None, pad_to: int = 128, start_row: int = 0,
+                 verbose: bool = False):
     """Row-tiled exact-PCA covariance: yields (row0, nrows, cov_rows)."""
     sample_block, n_pad, chunk, chunks = _row_tile_setup(
         ws, sample_block, chunk, pad_to, bytes_per_cell=4)
@@ -629,6 +655,8 @@ def pca_cov_rows(ws, sample_block=None, bayesian: bool = False,
         carry = jnp.zeros((sample_block, n_pad), fdt)
         for packed in chunks():
             carry = _pca_rows_step(carry, packed, r0, sample_block, bayesian)
+        if verbose:
+            print(f"covariance rows {r0 + nr}/{n}")
         yield r0, nr, np.asarray(carry)[:nr, :n].astype(np.float64)
 
 
@@ -658,7 +686,8 @@ def _king_homo_step(carry, packed, nblk: int):
     return grams, waf, waf2
 
 
-def king_homo_counts(ws, chunk=None, pad_to: int = 128):
+def king_homo_counts(ws, chunk=None, pad_to: int = 128,
+                     verbose: bool = False):
     """Returns (PairCounts, SumAFreq, SumAFreq2) for KING-homo."""
     n_pad, nblk = _pad_blocks(ws.n_samp, pad_to)
     if chunk is None:
@@ -668,7 +697,8 @@ def king_homo_counts(ws, chunk=None, pad_to: int = 128):
     carry = (_zeros6(n_pad),
              _zeros_blocks(nblk, nb, fdt),
              _zeros_blocks(nblk, nb, fdt))
-    for packed in _stream(ws, chunk, n_pad):
+    for packed in _stream(ws, chunk, n_pad, verbose=verbose,
+                          label="KING-homo: "):
         carry = _king_homo_step(carry, packed, nblk)
     grams, waf, waf2 = carry
     n = ws.n_samp
@@ -704,7 +734,8 @@ def _eigmix_step(carry, packed, nblk: int):
     return cov, wvg, hetcnt, afsum + d.sum()
 
 
-def eigmix_parts(ws, chunk=None, pad_to: int = 128):
+def eigmix_parts(ws, chunk=None, pad_to: int = 128,
+                 verbose: bool = False):
     """Returns (num=XX^T, denom=(V.d)V^T, het per sample, afreq per snp)."""
     n_pad, nblk = _pad_blocks(ws.n_samp, pad_to)
     if chunk is None:
@@ -713,7 +744,8 @@ def eigmix_parts(ws, chunk=None, pad_to: int = 128):
     fdt = _default_float_dtype()
     carry = (_zeros_blocks(nblk, nb, fdt), _zeros_blocks(nblk, nb, fdt),
              jnp.zeros((n_pad,), jnp.int32), jnp.zeros((), fdt))
-    for packed in _stream(ws, chunk, n_pad):
+    for packed in _stream(ws, chunk, n_pad, verbose=verbose,
+                          label="EIGMIX: "):
         carry = _eigmix_step(carry, packed, nblk)
     cov, wvg, hetcnt, _ = carry
     n = ws.n_samp
