@@ -21,6 +21,7 @@ import os
 import numpy as np
 
 from .store import SNPData, pack2bit
+from ..native import vcf_gt_line
 
 _BED_CVT = np.array([2, 3, 1, 0], np.uint8)  # ConvToGDS.cpp:586
 _BED_INV = {2: 0, 3: 1, 1: 2, 0: 3}
@@ -174,6 +175,47 @@ def snpdata_to_bed(data: SNPData, bed_fn: str, sample_id=None, snp_id=None,
 # VCF4
 
 
+def _vcf_gt_slow(cell: str, gt_idx: int) -> int:
+    """REF-allele dosage of one VCF genotype cell (gnrParseVCF4 semantics,
+    ConvToGDS.cpp:645-1013): count '0' alleles; any missing allele -> 3;
+    haploid doubles."""
+    fields = cell.split(":")
+    gt = fields[gt_idx] if gt_idx < len(fields) else fields[0]
+    alleles = gt.replace("|", "/").split("/")
+    cnt = 0
+    for a in alleles:
+        if a in (".", ""):
+            return 3
+        cnt += 1 if a == "0" else 0
+    if not alleles:
+        return 3
+    return min(cnt, 2) if len(alleles) >= 2 else (2 if cnt == 1 else 0)
+
+
+_VCF_GT_LUT: dict = {}
+
+
+def _vcf_gt_code(cell: str, gt_idx: int) -> int:
+    """Memoized per-cell genotype decode: the overwhelmingly common
+    "a/b"-prefixed cells resolve through a tiny dict of GT prefixes
+    (the cell's FORMAT extras are irrelevant to GT), everything else
+    falls back to the literal parser."""
+    if gt_idx == 0:
+        ln = len(cell)
+        if ln > 2 and cell[1] in "/|" and (ln == 3 or cell[3] == ":"):
+            key = cell[:3]  # diploid single-char alleles
+        elif ln == 1 or (ln > 1 and cell[1] == ":"):
+            key = cell[0]  # haploid single-char allele
+        else:
+            return _vcf_gt_slow(cell, gt_idx)
+        code = _VCF_GT_LUT.get(key)
+        if code is None:
+            code = _vcf_gt_slow(key, 0)
+            _VCF_GT_LUT[key] = code
+        return code
+    return _vcf_gt_slow(cell, gt_idx)
+
+
 def vcf_to_snpdata(vcf_fn, method="biallelic.only", ref_allele=None,
                    ignore_chr_prefix="chr", verbose=False, out_fn=None,
                    snpfirstdim=False, compress_annotation="ZIP_RA.max",
@@ -199,7 +241,7 @@ def vcf_to_snpdata(vcf_fn, method="biallelic.only", ref_allele=None,
                     elif sample_id != sids:
                         raise ValueError("Different samples across VCF files")
                     continue
-                parts = line.rstrip("\n").split("\t")
+                parts = line.rstrip("\r\n").split("\t", 9)
                 if len(parts) < 10:
                     continue
                 chrom, pos, vid, ref, alt = parts[0], parts[1], parts[2], \
@@ -217,21 +259,12 @@ def vcf_to_snpdata(vcf_fn, method="biallelic.only", ref_allele=None,
                         continue
                 if ignore_chr_prefix and chrom.startswith(ignore_chr_prefix):
                     chrom = chrom[len(ignore_chr_prefix):]
-                g = np.full(len(sample_id), 3, np.uint8)
-                for i, cell in enumerate(parts[9:]):
-                    fields = cell.split(":")
-                    gt = fields[gt_idx] if gt_idx < len(fields) else fields[0]
-                    alleles = gt.replace("|", "/").split("/")
-                    cnt = 0
-                    ok = len(alleles) > 0
-                    for a in alleles:
-                        if a in (".", ""):
-                            ok = False
-                            break
-                        cnt += 1 if a == "0" else 0
-                    if ok:
-                        g[i] = min(cnt, 2) if len(alleles) >= 2 else \
-                            (2 if cnt == 1 else 0)
+                nsp = len(sample_id)
+                g = vcf_gt_line(parts[9].encode(), gt_idx, nsp)
+                if g is None:  # no native codec: memoized python parser
+                    g = np.full(nsp, 3, np.uint8)
+                    for i, cell in enumerate(parts[9].split("\t")[:nsp]):
+                        g[i] = _vcf_gt_code(cell, gt_idx)
                 rows.append((chrom, int(pos), vid, ref, alts[0] if alts else "",
                              qual, filt))
                 genos.append(g)

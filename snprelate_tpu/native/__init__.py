@@ -61,6 +61,12 @@ def get_lib():
         lib.codec_subset_repack.argtypes = [u8p, i64, i64, i64p, i64, u8p,
                                             i64]
         lib.codec_snp_stats.argtypes = [u8p, i64, i64, i64p, i64, i64p, i64p]
+        try:
+            lib.codec_vcf_gt.argtypes = [ctypes.c_char_p, i64, i64, u8p,
+                                         i64]
+            lib.codec_vcf_gt.restype = i64
+        except AttributeError:
+            pass  # stale .so without the VCF parser: wrappers fall back
         lib.codec_num_threads.restype = ctypes.c_int
         _lib = lib
         return _lib
@@ -121,3 +127,14 @@ def snp_stats_packed(packed: np.ndarray, samp_idx: np.ndarray):
     lib.codec_snp_stats(_u8p(packed), n_rows, src_bytes, _i64p(samp_idx),
                         len(samp_idx), _i64p(gsum), _i64p(gnum))
     return gsum, gnum
+
+
+def vcf_gt_line(rest: bytes, gt_idx: int, n: int):
+    """Genotype codes for one VCF line's sample-column region (see
+    codec_vcf_gt); returns None when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "codec_vcf_gt"):
+        return None
+    out = np.full(n, 3, np.uint8)
+    lib.codec_vcf_gt(rest, len(rest), gt_idx, _u8p(out), n)
+    return out

@@ -141,4 +141,68 @@ int codec_num_threads(void)
 #endif
 }
 
+
+// Parse the genotype columns of one VCF line (the tab-separated region
+// starting at the first sample column) into REF-allele dosage codes
+// (gnrParseVCF4 semantics, ConvToGDS.cpp:645-1013): count alleles equal to
+// "0"; any "."/empty allele -> 3 (missing); haploid "0" -> 2, else 0;
+// diploid+ -> min(count, 2). out must be pre-filled with 3; returns the
+// number of cells parsed (<= n).
+int64_t codec_vcf_gt(const char *s, int64_t len, int64_t gt_idx,
+                     uint8_t *out, int64_t n)
+{
+    int64_t i = 0, cell = 0;
+    while (cell < n && i <= len) {
+        int64_t end = i;
+        while (end < len && s[end] != '\t') end++;
+        // locate the GT field inside [i, end)
+        int64_t gstart = i, gend = end;
+        if (gt_idx > 0) {
+            int64_t fcount = 0, cur = i;
+            gstart = -1;
+            for (int64_t k = i; k <= end; k++) {
+                if (k == end || s[k] == ':') {
+                    if (fcount == gt_idx) { gstart = cur; gend = k; break; }
+                    fcount++; cur = k + 1;
+                }
+            }
+            if (gstart < 0) {  // fewer fields than gt_idx: first field
+                gstart = i;
+                gend = i;
+                while (gend < end && s[gend] != ':') gend++;
+            }
+        } else {
+            gend = i;
+            while (gend < end && s[gend] != ':') gend++;
+        }
+        // parse '/'- or '|'-separated alleles
+        int cnt = 0, nall = 0, bad = 0;
+        int64_t k = gstart;
+        if (k >= gend) bad = 1;
+        while (k < gend) {
+            int64_t t0 = k;
+            while (k < gend && s[k] != '/' && s[k] != '|') k++;
+            int64_t t1 = k;
+            if (t1 == t0 || (t1 - t0 == 1 && s[t0] == '.')) bad = 1;
+            else if (t1 - t0 == 1 && s[t0] == '0') cnt++;
+            nall++;
+            if (k < gend) {
+                k++;               // skip the separator
+                if (k == gend) {   // trailing separator: empty allele
+                    bad = 1;
+                    nall++;
+                    break;
+                }
+            }
+        }
+        if (!bad && nall > 0)
+            out[cell] = (nall >= 2) ? (cnt > 2 ? 2 : (uint8_t)cnt)
+                                    : (cnt == 1 ? 2 : 0);
+        cell++;
+        if (end >= len) break;
+        i = end + 1;
+    }
+    return cell;
+}
+
 }  // extern "C"

@@ -145,3 +145,28 @@ def test_gds2ped_formats(hapmap, tmp_path):
                    snp_id=hapmap.snp_id[:50], format="A/B")
     ped = open(base + ".ped").read()
     assert " A A" in ped or " A B" in ped or " B B" in ped
+
+
+def test_vcf_gt_native_matches_python():
+    """The C genotype-cell parser must agree with the literal Python rules
+    (gnrParseVCF4 semantics) on every tricky cell shape."""
+    import pytest
+
+    from snprelate_tpu.io.convert import _vcf_gt_slow
+    from snprelate_tpu.native import vcf_gt_line
+
+    cells = ["0/0", "0/1", "1/0", "1/1", "./.", ".", "0", "1", "2",
+             "0|1", "1|0", "0/0/0", "2/0/0", "10/0", "0/10", "A/G",
+             "0/.", "./0", "0/", "/0", "", "00/0", "0:xx", "0/1:35:2,3",
+             "./.:.:.", "1/2", "2/2", "3/0"]
+    for gt_idx in (0, 1, 2):
+        # build a line containing every cell, with FORMAT extras for
+        # gt_idx > 0 (prepend dummy fields)
+        padded = [(":".join(["9"] * gt_idx + [c]) if gt_idx else c)
+                  for c in cells]
+        line = "\t".join(padded).encode()
+        out = vcf_gt_line(line, gt_idx, len(cells))
+        if out is None:
+            pytest.skip("native codec unavailable")
+        exp = [_vcf_gt_slow(p, gt_idx) for p in padded]
+        assert out.tolist() == exp, (gt_idx, list(zip(cells, out, exp)))
