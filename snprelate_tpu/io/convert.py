@@ -333,23 +333,46 @@ def ped_to_snpdata(ped_fn, map_fn, family=False, verbose=False,
         sample_id = [f"{r[0]}-{r[1]}" for r in fam_rows]
 
     # determine the two alleles per SNP and code dosage of the first allele
+    # (vectorized: the allele vocabulary is tiny, so per-SNP counts are a
+    # handful of (n_samp, n_snp) comparisons instead of a Python loop over
+    # every genotype)
     geno = np.full((n_snp, n_samp), 3, np.uint8)
-    alleles = []
-    for s in range(n_snp):
-        a_counts: dict[str, int] = {}
-        for j in range(n_samp):
-            for a in (geno_cols[j][2 * s], geno_cols[j][2 * s + 1]):
-                if a not in ("0", "-9", "N", "."):
-                    a_counts[a] = a_counts.get(a, 0) + 1
-        order = sorted(a_counts, key=lambda k: (-a_counts[k], k))
-        a_ref = order[0] if order else "A"
-        a_alt = order[1] if len(order) > 1 else "B"
-        alleles.append(f"{a_ref}/{a_alt}")
-        for j in range(n_samp):
-            x, y = geno_cols[j][2 * s], geno_cols[j][2 * s + 1]
-            if x in ("0", "-9", "N", ".") or y in ("0", "-9", "N", "."):
-                continue
-            geno[s, j] = (x == a_ref) + (y == a_ref)
+    alleles = ["A/B"] * n_snp
+    if n_samp == 0:
+        return _ped_finish(geno, alleles, fam_rows, sample_id, snp_rs,
+                           n_snp, pos, chrom, family, out_gdsfn, snpfirstdim)
+    al = np.asarray(geno_cols)  # (n_samp, 2*n_snp) strings
+    vocab, codes = np.unique(al, return_inverse=True)
+    codes = codes.reshape(al.shape)
+    c1 = codes[:, 0::2]  # (n_samp, n_snp)
+    c2 = codes[:, 1::2]
+    miss_syms = np.isin(vocab, ("0", "-9", "N", "."))
+    counts = np.zeros((len(vocab), n_snp), np.int64)
+    for v in range(len(vocab)):
+        if miss_syms[v]:
+            continue
+        counts[v] = (c1 == v).sum(0) + (c2 == v).sum(0)
+    # rank: count desc, then lexicographic (vocab from np.unique is sorted,
+    # so a stable sort on -counts keeps lexicographic tie-breaking)
+    order = np.argsort(-counts, axis=0, kind="stable")
+    ref_idx = order[0]
+    alt_idx = order[1] if len(vocab) > 1 else order[0]
+    ref_ok = counts[ref_idx, np.arange(n_snp)] > 0
+    alt_ok = (len(vocab) > 1) & (counts[alt_idx, np.arange(n_snp)] > 0)
+    ref_s = np.where(ref_ok, vocab[ref_idx], "A")
+    alt_s = np.where(alt_ok, vocab[alt_idx], "B")
+    alleles = [f"{r}/{a}" for r, a in zip(ref_s, alt_s)]
+    miss = miss_syms[c1] | miss_syms[c2]
+    dosage = ((c1 == ref_idx[None, :]).astype(np.uint8)
+              + (c2 == ref_idx[None, :]).astype(np.uint8))
+    geno = np.where(miss, np.uint8(3), dosage).T.copy()
+    return _ped_finish(geno, alleles, fam_rows, sample_id, snp_rs, n_snp,
+                       pos, chrom, family, out_gdsfn, snpfirstdim)
+
+
+def _ped_finish(geno, alleles, fam_rows, sample_id, snp_rs, n_snp, pos,
+                chrom, family, out_gdsfn, snpfirstdim):
+    n_samp = len(sample_id)
     annot = {}
     if family:
         annot = {"family.id": np.asarray([r[0] for r in fam_rows], object),
