@@ -660,6 +660,100 @@ def pca_cov_rows(ws, sample_block=None, bayesian: bool = False,
         yield r0, nr, np.asarray(carry)[:nr, :n].astype(np.float64)
 
 
+@functools.partial(jax.jit, donate_argnums=0, static_argnums=3)
+def _king_homo_rows_step(carry, packed, row0, nrows: int):
+    """KING-homo row strips: 9 gram strips + AF-weighted validity strips."""
+    grams, waf, waf2 = carry
+    geno = decode2bit(packed)
+    planes = genotype_planes(geno)  # (3, S, N)
+    p = planes.transpose(0, 2, 1).astype(_plane_mm_dtype())
+    pr = [lax.dynamic_slice_in_dim(p[a], row0, nrows, axis=0)
+          for a in range(3)]
+    grams = tuple(
+        c + jnp.matmul(pr[a], p[b].T, preferred_element_type=jnp.int32)
+        for c, (a, b) in zip(grams, _ALL_PAIRS))
+    fdt = waf.dtype
+    gsum, gnum, valid = chunk_snp_stats(geno)
+    pfreq = jnp.where(gnum > 0, 0.5 * gsum.astype(fdt) / gnum.astype(fdt),
+                      0.0)
+    w = pfreq * (1.0 - pfreq)
+    v = valid.astype(fdt)
+    vr = lax.dynamic_slice_in_dim(v, row0, nrows, axis=1)
+    waf = waf + jnp.matmul((vr * w[:, None]).T, v,
+                           preferred_element_type=fdt,
+                           precision=MM_PRECISION)
+    waf2 = waf2 + jnp.matmul((vr * (w * w)[:, None]).T, v,
+                             preferred_element_type=fdt,
+                             precision=MM_PRECISION)
+    return grams, waf, waf2
+
+
+def king_homo_rows(ws, sample_block=None, chunk=None, pad_to: int = 128):
+    """Row-tiled KING-homo parts: yields (row0, nrows, C(3,3,nr,n),
+    waf rows, waf2 rows) with device memory O(block x n)."""
+    sample_block, n_pad, chunk, chunks = _row_tile_setup(
+        ws, sample_block, chunk, pad_to, bytes_per_cell=44)
+    fdt = _default_float_dtype()
+    n = ws.n_samp
+    for r0 in range(0, n, sample_block):
+        nr = min(sample_block, n - r0)
+        carry = (tuple(jnp.zeros((sample_block, n_pad), jnp.int32)
+                       for _ in range(9)),
+                 jnp.zeros((sample_block, n_pad), fdt),
+                 jnp.zeros((sample_block, n_pad), fdt))
+        for packed in chunks():
+            carry = _king_homo_rows_step(carry, packed, r0, sample_block)
+        grams, waf, waf2 = carry
+        c = np.stack([np.asarray(b)[:nr, :n] for b in grams])
+        yield (r0, nr, c.reshape(3, 3, nr, n).astype(np.int64),
+               np.asarray(waf)[:nr, :n].astype(np.float64),
+               np.asarray(waf2)[:nr, :n].astype(np.float64))
+
+
+@functools.partial(jax.jit, donate_argnums=0, static_argnums=3)
+def _eigmix_rows_step(carry, packed, row0, nrows: int):
+    """EIGMIX row strips: centered covariance + AF-weighted validity."""
+    cov, wvg, hetcnt = carry
+    fdt = cov.dtype
+    geno = decode2bit(packed)
+    gsum, gnum, valid = chunk_snp_stats(geno)
+    avg = jnp.where(gnum > 0, gsum.astype(fdt) / gnum.astype(fdt), 0.0)
+    x = jnp.where(valid, geno.astype(fdt), avg[:, None]) - avg[:, None]
+    xr = lax.dynamic_slice_in_dim(x, row0, nrows, axis=1)
+    cov = cov + jnp.matmul(xr.T, x, preferred_element_type=fdt,
+                           precision=MM_PRECISION)
+    af = 0.5 * avg
+    d = 4.0 * af * (1.0 - af)
+    v = valid.astype(fdt)
+    vr = lax.dynamic_slice_in_dim(v, row0, nrows, axis=1)
+    wvg = wvg + jnp.matmul((vr * d[:, None]).T, v,
+                           preferred_element_type=fdt,
+                           precision=MM_PRECISION)
+    hetcnt = hetcnt + (geno == 1).sum(axis=0, dtype=jnp.int32)
+    return cov, wvg, hetcnt
+
+
+def eigmix_rows(ws, sample_block=None, chunk=None, pad_to: int = 128):
+    """Row-tiled EIGMIX parts: yields (row0, nrows, cov rows, wvg rows);
+    the per-sample het counts are returned on the FIRST yield (identical
+    every tile — each tile streams all chunks)."""
+    sample_block, n_pad, chunk, chunks = _row_tile_setup(
+        ws, sample_block, chunk, pad_to, bytes_per_cell=8)
+    fdt = _default_float_dtype()
+    n = ws.n_samp
+    for r0 in range(0, n, sample_block):
+        nr = min(sample_block, n - r0)
+        carry = (jnp.zeros((sample_block, n_pad), fdt),
+                 jnp.zeros((sample_block, n_pad), fdt),
+                 jnp.zeros((n_pad,), jnp.int32))
+        for packed in chunks():
+            carry = _eigmix_rows_step(carry, packed, r0, sample_block)
+        cov, wvg, het = carry
+        yield (r0, nr, np.asarray(cov)[:nr, :n].astype(np.float64),
+               np.asarray(wvg)[:nr, :n].astype(np.float64),
+               np.asarray(het)[:n].astype(np.int64))
+
+
 # ---------------------------------------------------------------------------
 # KING-homo: plane grams + AF-weighted validity grams (genKING.cpp:58-266)
 
@@ -687,9 +781,26 @@ def _king_homo_step(carry, packed, nblk: int):
 
 
 def king_homo_counts(ws, chunk=None, pad_to: int = 128,
-                     verbose: bool = False):
-    """Returns (PairCounts, SumAFreq, SumAFreq2) for KING-homo."""
+                     verbose: bool = False, sample_block=None):
+    """Returns (PairCounts, SumAFreq, SumAFreq2) for KING-homo. Past the
+    HBM-resident carry ceiling (auto, ~11k samples) assembles from
+    row strips (king_homo_rows)."""
     n_pad, nblk = _pad_blocks(ws.n_samp, pad_to)
+    if sample_block is None and 28.0 * n_pad * n_pad > 4e9:
+        sample_block = 4096
+    if sample_block:
+        n = ws.n_samp
+        C = np.empty((3, 3, n, n), np.int64)
+        waf = np.empty((n, n))
+        waf2 = np.empty((n, n))
+        for r0, nr, cs, w1, w2 in king_homo_rows(
+                ws, sample_block=sample_block, chunk=chunk, pad_to=pad_to):
+            C[:, :, r0:r0 + nr] = cs
+            waf[r0:r0 + nr] = w1
+            waf2[r0:r0 + nr] = w2
+            if verbose:
+                print(f"KING-homo rows {r0 + nr}/{n}")
+        return PairCounts(C), waf, waf2
     if chunk is None:
         chunk = auto_chunk(n_pad, ws.n_snp)
     nb = n_pad // nblk
@@ -735,9 +846,25 @@ def _eigmix_step(carry, packed, nblk: int):
 
 
 def eigmix_parts(ws, chunk=None, pad_to: int = 128,
-                 verbose: bool = False):
-    """Returns (num=XX^T, denom=(V.d)V^T, het per sample, afreq per snp)."""
+                 verbose: bool = False, sample_block=None):
+    """Returns (num=XX^T, denom=(V.d)V^T, het per sample, afreq per snp).
+    Past the HBM-resident carry ceiling (auto) assembles from row strips."""
     n_pad, nblk = _pad_blocks(ws.n_samp, pad_to)
+    if sample_block is None and 5.0 * n_pad * n_pad > 4e9:
+        sample_block = 4096
+    if sample_block:
+        n = ws.n_samp
+        num = np.empty((n, n))
+        wvg = np.empty((n, n))
+        het = None
+        for r0, nr, cs, wv, h in eigmix_rows(
+                ws, sample_block=sample_block, chunk=chunk, pad_to=pad_to):
+            num[r0:r0 + nr] = cs
+            wvg[r0:r0 + nr] = wv
+            het = h
+            if verbose:
+                print(f"EIGMIX rows {r0 + nr}/{n}")
+        return num, wvg, het
     if chunk is None:
         chunk = auto_chunk(n_pad, ws.n_snp)
     nb = n_pad // nblk

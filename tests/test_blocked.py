@@ -207,3 +207,22 @@ def test_grm_row_tiled_checkpoint(big_data, tmp_path):
     # a rerun on the now-complete checkpoint recomputes nothing
     again = sr.grm(data, checkpoint=ckpt, **kw)
     np.testing.assert_allclose(again.grm, full.grm, rtol=1e-12)
+
+
+def test_king_homo_eigmix_row_tiled(big_data):
+    """Row-tiled KING-homo / EIGMIX strips == HBM-resident engines."""
+    from snprelate_tpu.ops.pairwise import eigmix_parts, king_homo_counts
+
+    data, _g = big_data
+    ws = _workspace(data)
+    c_full, waf_full, waf2_full = king_homo_counts(ws)
+    c_t, waf_t, waf2_t = king_homo_counts(ws, sample_block=512)
+    np.testing.assert_array_equal(c_t.C, c_full.C)
+    np.testing.assert_allclose(waf_t, waf_full, rtol=1e-10)
+    np.testing.assert_allclose(waf2_t, waf2_full, rtol=1e-10)
+
+    num_f, wvg_f, het_f = eigmix_parts(ws)
+    num_t, wvg_t, het_t = eigmix_parts(ws, sample_block=512)
+    np.testing.assert_allclose(num_t, num_f, rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(wvg_t, wvg_f, rtol=1e-10)
+    np.testing.assert_array_equal(het_t, het_f)
