@@ -187,8 +187,6 @@ def _vcf_gt_slow(cell: str, gt_idx: int) -> int:
         if a in (".", ""):
             return 3
         cnt += 1 if a == "0" else 0
-    if not alleles:
-        return 3
     return min(cnt, 2) if len(alleles) >= 2 else (2 if cnt == 1 else 0)
 
 
@@ -234,7 +232,7 @@ def vcf_to_snpdata(vcf_fn, method="biallelic.only", ref_allele=None,
                 if line.startswith("##"):
                     continue
                 if line.startswith("#CHROM"):
-                    cols = line.rstrip("\n").split("\t")
+                    cols = line.rstrip("\r\n").split("\t")
                     sids = cols[9:]
                     if sample_id is None:
                         sample_id = sids

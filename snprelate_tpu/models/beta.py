@@ -47,13 +47,14 @@ def _beta_raw(c: PairCounts, inbreeding: bool):
 def indiv_beta(data, sample_id=None, snp_id=None, autosome_only=True,
                remove_monosnp=True, maf=math.nan, missing_rate=0.01,
                method="weighted", inbreeding=True, verbose=False,
-               chunk=None) -> IndivBetaResult:
+               chunk=None, sample_block=None) -> IndivBetaResult:
     """snpgdsIndivBeta (R/IBD.R:838)."""
     if method != "weighted":
         raise ValueError("method must be 'weighted'")
     ws, _ = init_workspace(data, sample_id, snp_id, autosome_only,
                            remove_monosnp, maf, missing_rate, verbose=verbose)
-    c = pair_counts(ws, chunk=chunk, verbose=verbose)
+    c = pair_counts(ws, chunk=chunk, verbose=verbose,
+                    sample_block=sample_block)
     beta, avg = _beta_raw(c, inbreeding)
     out = (beta - avg) / (1.0 - avg)
     return IndivBetaResult(ws.sample_id, ws.snp_id, inbreeding, out, avg)
@@ -70,10 +71,12 @@ def indiv_beta_rel(beta: IndivBetaResult, beta_rel: float):
                            beta.avg_val)
 
 
-def beta_grm_matrix(ws, chunk=None, verbose=False) -> np.ndarray:
+def beta_grm_matrix(ws, chunk=None, verbose=False,
+                    sample_block=None) -> np.ndarray:
     """GRM method='IndivBeta' (CalcIndivBetaGRM, genBeta.cpp:263-357):
     min-rescaled beta matrix with diagonal mapped to (x-min)*scale/2 + 1."""
-    c = pair_counts(ws, chunk=chunk, verbose=verbose)
+    c = pair_counts(ws, chunk=chunk, verbose=verbose,
+                    sample_block=sample_block)
     beta, avg = _beta_raw(c, inbreeding=True)
     mn = float(np.min(beta))
     scale = 2.0 / (1.0 - mn)

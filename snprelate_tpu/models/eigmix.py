@@ -31,8 +31,9 @@ class EigMixResult:
 
 
 def eigmix_ibd_matrix(ws, diagadj: bool = True, chunk=None,
-                      verbose=False) -> np.ndarray:
-    num, denom, het = eigmix_parts(ws, chunk=chunk, verbose=verbose)
+                      verbose=False, sample_block=None) -> np.ndarray:
+    num, denom, het = eigmix_parts(ws, chunk=chunk, verbose=verbose,
+                                   sample_block=sample_block)
     if diagadj:
         num = num.copy()
         np.fill_diagonal(num, num.diagonal() - het)

@@ -78,37 +78,30 @@ def grm(data, sample_id=None, snp_id=None, autosome_only=True,
             and method in ("GCTA", "Eigenstrat"):
         # row-tiled large-N path; checkpoint= saves the completed GRM rows
         # after every tile and a rerun resumes at the first missing tile
-        mat = np.empty((n, n))
-        ck = None
-        start_row = 0
-        if checkpoint:
-            from ..ops.pairwise import Checkpointer
+        from ..ops.pairwise import TileCheckpointer
 
-            tag = 41 if method == "GCTA" else 42
-            ck = Checkpointer(checkpoint,
-                              meta=(tag, ws.n_snp, n,
-                                    int(sample_block or -1)))
-            _step, saved = ck.load()
-            if saved:
-                rows_done = saved[0]
-                start_row = int(rows_done.shape[0])
-                mat[:start_row] = rows_done
+        mat = np.empty((n, n))
+        tag = 41 if method == "GCTA" else 42
+        tck = TileCheckpointer(checkpoint,
+                               meta=(tag, ws.n_snp, n,
+                                     int(sample_block or -1)))
+        start_row = tck.load_rows(
+            lambda r0, arr: mat.__setitem__(
+                slice(r0, r0 + arr.shape[0]), arr))
         if method == "GCTA":
             for r0, nr, cov, vgr, _nl in gcta_parts_rows(
                     ws, sample_block=sample_block, chunk=chunk,
                     start_row=start_row, verbose=verbose):
                 with np.errstate(divide="ignore", invalid="ignore"):
                     mat[r0:r0 + nr] = cov / (2.0 * vgr)
-                if ck:
-                    ck.save(r0 + nr, [mat[: r0 + nr]])
+                tck.save_tile(r0, mat[r0:r0 + nr])
         else:
             for r0, nr, cov in pca_cov_rows(ws, sample_block=sample_block,
                                             chunk=chunk,
                                             start_row=start_row,
                                             verbose=verbose):
                 mat[r0:r0 + nr] = cov
-                if ck:
-                    ck.save(r0 + nr, [mat[: r0 + nr]])
+                tck.save_tile(r0, mat[r0:r0 + nr])
             mat *= (n - 1) / float(np.trace(mat))
     elif method == "GCTA":
         mat = _gcta(ws, chunk, mesh, checkpoint, verbose)
@@ -128,10 +121,12 @@ def grm(data, sample_id=None, snp_id=None, autosome_only=True,
         np.fill_diagonal(mat, 1.0)
     elif method == "EIGMIX":
         from .eigmix import eigmix_ibd_matrix
-        mat = 2.0 * eigmix_ibd_matrix(ws, chunk=chunk, verbose=verbose)
+        mat = 2.0 * eigmix_ibd_matrix(ws, chunk=chunk, verbose=verbose,
+                                      sample_block=sample_block)
     elif method == "IndivBeta":
         from .beta import beta_grm_matrix
-        mat = beta_grm_matrix(ws, chunk=chunk, verbose=verbose)
+        mat = beta_grm_matrix(ws, chunk=chunk, verbose=verbose,
+                              sample_block=sample_block)
     else:
         raise ValueError("Invalid 'method'!")
     res = GRMResult(ws.sample_id, ws.snp_id, method, mat)

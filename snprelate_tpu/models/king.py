@@ -180,6 +180,9 @@ def king_ibd_selection(data, kinship_cutoff, sample_id=None, snp_id=None,
         ss, mn, ib0, nv = (np.asarray(c, np.float64)[: len(ii)]
                            for c in gather_hits(
                                counters, (jnp.asarray(pi), jnp.asarray(pj))))
+        if verbose:
+            print(f"KING screening rows {r0 + nr}/{n}: "
+                  f"{len(ii)} candidate pairs")
         kin = 0.5 - ss / (4.0 * mn)  # exact f64 from integer counters
         keep = kin >= kinship_cutoff
         with np.errstate(divide="ignore", invalid="ignore"):

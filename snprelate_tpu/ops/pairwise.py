@@ -326,10 +326,19 @@ def pair_counts(ws, chunk=None, pad_to: int = 128,
     if sample_block:
         n = ws.n_samp
         C = np.empty((3, 3, n, n), np.int64)
+        tck = TileCheckpointer(checkpoint, meta=(61, ws.n_snp, n,
+                                                 int(sample_block)),
+                               rows_axis=2)
+        start_row = tck.load_rows(
+            lambda r0, arr: C.__setitem__(
+                (slice(None), slice(None),
+                 slice(r0, r0 + arr.shape[2])), arr))
         for r0, nr, strip in plane_gram_rows(ws, sample_block=sample_block,
                                              chunk=chunk, pad_to=pad_to,
+                                             start_row=start_row,
                                              verbose=verbose):
             C[:, :, r0:r0 + nr, :] = strip
+            tck.save_tile(r0, strip)
         return PairCounts(C)
     ck = Checkpointer(checkpoint, checkpoint_every,
                       meta=(61, ws.n_snp, ws.n_samp, chunk))
@@ -560,6 +569,62 @@ def _stage_or_stream(ws, chunk, n_pad, hbm_budget=2_000_000_000):
     return lambda: _stream(ws, chunk, n_pad)
 
 
+class TileCheckpointer:
+    """Per-tile checkpoints for the row-strip engines: one .npy per
+    completed tile (O(tile) write each, O(n^2) total) plus a meta sidecar.
+    Resume loads the contiguous completed prefix of tiles. The per-chunk
+    ``Checkpointer`` covers the HBM-resident engines; this covers the
+    row-tiled large-N paths."""
+
+    def __init__(self, path, meta: tuple = (), rows_axis: int = 0):
+        import os as _o
+
+        self.path = path
+        self.meta = np.asarray(meta, np.int64)
+        self.rows_axis = rows_axis
+        self._os = _o
+        if path:
+            mfn = path + ".meta.npy"
+            if _o.path.exists(mfn) and not np.array_equal(
+                    np.load(mfn), self.meta):
+                # different run configuration: discard stale tiles
+                for fn in self._tiles():
+                    _o.remove(fn)
+                _o.remove(mfn)
+            if not _o.path.exists(mfn):
+                self._atomic_save(mfn, self.meta)
+
+    def _atomic_save(self, fn: str, arr) -> None:
+        tmp = fn + ".tmp"
+        with open(tmp, "wb") as f:
+            np.save(f, np.asarray(arr))
+        self._os.replace(tmp, fn)
+
+    def _tile_fn(self, r0: int) -> str:
+        return f"{self.path}.tile{r0:010d}.npy"
+
+    def _tiles(self):
+        import glob
+
+        return sorted(glob.glob(f"{self.path}.tile*.npy"))
+
+    def load_rows(self, write_rows) -> int:
+        """Load the contiguous completed prefix; ``write_rows(r0, arr)``
+        stores each tile. Returns the resume start row."""
+        if not self.path:
+            return 0
+        r0 = 0
+        while self._os.path.exists(self._tile_fn(r0)):
+            arr = np.load(self._tile_fn(r0))
+            write_rows(r0, arr)
+            r0 += arr.shape[self.rows_axis]
+        return r0
+
+    def save_tile(self, r0: int, arr) -> None:
+        if self.path:
+            self._atomic_save(self._tile_fn(r0), arr)
+
+
 def _row_tile_setup(ws, sample_block, chunk, pad_to: int,
                     bytes_per_cell: int):
     """Shared preamble of the row-tiled engines: quantize the sample block
@@ -734,9 +799,9 @@ def _eigmix_rows_step(carry, packed, row0, nrows: int):
 
 
 def eigmix_rows(ws, sample_block=None, chunk=None, pad_to: int = 128):
-    """Row-tiled EIGMIX parts: yields (row0, nrows, cov rows, wvg rows);
-    the per-sample het counts are returned on the FIRST yield (identical
-    every tile — each tile streams all chunks)."""
+    """Row-tiled EIGMIX parts: yields (row0, nrows, cov rows, wvg rows,
+    het counts). het is the full per-sample vector, identical on every
+    yield (each tile streams all chunks)."""
     sample_block, n_pad, chunk, chunks = _row_tile_setup(
         ws, sample_block, chunk, pad_to, bytes_per_cell=8)
     fdt = _default_float_dtype()
@@ -847,8 +912,9 @@ def _eigmix_step(carry, packed, nblk: int):
 
 def eigmix_parts(ws, chunk=None, pad_to: int = 128,
                  verbose: bool = False, sample_block=None):
-    """Returns (num=XX^T, denom=(V.d)V^T, het per sample, afreq per snp).
-    Past the HBM-resident carry ceiling (auto) assembles from row strips."""
+    """Returns (num=XX^T, denom=(V.d)V^T weighted validity, het per
+    sample). Past the HBM-resident carry ceiling (auto, or explicit
+    sample_block=) assembles from row strips."""
     n_pad, nblk = _pad_blocks(ws.n_samp, pad_to)
     if sample_block is None and 5.0 * n_pad * n_pad > 4e9:
         sample_block = 4096

@@ -188,8 +188,10 @@ def test_pair_counts_row_tiled(big_data):
 
 def test_grm_row_tiled_checkpoint(big_data, tmp_path):
     """Row-tiled GRM resumes from per-tile checkpoints."""
+    import os
+
     import snprelate_tpu as sr
-    from snprelate_tpu.ops.pairwise import Checkpointer
+    from snprelate_tpu.ops.pairwise import TileCheckpointer
 
     data, _g = big_data
     kw = dict(method="GCTA", autosome_only=False, remove_monosnp=False,
@@ -198,15 +200,37 @@ def test_grm_row_tiled_checkpoint(big_data, tmp_path):
     n = full.grm.shape[0]
 
     # simulate a crashed run that completed the first tile
-    ckpt = str(tmp_path / "grm_rows.npz")
-    ck = Checkpointer(ckpt, meta=(41, len(full.snp_id), n, 512))
-    ck.save(512, [full.grm[:512]])
+    ckpt = str(tmp_path / "grm_rows")
+    tck = TileCheckpointer(ckpt, meta=(41, len(full.snp_id), n, 512))
+    tck.save_tile(0, full.grm[:512])
     resumed = sr.grm(data, checkpoint=ckpt, **kw)
     np.testing.assert_allclose(resumed.grm, full.grm, rtol=1e-12)
+    # all tiles now exist on disk
+    assert len([f for f in os.listdir(tmp_path)
+                if f.startswith("grm_rows.tile")]) == -(-n // 512)
 
     # a rerun on the now-complete checkpoint recomputes nothing
     again = sr.grm(data, checkpoint=ckpt, **kw)
     np.testing.assert_allclose(again.grm, full.grm, rtol=1e-12)
+
+    # a different configuration discards stale tiles (meta mismatch)
+    tck2 = TileCheckpointer(ckpt, meta=(41, 999, n, 512))
+    assert tck2.load_rows(lambda r0, a: None) == 0
+
+
+def test_pair_counts_row_tiled_checkpoint(big_data, tmp_path):
+    """Row-tiled pair_counts resumes from per-tile strip checkpoints."""
+    from snprelate_tpu.ops.pairwise import pair_counts
+
+    data, _g = big_data
+    ws = _workspace(data)
+    full = pair_counts(ws, sample_block=512)
+    ckpt = str(tmp_path / "counts_rows")
+    once = pair_counts(ws, sample_block=512, checkpoint=ckpt)
+    np.testing.assert_array_equal(once.C, full.C)
+    # resume with the tiles already complete
+    again = pair_counts(ws, sample_block=512, checkpoint=ckpt)
+    np.testing.assert_array_equal(again.C, full.C)
 
 
 def test_king_homo_eigmix_row_tiled(big_data):
