@@ -635,7 +635,7 @@ def _row_tile_setup(ws, sample_block, chunk, pad_to: int,
     base = -(-ws.n_samp // pad_to) * pad_to
     if sample_block is None:
         sample_block = 4096
-    hbm_rows = int(4e9) // max(1, bytes_per_cell * base)
+    hbm_rows = int(6e9) // max(1, bytes_per_cell * base)
     sample_block = min(int(sample_block), max(pad_to, hbm_rows), base)
     sample_block = -(-sample_block // pad_to) * pad_to
     n_pad = -(-ws.n_samp // sample_block) * sample_block
