@@ -23,9 +23,9 @@ import numpy as np
 def main():
     import jax
     import jax.numpy as jnp
-    from snprelate_tpu.ops.decode import decode2bit, genotype_planes
+    from snprelate_tpu.ops.decode import decode2bit, genotype_basis
     from snprelate_tpu.ops.pairwise import (_choose_nblk, _sym_blocks,
-                                            _sym_grams, make_pca_block,
+                                            _sym_grams4, make_pca_block,
                                             norm_precision)
 
     n_samp = int(os.environ.get("BENCH_NSAMP", 8192))
@@ -46,7 +46,7 @@ def main():
     def fused_step(carry, pk):
         grams, cov = carry
         geno = decode2bit(pk)
-        grams = tree_add(grams, _sym_grams(genotype_planes(geno)))
+        grams = tree_add(grams, _sym_grams4(genotype_basis(geno)))
         x, _ = make_pca_block(geno, False)
         cov = tree_add(cov, _sym_blocks(x, x, nblk,
                                         preferred_element_type=jnp.float32,
@@ -57,7 +57,7 @@ def main():
     def run(pk_all):
         nb = n_samp // nblk
         init = (tuple(jnp.zeros((n_samp, n_samp), jnp.int32)
-                      for _ in range(6)),
+                      for _ in range(4)),
                 tuple(jnp.zeros((nb, nb), jnp.float32) for _ in range(nbl)))
         (grams, cov), _ = jax.lax.scan(fused_step, init, pk_all)
         return grams, cov
@@ -83,14 +83,14 @@ def main():
     pair_snp = 0.5 * n_samp * (n_samp + 1) * n_snp  # pair-SNP comparisons
     value = pair_snp / dt
 
-    # speed-of-light model: 6 symmetric int4 plane-gram blocks (2*6*N^2*M ops
-    # at the v5e int4 rate, 2x int8 = 789 TOPS) + the block-triangular f32
+    # speed-of-light model: 4 reduced-basis int4 grams (2*4*N^2*M ops at
+    # the v5e int4 rate, 2x int8 = 789 TOPS) + the block-triangular f32
     # cov (nbl blocks of (N/nblk)^2) at norm_precision() (bf16 multi-pass:
     # HIGHEST=6 passes, HIGH=3, DEFAULT=1 at 197 TFLOPS)
     from jax import lax as _lax
     passes = {_lax.Precision.HIGHEST: 6, _lax.Precision.HIGH: 3,
               _lax.Precision.DEFAULT: 1}[norm_precision()]
-    int4_ops = 2.0 * 6 * n_samp * n_samp * n_snp
+    int4_ops = 2.0 * 4 * n_samp * n_samp * n_snp
     f32_ops = 2.0 * nbl * (n_samp // nblk) ** 2 * n_snp
     sol_t = int4_ops / 789e12 + f32_ops / (197e12 / passes)
     vs_baseline = sol_t / dt

@@ -33,9 +33,9 @@ def diss(data, sample_id=None, snp_id=None, autosome_only=True,
     ws, _ = init_workspace(data, sample_id, snp_id, autosome_only,
                            remove_monosnp, maf, missing_rate, verbose=verbose)
     c, waf, _ = king_homo_counts(ws, chunk=chunk, verbose=verbose)
-    w = np.array([[a * (2 - b) + (2 - a) * b for b in range(3)]
-                  for a in range(3)], np.int64)
-    sum_geno = np.einsum("ab,abij->ij", w, c.C).astype(np.float64)
+    # w(a,b) = a(2-b) + (2-a)b over the joint counts reduces to
+    # 2*IBS1 + 4*IBS0 + 2*N11 (w is 2 on {01,10,11,12,21}, 4 on {02,20})
+    sum_geno = (2 * (c.ibs1 + c.n11) + 4 * c.ibs0).astype(np.float64)
     sum_afreq = 8.0 * waf
     with np.errstate(divide="ignore", invalid="ignore"):
         d = sum_geno / sum_afreq

@@ -118,30 +118,30 @@ def king_ibd_selection(data, kinship_cutoff, sample_id=None, snp_id=None,
     import jax
     import jax.numpy as jnp
 
-    from ..ops.pairwise import _gram_rows_step, _row_tile_setup
+    from ..ops.pairwise import _basis_rows_step, _row_tile_setup
 
     ws, _ = init_workspace(data, sample_id, snp_id, autosome_only,
                            remove_monosnp, maf, missing_rate, verbose=verbose)
     sid = np.asarray(ws.sample_id, object)
     n = ws.n_samp
     sample_block, n_pad, chunk, chunks = _row_tile_setup(
-        ws, sample_block, chunk, 128, bytes_per_cell=36)
+        ws, sample_block, chunk, 128, bytes_per_cell=20)
 
     @jax.jit
-    def strip_stats(carry9, row0, cutoff):
-        """Counts strips -> (integer pair counters, packed hit bitmask);
+    def strip_stats(carry5, row0, cutoff):
+        """Basis strips -> (integer pair counters, packed hit bitmask);
         only the bitmask crosses the host boundary per strip and the final
         cutoff decision + values are recomputed in f64 from the EXACT
         integer counters of the hit pairs (the mask admits a small f32
         slack so no true hit is ever missed)."""
-        C = {(a, b): c for c, (a, b) in
-             zip(carry9, [(x, y) for x in range(3) for y in range(3)])}
-        nvalid_i = sum(c for c in carry9)
-        ibs0_i = C[0, 2] + C[2, 0]
-        sum_sq_i = C[0, 1] + C[1, 0] + C[1, 2] + C[2, 1] + 4 * ibs0_i
-        n1_i = C[1, 0] + C[1, 1] + C[1, 2]
-        n2_i = C[0, 1] + C[1, 1] + C[2, 1]
-        mn_i = jnp.minimum(n1_i, n2_i)
+        vv, hh, dd, hv, vh = carry5
+        nvalid_i = vv
+        homo = vv + hh - hv - vh
+        ibs0_i = (homo - dd) // 2
+        ibs2_i = (homo + dd) // 2 + hh
+        ibs1_i = vv - ibs0_i - ibs2_i
+        sum_sq_i = ibs1_i + 4 * ibs0_i
+        mn_i = jnp.minimum(hv, vh)
         gi = row0 + jnp.arange(mn_i.shape[0])[:, None]
         tri = gi > jnp.arange(mn_i.shape[1])[None, :]
         # kin >= c  <=>  sum_sq <= (2 - 4c) * mn on the integer counters;
@@ -162,9 +162,9 @@ def king_ibd_selection(data, kinship_cutoff, sample_id=None, snp_id=None,
     for r0 in range(0, n, sample_block):
         nr = min(sample_block, n - r0)
         carry = tuple(jnp.zeros((sample_block, n_pad), jnp.int32)
-                      for _ in range(9))
+                      for _ in range(5))
         for packed in chunks():
-            carry = _gram_rows_step(carry, packed, r0, sample_block)
+            carry = _basis_rows_step(carry, packed, r0, sample_block)
         counters, packed_hit = strip_stats(carry, r0, float(kinship_cutoff))
         mask = np.unpackbits(np.asarray(packed_hit), axis=1,
                              count=n_pad)[:nr, :n].astype(bool)

@@ -31,3 +31,23 @@ def genotype_planes(geno: jax.Array) -> jax.Array:
     bit kernels (genIBS.cpp:231-243, genKING.cpp:292-426, genBeta.cpp:92-175)
     becomes a plane cross-product."""
     return jnp.stack([(geno == 0), (geno == 1), (geno == 2)]).astype(jnp.int8)
+
+
+def genotype_basis(geno: jax.Array) -> jax.Array:
+    """(S, N) int8 genotypes -> (3, S, N) int8 reduced count basis
+    [V, H, D] with V = [g != 3] (validity), H = [g == 1] (het) and
+    D = [g == 2] - [g == 0] (signed homozygote difference).
+
+    Four cross-grams over this basis recover every pairwise counter the
+    estimator family consumes (see ops.pairwise.PairCounts): with
+    S := (V-H)^T(V-H) = N00 + N22 + N02 + N20 and D^T D = N00 + N22 -
+    N02 - N20, the opposite-homozygote count IBS0 = (S - D^T D)/2 and the
+    equal-homozygote count (S + D^T D)/2 follow exactly; V^T V is nvalid,
+    H^T H is N11 and H^T V the per-pair het counts. This is 4 MXU
+    contractions per chunk instead of the 6 independent one-hot plane
+    grams (the 9 joint counts N_ab have more degrees of freedom than any
+    estimator uses)."""
+    v = (geno != 3).astype(jnp.int8)
+    h = (geno == 1).astype(jnp.int8)
+    d = (geno == 2).astype(jnp.int8) - (geno == 0).astype(jnp.int8)
+    return jnp.stack([v, h, d])

@@ -3,15 +3,19 @@ popcount / outer-product kernel in the reference.
 
 Two engines cover the whole analysis family:
 
-1. ``plane_grams``: integer-exact cross-Gram counts
-   ``C[a,b] = sum_s I_a(i,s) * I_b(j,s)`` over one-hot genotype planes
-   (a,b in {0,1,2}), from which IBS0/1/2 (genIBS.cpp:231-243), KING counters
-   (genKING.cpp:292-426), IndivBeta counts (genBeta.cpp:92-175) and PLINK MoM
-   inputs all derive in closed form. The reference's per-pair AND/XOR/POPCNT
-   loops become int8 MXU matmuls; missingness falls out for free because
-   missing genotypes have all-zero planes. Counts accumulate exactly in
-   int32 per chunk (safe to 2^31 SNPs, beating the reference's u32/2^30
-   ceiling in genKING.cpp:598-602 when widened).
+1. ``pair_counts``: integer-exact pairwise counters from the reduced
+   4-gram basis [V, H, D] (validity, het, signed homozygote difference;
+   ``genotype_basis``): V^T V, H^T H, D^T D and H^T V recover IBS0/1/2
+   (genIBS.cpp:231-243), KING counters (genKING.cpp:292-426), IndivBeta
+   counts (genBeta.cpp:92-175) and PLINK MoM inputs in closed form — see
+   ``PairCounts``. The reference's per-pair AND/XOR/POPCNT loops become
+   int4 MXU matmuls (4 instead of the 6 independent one-hot plane grams:
+   the estimators use fewer degrees of freedom than the full 9 joint
+   counts, which remain available via ``plane_grams``); missingness falls
+   out for free because missing genotypes contribute zero to every basis
+   vector. Counts accumulate exactly in int32 per chunk (safe to 2^31
+   SNPs, beating the reference's u32/2^30 ceiling in genKING.cpp:598-602
+   when widened).
 
 2. ``normalized_grams``: floating Gram accumulation over per-chunk
    transformed blocks — the CProdMat_AlgArith machinery (genPCA.cpp:77-312):
@@ -33,7 +37,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from .decode import decode2bit, genotype_planes
+from .decode import decode2bit, genotype_basis, genotype_planes
 
 # Float Gram matmuls run at HIGHEST precision by default: TPU default f32
 # matmul uses bf16 passes (~1e-4 relative error single-pass), which would
@@ -99,19 +103,26 @@ def chunk_snp_stats(geno: jax.Array):
     return gsum, gnum, valid
 
 
-def _cross_grams(planes: jax.Array) -> jax.Array:
-    """(3, S, N) planes -> (3, 3, N, N) cross-grams via ONE (3N, S) x (S, 3N)
-    MXU contraction (a single large matmul tiles better than 9 small ones)."""
-    p3, s, n = planes.shape
-    flat = planes.transpose(0, 2, 1).reshape(p3 * n, s)
-    c = jnp.matmul(flat.astype(_plane_mm_dtype()),
-                   flat.astype(_plane_mm_dtype()).T,
-                   preferred_element_type=jnp.int32)
-    return c.reshape(p3, n, p3, n).transpose(0, 2, 1, 3)
-
-
 # upper-triangle plane-pair order for the symmetric 6-block gram
 _SYM_PAIRS = ((0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2))
+
+
+def _sym_grams4(basis: jax.Array) -> tuple:
+    """(3, S, N) [V, H, D] reduced basis (genotype_basis) -> 4-tuple of
+    (N, N) int32 grams (V^T V, H^T H, D^T D, H^T V).
+
+    The minimal gram set for the estimator family (see PairCounts): 4 MXU
+    contractions per chunk instead of the 6 independent one-hot plane
+    grams — the estimators consume fewer degrees of freedom than the full
+    9 joint counts. Returned unstacked so carry adds fuse into the matmul
+    epilogues."""
+    b = basis.transpose(0, 2, 1).astype(_plane_mm_dtype())  # (3, N, S)
+    v, h, d = b[0], b[1], b[2]
+
+    def mm(x, y):
+        return jnp.matmul(x, y.T, preferred_element_type=jnp.int32)
+
+    return (mm(v, v), mm(h, h), mm(d, d), mm(h, v))
 
 
 def _sym_grams(planes: jax.Array) -> tuple:
@@ -244,6 +255,18 @@ def _zeros6(n_pad):
     return tuple(jnp.zeros((n_pad, n_pad), jnp.int32) for _ in range(6))
 
 
+@functools.partial(jax.jit, donate_argnums=0)
+def _gram4_step(carry4, packed):
+    """carry4: 4-tuple of (N, N) int32 += reduced-basis grams
+    (V^T V, H^T H, D^T D, H^T V)."""
+    basis = genotype_basis(decode2bit(packed))  # (3, S, N)
+    return _tree_add(carry4, _sym_grams4(basis))
+
+
+def _zeros4(n_pad):
+    return tuple(jnp.zeros((n_pad, n_pad), jnp.int32) for _ in range(4))
+
+
 def plane_grams(chunks: Iterable[np.ndarray], n_samp_padded: int) -> np.ndarray:
     """Accumulate (3,3,N,N) genotype-plane cross-counts over packed chunks.
 
@@ -257,25 +280,59 @@ def plane_grams(chunks: Iterable[np.ndarray], n_samp_padded: int) -> np.ndarray:
 
 
 class PairCounts:
-    """Closed-form pairwise counters derived from plane cross-grams.
+    """Closed-form pairwise counters derived from the reduced 4-gram basis
+    (``_sym_grams4`` / ``genotype_basis``).
 
-    All values are (N, N) integer-exact matrices over valid pairs.
+    Base matrices (all (N, N) integer-exact over valid pairs):
+    ``vv`` = nvalid, ``hh`` = N11 (both het), ``dd`` = D^T D with
+    D = [g==2]-[g==0], ``hv``/``vh`` = per-pair het counts of the first /
+    second sample. With homo := vv + hh - hv - vh = N00 + N22 + N02 + N20
+    (both-homozygous pairs), IBS0 = (homo - dd)/2 and the equal-homozygote
+    count = (homo + dd)/2 — every counter the reference's bit kernels
+    produce (genIBS.cpp:231-243, genKING.cpp:292-426, genBeta.cpp:92-175)
+    follows exactly. Full 9-dof joint counts, when actually needed, come
+    from ``plane_grams`` instead.
     """
 
-    def __init__(self, C: np.ndarray):
-        self.C = C  # (3,3,N,N)
+    def __init__(self, vv, hh, dd, hv, vh):
+        self.vv, self.hh, self.dd = vv, hh, dd
+        self.hv, self.vh = hv, vh
+
+    @classmethod
+    def from_grams4(cls, grams4, n: int):
+        """Device 4-tuple (vv, hh, dd, hv) full-square grams -> PairCounts
+        (vh = hv^T by the gram transpose identity)."""
+        vv, hh, dd, hv = (np.asarray(a)[:n, :n].astype(np.int64)
+                          for a in grams4)
+        return cls(vv, hh, dd, hv, hv.T.copy())
+
+    def base(self):
+        """The 5 base matrices (for engine-equivalence tests)."""
+        return (self.vv, self.hh, self.dd, self.hv, self.vh)
 
     @property
     def nvalid(self):  # both genotypes valid
-        return self.C.sum((0, 1))
+        return self.vv
 
     @property
-    def ibs2(self):  # equal genotypes (genIBS.cpp ibs2 plane logic)
-        return self.C[0, 0] + self.C[1, 1] + self.C[2, 2]
+    def n11(self):  # both het
+        return self.hh
+
+    @property
+    def _homo_pair(self):  # both homozygous (N00+N22+N02+N20)
+        return self.vv + self.hh - self.hv - self.vh
 
     @property
     def ibs0(self):  # opposite homozygotes
-        return self.C[0, 2] + self.C[2, 0]
+        return (self._homo_pair - self.dd) // 2
+
+    @property
+    def both_hom_eq(self):  # equal homozygotes (N00+N22)
+        return (self._homo_pair + self.dd) // 2
+
+    @property
+    def ibs2(self):  # equal genotypes (genIBS.cpp ibs2 plane logic)
+        return self.both_hom_eq + self.hh
 
     @property
     def ibs1(self):
@@ -283,25 +340,19 @@ class PairCounts:
 
     @property
     def sum_sq(self):  # sum (g_i - g_j)^2 over valid pairs
-        C = self.C
-        return (C[0, 1] + C[1, 0] + C[1, 2] + C[2, 1]
-                + 4 * (C[0, 2] + C[2, 0]))
+        return self.ibs1 + 4 * self.ibs0
 
     @property
     def n1_het(self):  # loci where first sample is het (and pair valid)
-        return self.C[1].sum(0)
+        return self.hv
 
     @property
     def n2_het(self):
-        return self.C[:, 1].sum(0)
+        return self.vh
 
     @property
     def either_het(self):
-        return self.n1_het + self.n2_het - self.C[1, 1]
-
-    @property
-    def both_hom_eq(self):
-        return self.C[0, 0] + self.C[2, 2]
+        return self.hv + self.vh - self.hh
 
 
 def pair_counts(ws, chunk=None, pad_to: int = 128,
@@ -309,50 +360,47 @@ def pair_counts(ws, chunk=None, pad_to: int = 128,
                 sample_block=None, verbose: bool = False) -> PairCounts:
     """Run the integer pairwise engine over a Workspace selection.
 
-    Uses the symmetric 6-block gram (``_sym_grams``). A triangular Pallas
+    Uses the reduced 4-gram basis (``_sym_grams4``). A triangular Pallas
     SYRK kernel was evaluated (git history) and measured slower end-to-end
     than XLA int4 matmuls at bench scale, so XLA runs the contraction.
 
     sample_block: compute counts in sample-row strips with device memory
-    O(block x n) (``plane_gram_rows``) — auto-enabled once the 6-block
-    carries would exceed HBM (~13k samples). Checkpointing applies to the
-    HBM-resident path only.
+    O(block x n) (``basis_gram_rows``) — auto-enabled once the 4-gram
+    carries would exceed HBM (~15k samples). Checkpointing applies to
+    both paths.
     """
     n_pad = -(-ws.n_samp // pad_to) * pad_to
     if chunk is None:
         chunk = auto_chunk(n_pad, ws.n_snp)
-    if sample_block is None and 24.0 * n_pad * n_pad > 4e9:
+    if sample_block is None and 16.0 * n_pad * n_pad > 4e9:
         sample_block = 4096
     if sample_block:
         n = ws.n_samp
-        C = np.empty((3, 3, n, n), np.int64)
-        tck = TileCheckpointer(checkpoint, meta=(61, ws.n_snp, n,
+        B = np.empty((5, n, n), np.int64)
+        tck = TileCheckpointer(checkpoint, meta=(62, ws.n_snp, n,
                                                  int(sample_block)),
-                               rows_axis=2)
+                               rows_axis=1)
         start_row = tck.load_rows(
-            lambda r0, arr: C.__setitem__(
-                (slice(None), slice(None),
-                 slice(r0, r0 + arr.shape[2])), arr))
-        for r0, nr, strip in plane_gram_rows(ws, sample_block=sample_block,
+            lambda r0, arr: B.__setitem__(
+                (slice(None), slice(r0, r0 + arr.shape[1])), arr))
+        for r0, nr, strip in basis_gram_rows(ws, sample_block=sample_block,
                                              chunk=chunk, pad_to=pad_to,
                                              start_row=start_row,
                                              verbose=verbose):
-            C[:, :, r0:r0 + nr, :] = strip
+            B[:, r0:r0 + nr, :] = strip
             tck.save_tile(r0, strip)
-        return PairCounts(C)
+        return PairCounts(*B)
     ck = Checkpointer(checkpoint, checkpoint_every,
-                      meta=(61, ws.n_snp, ws.n_samp, chunk))
+                      meta=(62, ws.n_snp, ws.n_samp, chunk))
     step, saved = ck.load()
     carry = (tuple(jnp.asarray(a) for a in saved) if saved
-             else _zeros6(n_pad))
+             else _zeros4(n_pad))
     for packed in _stream(ws, chunk, n_pad, start_chunk=step,
                           verbose=verbose, label="pair counts: "):
-        carry = _gram6_step(carry, packed)
+        carry = _gram4_step(carry, packed)
         step += 1
         ck.maybe_save(step, lambda: list(carry))
-    n = ws.n_samp
-    c = _mirror6(np.stack([np.asarray(a) for a in carry]))
-    return PairCounts(c[:, :, :n, :n].astype(np.int64))
+    return PairCounts.from_grams4(carry, ws.n_samp)
 
 
 # ---------------------------------------------------------------------------
@@ -668,43 +716,51 @@ def gcta_parts_rows(ws, sample_block=None, chunk=None,
                np.asarray(vgr)[:nr, :n].astype(np.int64), int(nloc))
 
 
-_ALL_PAIRS = tuple((a, b) for a in range(3) for b in range(3))
+def _basis_row_operands(packed, row0, nrows: int):
+    """Chunk -> ((3, B, S) row-strip basis, (3, N, S) full basis)."""
+    b = genotype_basis(decode2bit(packed))  # (3, S, N)
+    b = b.transpose(0, 2, 1).astype(_plane_mm_dtype())  # (3, N, S)
+    br = lax.dynamic_slice_in_dim(b, row0, nrows, axis=1)
+    return br, b
 
 
 @functools.partial(jax.jit, donate_argnums=0, static_argnums=3)
-def _gram_rows_step(carry9, packed, row0, nrows: int):
-    """9-tuple of (B, N) int32 plane cross-gram row strips += one chunk:
-    N_ab(i, j) for i in [row0, row0+B)."""
-    planes = genotype_planes(decode2bit(packed))  # (3, S, N)
-    p = planes.transpose(0, 2, 1).astype(_plane_mm_dtype())  # (3, N, S)
-    pr = [lax.dynamic_slice_in_dim(p[a], row0, nrows, axis=0)
-          for a in range(3)]
-    return tuple(
-        c + jnp.matmul(pr[a], p[b].T, preferred_element_type=jnp.int32)
-        for c, (a, b) in zip(carry9, _ALL_PAIRS))
+def _basis_rows_step(carry5, packed, row0, nrows: int):
+    """5-tuple of (B, N) int32 reduced-basis gram row strips += one chunk:
+    (vv, hh, dd, hv, vh) for rows i in [row0, row0+B). The transpose
+    identity vh = hv^T is unavailable on a rectangular strip, so both het
+    cross-grams are computed — 5 matmuls instead of the 9 a full joint
+    count table would need."""
+    (vr, hr, dr), (v, h, d) = _basis_row_operands(packed, row0, nrows)
+
+    def mm(x, y):
+        return jnp.matmul(x, y.T, preferred_element_type=jnp.int32)
+
+    cvv, chh, cdd, chv, cvh = carry5
+    return (cvv + mm(vr, v), chh + mm(hr, h), cdd + mm(dr, d),
+            chv + mm(hr, v), cvh + mm(vr, h))
 
 
-def plane_gram_rows(ws, sample_block=None, chunk=None,
+def basis_gram_rows(ws, sample_block=None, chunk=None,
                     pad_to: int = 128, start_row: int = 0,
                     verbose: bool = False):
-    """Row-tiled integer pairwise counts: yields (row0, nrows, C) with
-    C (3, 3, nrows, n) int64 — PairCounts row strips with device memory
-    O(block x n). The large-N analog of pair_counts (e.g. biobank KING
-    screening); all 9 plane pairs are computed per strip (the 6-block
-    symmetry only applies to the full square)."""
+    """Row-tiled integer pairwise counts: yields (row0, nrows, B) with
+    B (5, nrows, n) int64 — PairCounts base-matrix row strips with device
+    memory O(block x n). The large-N analog of pair_counts (e.g. biobank
+    KING screening)."""
     sample_block, n_pad, chunk, chunks = _row_tile_setup(
-        ws, sample_block, chunk, pad_to, bytes_per_cell=36)
+        ws, sample_block, chunk, pad_to, bytes_per_cell=20)
     n = ws.n_samp
     for r0 in range(start_row, n, sample_block):
         nr = min(sample_block, n - r0)
         carry = tuple(jnp.zeros((sample_block, n_pad), jnp.int32)
-                      for _ in range(9))
+                      for _ in range(5))
         for packed in chunks():
-            carry = _gram_rows_step(carry, packed, r0, sample_block)
+            carry = _basis_rows_step(carry, packed, r0, sample_block)
         c = np.stack([np.asarray(b)[:nr, :n] for b in carry])
         if verbose:
             print(f"pairwise-count rows {r0 + nr}/{n}")
-        yield r0, nr, c.reshape(3, 3, nr, n).astype(np.int64)
+        yield r0, nr, c.astype(np.int64)
 
 
 def pca_cov_rows(ws, sample_block=None, bayesian: bool = False,
@@ -727,16 +783,18 @@ def pca_cov_rows(ws, sample_block=None, bayesian: bool = False,
 
 @functools.partial(jax.jit, donate_argnums=0, static_argnums=3)
 def _king_homo_rows_step(carry, packed, row0, nrows: int):
-    """KING-homo row strips: 9 gram strips + AF-weighted validity strips."""
+    """KING-homo row strips: 5 basis gram strips + AF-weighted validity
+    strips."""
     grams, waf, waf2 = carry
     geno = decode2bit(packed)
-    planes = genotype_planes(geno)  # (3, S, N)
-    p = planes.transpose(0, 2, 1).astype(_plane_mm_dtype())
-    pr = [lax.dynamic_slice_in_dim(p[a], row0, nrows, axis=0)
-          for a in range(3)]
-    grams = tuple(
-        c + jnp.matmul(pr[a], p[b].T, preferred_element_type=jnp.int32)
-        for c, (a, b) in zip(grams, _ALL_PAIRS))
+    (vr, hr, dr), (v_, h_, d_) = _basis_row_operands(packed, row0, nrows)
+
+    def mm(x, y):
+        return jnp.matmul(x, y.T, preferred_element_type=jnp.int32)
+
+    cvv, chh, cdd, chv, cvh = grams
+    grams = (cvv + mm(vr, v_), chh + mm(hr, h_), cdd + mm(dr, d_),
+             chv + mm(hr, v_), cvh + mm(vr, h_))
     fdt = waf.dtype
     gsum, gnum, valid = chunk_snp_stats(geno)
     pfreq = jnp.where(gnum > 0, 0.5 * gsum.astype(fdt) / gnum.astype(fdt),
@@ -754,23 +812,23 @@ def _king_homo_rows_step(carry, packed, row0, nrows: int):
 
 
 def king_homo_rows(ws, sample_block=None, chunk=None, pad_to: int = 128):
-    """Row-tiled KING-homo parts: yields (row0, nrows, C(3,3,nr,n),
-    waf rows, waf2 rows) with device memory O(block x n)."""
+    """Row-tiled KING-homo parts: yields (row0, nrows, B(5,nr,n) basis
+    strips, waf rows, waf2 rows) with device memory O(block x n)."""
     sample_block, n_pad, chunk, chunks = _row_tile_setup(
-        ws, sample_block, chunk, pad_to, bytes_per_cell=44)
+        ws, sample_block, chunk, pad_to, bytes_per_cell=28)
     fdt = _default_float_dtype()
     n = ws.n_samp
     for r0 in range(0, n, sample_block):
         nr = min(sample_block, n - r0)
         carry = (tuple(jnp.zeros((sample_block, n_pad), jnp.int32)
-                       for _ in range(9)),
+                       for _ in range(5)),
                  jnp.zeros((sample_block, n_pad), fdt),
                  jnp.zeros((sample_block, n_pad), fdt))
         for packed in chunks():
             carry = _king_homo_rows_step(carry, packed, r0, sample_block)
         grams, waf, waf2 = carry
         c = np.stack([np.asarray(b)[:nr, :n] for b in grams])
-        yield (r0, nr, c.reshape(3, 3, nr, n).astype(np.int64),
+        yield (r0, nr, c.astype(np.int64),
                np.asarray(waf)[:nr, :n].astype(np.float64),
                np.asarray(waf2)[:nr, :n].astype(np.float64))
 
@@ -828,8 +886,7 @@ def _king_homo_step(carry, packed, nblk: int):
     grams, waf, waf2 = carry
     fdt = waf[0].dtype
     geno = decode2bit(packed)
-    planes = genotype_planes(geno)
-    grams = _tree_add(grams, _sym_grams(planes))
+    grams = _tree_add(grams, _sym_grams4(genotype_basis(geno)))
     gsum, gnum, valid = chunk_snp_stats(geno)
     # p = 0.5*sum/num, 0 when num == 0 (genKING.cpp:246-251)
     p = jnp.where(gnum > 0, 0.5 * gsum.astype(fdt) / gnum.astype(fdt), 0.0)
@@ -851,26 +908,26 @@ def king_homo_counts(ws, chunk=None, pad_to: int = 128,
     HBM-resident carry ceiling (auto, ~11k samples) assembles from
     row strips (king_homo_rows)."""
     n_pad, nblk = _pad_blocks(ws.n_samp, pad_to)
-    if sample_block is None and 28.0 * n_pad * n_pad > 4e9:
+    if sample_block is None and 24.0 * n_pad * n_pad > 4e9:
         sample_block = 4096
     if sample_block:
         n = ws.n_samp
-        C = np.empty((3, 3, n, n), np.int64)
+        B = np.empty((5, n, n), np.int64)
         waf = np.empty((n, n))
         waf2 = np.empty((n, n))
         for r0, nr, cs, w1, w2 in king_homo_rows(
                 ws, sample_block=sample_block, chunk=chunk, pad_to=pad_to):
-            C[:, :, r0:r0 + nr] = cs
+            B[:, r0:r0 + nr] = cs
             waf[r0:r0 + nr] = w1
             waf2[r0:r0 + nr] = w2
             if verbose:
                 print(f"KING-homo rows {r0 + nr}/{n}")
-        return PairCounts(C), waf, waf2
+        return PairCounts(*B), waf, waf2
     if chunk is None:
         chunk = auto_chunk(n_pad, ws.n_snp)
     nb = n_pad // nblk
     fdt = _default_float_dtype()
-    carry = (_zeros6(n_pad),
+    carry = (_zeros4(n_pad),
              _zeros_blocks(nblk, nb, fdt),
              _zeros_blocks(nblk, nb, fdt))
     for packed in _stream(ws, chunk, n_pad, verbose=verbose,
@@ -879,7 +936,7 @@ def king_homo_counts(ws, chunk=None, pad_to: int = 128,
     grams, waf, waf2 = carry
     n = ws.n_samp
     stk = lambda t: np.stack([np.asarray(a) for a in t])
-    return (PairCounts(_mirror6(stk(grams))[:, :, :n, :n].astype(np.int64)),
+    return (PairCounts.from_grams4(grams, n),
             _assemble_sym(stk(waf), nblk)[:n, :n].astype(np.float64),
             _assemble_sym(stk(waf2), nblk)[:n, :n].astype(np.float64))
 

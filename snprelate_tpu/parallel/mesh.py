@@ -26,9 +26,9 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops.decode import decode2bit, genotype_planes
-from ..ops.pairwise import (_mirror6, _sym_grams, auto_chunk, make_pca_block,
-                            norm_precision)
+from ..ops.decode import decode2bit, genotype_basis
+from ..ops.pairwise import (PairCounts, _sym_grams4, auto_chunk,
+                            make_pca_block, norm_precision)
 
 
 def _reduce_replicated(carry, mesh: Mesh):
@@ -50,21 +50,21 @@ def make_mesh(n_data: Optional[int] = None, n_samp: int = 1,
 
 @functools.partial(jax.jit, donate_argnums=0, static_argnums=(2,))
 def _sharded_gram_step(carry, packed_batch, mesh: Mesh):
-    """carry: (D, 6, N, N) symmetric-block partials sharded
-    (data, -, samp, -); packed_batch: (D, S, B) sharded over data. Each
-    device computes its own chunk's cross-grams locally; rows of the n x n
-    output are sharded over 'samp' (XLA all-gathers the right-hand operand
-    over 'samp' only)."""
+    """carry: (D, 4, N, N) reduced-basis gram partials (vv, hh, dd, hv)
+    sharded (data, -, samp, -); packed_batch: (D, S, B) sharded over data.
+    Each device computes its own chunk's cross-grams locally; rows of the
+    n x n output are sharded over 'samp' (XLA all-gathers the right-hand
+    operand over 'samp' only)."""
     def one(packed):
-        return jnp.stack(_sym_grams(genotype_planes(decode2bit(packed))))
+        return jnp.stack(_sym_grams4(genotype_basis(decode2bit(packed))))
 
     out = carry + jax.vmap(one)(packed_batch)
     return jax.lax.with_sharding_constraint(
         out, NamedSharding(mesh, P("data", None, "samp", None)))
 
 
-def sharded_pair_counts(ws, mesh: Mesh, chunk=None) -> np.ndarray:
-    """Multi-device plane cross-grams: returns (3,3,n,n) int64.
+def sharded_pair_counts(ws, mesh: Mesh, chunk=None) -> PairCounts:
+    """Multi-device reduced-basis grams -> PairCounts.
 
     SNP chunks round-robin across the 'data' axis; per-device partials are
     summed at the end (all-reduce over 'data')."""
@@ -77,7 +77,7 @@ def sharded_pair_counts(ws, mesh: Mesh, chunk=None) -> np.ndarray:
     carry_sh = NamedSharding(mesh, P("data", None, "samp", None))
     batch_sh = NamedSharding(mesh, P("data", None, None))
     carry = jax.device_put(
-        jnp.zeros((d, 6, n_pad, n_pad), jnp.int32), carry_sh)
+        jnp.zeros((d, 4, n_pad, n_pad), jnp.int32), carry_sh)
 
     batch = []
     for _start, packed in ws.packed_chunks(chunk):
@@ -95,8 +95,7 @@ def sharded_pair_counts(ws, mesh: Mesh, chunk=None) -> np.ndarray:
         pb = jax.device_put(np.stack(batch + pad), batch_sh)
         carry = _sharded_gram_step(carry, pb, mesh)
     total = _reduce_replicated(carry, mesh)  # all-reduce over 'data'
-    n = ws.n_samp
-    return _mirror6(total)[:, :, :n, :n].astype(np.int64)
+    return PairCounts.from_grams4(total, ws.n_samp)
 
 
 @functools.partial(jax.jit, donate_argnums=0, static_argnums=(2,))

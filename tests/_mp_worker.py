@@ -51,8 +51,9 @@ def main():
                         chunk=128, mesh=mesh)
 
     if pid == 0:
-        np.savez(out, counts=counts, cov=cov, vgram=vgram, nlocus=nlocus,
-                 eigenval=rp.eigenval[:4], eigenvect=rp.eigenvect[:, :4])
+        np.savez(out, counts=np.stack(counts.base()), cov=cov, vgram=vgram,
+                 nlocus=nlocus, eigenval=rp.eigenval[:4],
+                 eigenvect=rp.eigenvect[:, :4])
     # all processes must stay alive until the collectives finish
     import jax.experimental.multihost_utils as mh
 

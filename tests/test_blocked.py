@@ -183,7 +183,8 @@ def test_pair_counts_row_tiled(big_data):
     ws = _workspace(data)
     full = pair_counts(ws)
     tiled = pair_counts(ws, sample_block=512)
-    np.testing.assert_array_equal(tiled.C, full.C)
+    np.testing.assert_array_equal(np.stack(tiled.base()),
+                                  np.stack(full.base()))
 
 
 def test_grm_row_tiled_checkpoint(big_data, tmp_path):
@@ -227,10 +228,12 @@ def test_pair_counts_row_tiled_checkpoint(big_data, tmp_path):
     full = pair_counts(ws, sample_block=512)
     ckpt = str(tmp_path / "counts_rows")
     once = pair_counts(ws, sample_block=512, checkpoint=ckpt)
-    np.testing.assert_array_equal(once.C, full.C)
+    np.testing.assert_array_equal(np.stack(once.base()),
+                                  np.stack(full.base()))
     # resume with the tiles already complete
     again = pair_counts(ws, sample_block=512, checkpoint=ckpt)
-    np.testing.assert_array_equal(again.C, full.C)
+    np.testing.assert_array_equal(np.stack(again.base()),
+                                  np.stack(full.base()))
 
 
 def test_king_homo_eigmix_row_tiled(big_data):
@@ -241,7 +244,8 @@ def test_king_homo_eigmix_row_tiled(big_data):
     ws = _workspace(data)
     c_full, waf_full, waf2_full = king_homo_counts(ws)
     c_t, waf_t, waf2_t = king_homo_counts(ws, sample_block=512)
-    np.testing.assert_array_equal(c_t.C, c_full.C)
+    np.testing.assert_array_equal(np.stack(c_t.base()),
+                                  np.stack(c_full.base()))
     np.testing.assert_allclose(waf_t, waf_full, rtol=1e-10)
     np.testing.assert_allclose(waf2_t, waf2_full, rtol=1e-10)
 

@@ -65,7 +65,7 @@ def test_two_process_mesh(tmp_path):
     c = pair_counts(ws, chunk=128)
     cov, vgram, nlocus = gcta_grm_parts(ws, chunk=128)
 
-    np.testing.assert_array_equal(z["counts"], c.C)
+    np.testing.assert_array_equal(z["counts"], np.stack(c.base()))
     np.testing.assert_allclose(z["cov"], cov, rtol=1e-10, atol=1e-12)
     np.testing.assert_array_equal(z["vgram"], vgram)
     assert int(z["nlocus"]) == nlocus

@@ -13,11 +13,12 @@ def test_sharded_pair_counts_match(hapmap):
 
     assert len(jax.devices()) == 8
     ws, _ = init_workspace(hapmap, sample_id=hapmap.sample_id[:60])
-    base = pair_counts(ws, chunk=1024).C
+    base = pair_counts(ws, chunk=1024).base()
     for ndata, nsamp in [(8, 1), (4, 2), (2, 4)]:
         mesh = make_mesh(ndata, nsamp)
         c = sharded_pair_counts(ws, mesh, chunk=1024)
-        assert np.array_equal(c, base), (ndata, nsamp)
+        for got, want in zip(c.base(), base):
+            assert np.array_equal(got, want), (ndata, nsamp)
 
 
 def test_sharded_cov_matches(hapmap):
@@ -51,19 +52,27 @@ def test_pca_grm_mesh_api(hapmap):
 
 
 def test_plane_grams_helper(hapmap):
-    """plane_grams (chunk-iterator form) equals the workspace engine."""
+    """plane_grams (full 9-dof joint counts) agrees with the reduced
+    4-gram engine on every derived counter — the two independent
+    formulations cross-validate each other."""
     import numpy as np
     from snprelate_tpu.ops.pairwise import pair_counts, plane_grams
     from snprelate_tpu.workspace import init_workspace
 
     ws, _ = init_workspace(hapmap, sample_id=hapmap.sample_id[:60])
-    base = pair_counts(ws, chunk=1024).C
+    c4 = pair_counts(ws, chunk=1024)
     n_pad = -(-ws.n_samp // 128) * 128
     chunks = [p for p in __import__(
         "snprelate_tpu.parallel.stream", fromlist=["device_chunks"]
     ).device_chunks(ws, 1024, n_pad)]
-    c = plane_grams(chunks, n_pad)[:, :, :ws.n_samp, :ws.n_samp]
-    assert np.array_equal(c, base)
+    C = plane_grams(chunks, n_pad)[:, :, :ws.n_samp, :ws.n_samp]
+    assert np.array_equal(C.sum((0, 1)), c4.nvalid)
+    assert np.array_equal(C[0, 2] + C[2, 0], c4.ibs0)
+    assert np.array_equal(C[0, 0] + C[1, 1] + C[2, 2], c4.ibs2)
+    assert np.array_equal(C[1, 1], c4.n11)
+    assert np.array_equal(C[1].sum(0), c4.n1_het)
+    assert np.array_equal(C[:, 1].sum(0), c4.n2_het)
+    assert np.array_equal(C[0, 0] + C[2, 2], c4.both_hom_eq)
 
 
 def test_sharded_randomized_pca_matches(hapmap):
