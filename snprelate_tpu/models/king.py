@@ -103,7 +103,8 @@ def ibd_king(data, sample_id=None, snp_id=None, autosome_only=True,
 def king_ibd_selection(data, kinship_cutoff, sample_id=None, snp_id=None,
                        autosome_only=True, remove_monosnp=True,
                        maf=math.nan, missing_rate=0.01,
-                       sample_block=None, chunk=None, verbose=False):
+                       sample_block=None, chunk=None, verbose=False,
+                       hit_cap: int = 65536):
     """Streaming KING-robust relatedness screening for cohorts whose n x n
     kinship matrix does not fit anywhere: equivalent to
     ibd_selection(ibd_king(data, type="KING-robust"), kinship_cutoff) but
@@ -112,7 +113,13 @@ def king_ibd_selection(data, kinship_cutoff, sample_id=None, snp_id=None,
     biobank pipeline: find relatives, never materialize the matrix).
     Between-family estimator only (family_id semantics need the full
     matrix path). Returns {ID1, ID2, IBS0, kinship} like snpgdsIBDSelection
-    (R/IBD.R:463)."""
+    (R/IBD.R:463).
+
+    hit_cap: per-strip bound for the device-compacted candidate list (the
+    hot path ships ~1 MB of hit indices + counters per strip instead of a
+    dense hit bitmask). Strips with more candidates than hit_cap fall back
+    to the dense-bitmask path — any cutoff that admits that many pairs is
+    screening, not a relatedness search."""
     if not np.isfinite(kinship_cutoff):
         raise ValueError("kinship_cutoff must be finite")
     import jax
@@ -127,15 +134,13 @@ def king_ibd_selection(data, kinship_cutoff, sample_id=None, snp_id=None,
     sample_block, n_pad, chunk, chunks = _row_tile_setup(
         ws, sample_block, chunk, 128, bytes_per_cell=20)
 
-    @jax.jit
-    def strip_stats(carry5, row0, cutoff):
-        """Basis strips -> (integer pair counters, packed hit bitmask);
-        only the bitmask crosses the host boundary per strip and the final
-        cutoff decision + values are recomputed in f64 from the EXACT
-        integer counters of the hit pairs (the mask admits a small f32
-        slack so no true hit is ever missed)."""
+    def _strip_counters(carry5, row0, cutoff):
+        """Basis strips -> exact integer counters + the hit mask. The
+        cutoff test kin >= c  <=>  sum_sq <= (2 - 4c) * mn runs on the
+        integer counters in f32 with a relative slack so rounding can only
+        ADMIT borderline pairs; the exact f64 filter runs on the gathered
+        integers afterwards."""
         vv, hh, dd, hv, vh = carry5
-        nvalid_i = vv
         homo = vv + hh - hv - vh
         ibs0_i = (homo - dd) // 2
         ibs2_i = (homo + dd) // 2 + hh
@@ -144,14 +149,31 @@ def king_ibd_selection(data, kinship_cutoff, sample_id=None, snp_id=None,
         mn_i = jnp.minimum(hv, vh)
         gi = row0 + jnp.arange(mn_i.shape[0])[:, None]
         tri = gi > jnp.arange(mn_i.shape[1])[None, :]
-        # kin >= c  <=>  sum_sq <= (2 - 4c) * mn on the integer counters;
-        # evaluated in f32 with a relative slack so rounding can only ADMIT
-        # borderline pairs (the exact f64 filter runs on the gathered ints)
         thr = (2.0 - 4.0 * cutoff) * (1.0 + 4e-6)
         hit = tri & (mn_i > 0) & \
             (sum_sq_i.astype(jnp.float32) <= thr * mn_i.astype(jnp.float32)
              + 1.0)
-        return (sum_sq_i, mn_i, ibs0_i, nvalid_i), jnp.packbits(hit, axis=1)
+        return (sum_sq_i, mn_i, ibs0_i, vv), hit
+
+    @jax.jit
+    def strip_hits(carry5, row0, cutoff):
+        """Device-compacted candidates: (count, ii, jj, gathered integer
+        counters) — ~1 MB crosses the host boundary per strip. Entries past
+        ``count`` are fill; the host slices to count (valid only when
+        count <= hit_cap, else the dense fallback runs)."""
+        counters, hit = _strip_counters(carry5, row0, cutoff)
+        flat = hit.ravel()
+        cnt = flat.sum(dtype=jnp.int32)
+        (idx,) = jnp.nonzero(flat, size=hit_cap, fill_value=0)
+        ii = (idx // n_pad).astype(jnp.int32)
+        jj = (idx - ii * n_pad).astype(jnp.int32)
+        return cnt, ii, jj, tuple(c[ii, jj] for c in counters)
+
+    @jax.jit
+    def strip_mask(carry5, row0, cutoff):
+        """Dense fallback: full counters + packed hit bitmask."""
+        counters, hit = _strip_counters(carry5, row0, cutoff)
+        return counters, jnp.packbits(hit, axis=1)
 
     @jax.jit
     def gather_hits(counters, idx):
@@ -165,21 +187,32 @@ def king_ibd_selection(data, kinship_cutoff, sample_id=None, snp_id=None,
                       for _ in range(5))
         for packed in chunks():
             carry = _basis_rows_step(carry, packed, r0, sample_block)
-        counters, packed_hit = strip_stats(carry, r0, float(kinship_cutoff))
-        mask = np.unpackbits(np.asarray(packed_hit), axis=1,
-                             count=n_pad)[:nr, :n].astype(bool)
-        ii, jj = np.nonzero(mask)
-        if len(ii) == 0:
+        cnt, di, dj, dvals = strip_hits(carry, r0, float(kinship_cutoff))
+        cnt = int(cnt)
+        if cnt == 0:
             continue
-        # pad hit indices to a power of two so the gather compiles rarely
-        m = 1 << (len(ii) - 1).bit_length()
-        pi = np.zeros(m, np.int32)
-        pj = np.zeros(m, np.int32)
-        pi[: len(ii)] = ii
-        pj[: len(jj)] = jj
-        ss, mn, ib0, nv = (np.asarray(c, np.float64)[: len(ii)]
-                           for c in gather_hits(
-                               counters, (jnp.asarray(pi), jnp.asarray(pj))))
+        if cnt <= hit_cap:
+            ii = np.asarray(di)[:cnt]
+            jj = np.asarray(dj)[:cnt]
+            ss, mn, ib0, nv = (np.asarray(v, np.float64)[:cnt]
+                               for v in dvals)
+        else:  # dense fallback (more candidates than the compact bound)
+            counters, packed_hit = strip_mask(carry, r0,
+                                              float(kinship_cutoff))
+            mask = np.unpackbits(np.asarray(packed_hit), axis=1,
+                                 count=n_pad)[:nr, :n].astype(bool)
+            ii, jj = np.nonzero(mask)
+            # pad hit indices to a power of two so the gather compiles
+            # rarely
+            m = 1 << (len(ii) - 1).bit_length()
+            pi = np.zeros(m, np.int32)
+            pj = np.zeros(m, np.int32)
+            pi[: len(ii)] = ii
+            pj[: len(jj)] = jj
+            ss, mn, ib0, nv = (np.asarray(c, np.float64)[: len(ii)]
+                               for c in gather_hits(
+                                   counters,
+                                   (jnp.asarray(pi), jnp.asarray(pj))))
         if verbose:
             print(f"KING screening rows {r0 + nr}/{n}: "
                   f"{len(ii)} candidate pairs")
