@@ -28,8 +28,12 @@ def main():
                                             _sym_grams4, make_pca_block,
                                             norm_precision)
 
-    n_samp = int(os.environ.get("BENCH_NSAMP", 8192))
-    n_snp = int(os.environ.get("BENCH_NSNP", 262144))
+    # 16384 samples: fits HBM with the 4-gram int32 carries (4.3 GB) and
+    # the wider matmuls run ~24% faster than 8192 (13.6 vs 11.0 T). 131k
+    # SNPs keeps the staged-input volume at 537 MB (the dev tunnel's
+    # host->device bandwidth is variable; same pair-SNP/s at 262k).
+    n_samp = int(os.environ.get("BENCH_NSAMP", 16384))
+    n_snp = int(os.environ.get("BENCH_NSNP", 131072))
     chunk = int(os.environ.get("BENCH_CHUNK", 32768))
     n_chunks = max(1, n_snp // chunk)
     n_snp = n_chunks * chunk  # credit only the SNPs actually processed
