@@ -1,9 +1,9 @@
 """Benchmark: fused GRM+IBS pairwise-kernel throughput on one chip.
 
-Runs the flagship fused step (symmetric plane cross-grams -> IBS/KING/Beta
-counts, plus Eigenstrat-normalized covariance -> GRM/PCA) over a synthetic
-cohort staged in HBM, and reports genotype-pair-SNP comparisons per second
-per chip.
+Runs the flagship fused step (reduced 4-gram int4 count basis
+[V, H, D] -> IBS/KING/Beta counters, plus Eigenstrat-normalized covariance
+-> GRM/PCA) over a synthetic cohort staged in HBM, and reports
+genotype-pair-SNP comparisons per second per chip.
 
 vs_baseline = fraction of MXU speed-of-light for the same contraction
 volume (the driver's north-star metric; the reference publishes no numbers,

@@ -164,7 +164,7 @@ def king_ibd_selection(data, kinship_cutoff, sample_id=None, snp_id=None,
         counters, hit = _strip_counters(carry5, row0, cutoff)
         flat = hit.ravel()
         cnt = flat.sum(dtype=jnp.int32)
-        (idx,) = jnp.nonzero(flat, size=hit_cap, fill_value=0)
+        (idx,) = jnp.nonzero(flat, size=max(int(hit_cap), 1), fill_value=0)
         ii = (idx // n_pad).astype(jnp.int32)
         jj = (idx - ii * n_pad).astype(jnp.int32)
         return cnt, ii, jj, tuple(c[ii, jj] for c in counters)

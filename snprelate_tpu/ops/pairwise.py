@@ -724,13 +724,13 @@ def _basis_row_operands(packed, row0, nrows: int):
     return br, b
 
 
-@functools.partial(jax.jit, donate_argnums=0, static_argnums=3)
-def _basis_rows_step(carry5, packed, row0, nrows: int):
+def _basis_strip_update(carry5, packed, row0, nrows: int):
     """5-tuple of (B, N) int32 reduced-basis gram row strips += one chunk:
     (vv, hh, dd, hv, vh) for rows i in [row0, row0+B). The transpose
     identity vh = hv^T is unavailable on a rectangular strip, so both het
     cross-grams are computed — 5 matmuls instead of the 9 a full joint
-    count table would need."""
+    count table would need. Shared by the pair-count and KING-homo row
+    engines (call under jit)."""
     (vr, hr, dr), (v, h, d) = _basis_row_operands(packed, row0, nrows)
 
     def mm(x, y):
@@ -739,6 +739,11 @@ def _basis_rows_step(carry5, packed, row0, nrows: int):
     cvv, chh, cdd, chv, cvh = carry5
     return (cvv + mm(vr, v), chh + mm(hr, h), cdd + mm(dr, d),
             chv + mm(hr, v), cvh + mm(vr, h))
+
+
+@functools.partial(jax.jit, donate_argnums=0, static_argnums=3)
+def _basis_rows_step(carry5, packed, row0, nrows: int):
+    return _basis_strip_update(carry5, packed, row0, nrows)
 
 
 def basis_gram_rows(ws, sample_block=None, chunk=None,
@@ -787,14 +792,7 @@ def _king_homo_rows_step(carry, packed, row0, nrows: int):
     strips."""
     grams, waf, waf2 = carry
     geno = decode2bit(packed)
-    (vr, hr, dr), (v_, h_, d_) = _basis_row_operands(packed, row0, nrows)
-
-    def mm(x, y):
-        return jnp.matmul(x, y.T, preferred_element_type=jnp.int32)
-
-    cvv, chh, cdd, chv, cvh = grams
-    grams = (cvv + mm(vr, v_), chh + mm(hr, h_), cdd + mm(dr, d_),
-             chv + mm(hr, v_), cvh + mm(vr, h_))
+    grams = _basis_strip_update(grams, packed, row0, nrows)
     fdt = waf.dtype
     gsum, gnum, valid = chunk_snp_stats(geno)
     pfreq = jnp.where(gnum > 0, 0.5 * gsum.astype(fdt) / gnum.astype(fdt),

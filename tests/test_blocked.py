@@ -175,10 +175,10 @@ def test_king_streaming_selection(big_data):
     np.testing.assert_allclose(np.sort(stream["IBS0"]),
                                np.sort(ref["IBS0"]), rtol=1e-12)
 
-    # a tiny hit_cap forces the dense-bitmask fallback on every strip —
-    # results must be identical to the compact path
+    # hit_cap=0 forces the dense-bitmask fallback on every non-empty
+    # strip — results must be identical to the compact path
     dense = sr.king_ibd_selection(data, kinship_cutoff=0.08,
-                                  sample_block=512, hit_cap=1, **kw)
+                                  sample_block=512, hit_cap=0, **kw)
     assert key(dense) == key(ref)
 
 

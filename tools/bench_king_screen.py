@@ -87,7 +87,7 @@ def main():
             len(planted_set & found_set),
         "extra_hits": len(found_set - planted_set),
     }))
-    ok = planted_set <= found_set
+    ok = planted_set <= found_set and not (found_set - planted_set)
     print("KING SCREEN:", "PASS" if ok else "FAIL")
     return 0 if ok else 1
 

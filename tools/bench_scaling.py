@@ -59,7 +59,7 @@ def main():
         carry_sh = NamedSharding(mesh, P("data", None, "samp", None))
         batch_sh = NamedSharding(mesh, P("data", None, None))
         carry = jax.device_put(
-            jnp.zeros((n_data, 6, n_pad, n_pad), jnp.int32), carry_sh)
+            jnp.zeros((n_data, 4, n_pad, n_pad), jnp.int32), carry_sh)
         batches = [
             jax.device_put(
                 rng.integers(0, 256, (n_data, args.chunk, n_pad // 4),

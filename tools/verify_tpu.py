@@ -1,9 +1,9 @@
 """Run the golden-value correctness checks ON the TPU backend.
 
 The CPU/x64 test suite establishes exact parity with the reference; this
-script validates the TPU execution path: integer plane-gram counts must be
-EXACT (int4/int8 MXU), floating covariance paths must match the reference
-within HIGHEST-precision matmul tolerance.
+script validates the TPU execution path: the reduced-basis integer gram
+counts must be EXACT (int4 MXU), floating covariance paths must match the
+reference within HIGHEST-precision matmul tolerance.
 
 Usage: python tools/verify_tpu.py
 """
