@@ -51,7 +51,7 @@ def _auto_row_tiling(n: int, method: str, mesh) -> bool:
     HBM-resident n x n carries (~2.5 n^2 words) would not fit on a 16 GB
     chip."""
     return (mesh is None and method in ("GCTA", "Eigenstrat")
-            and 2.5 * 4 * float(n) * n > 4e9)
+            and 2.5 * 4 * float(n) * n > 6e9)
 
 
 def grm(data, sample_id=None, snp_id=None, autosome_only=True,

@@ -372,7 +372,7 @@ def pair_counts(ws, chunk=None, pad_to: int = 128,
     n_pad = -(-ws.n_samp // pad_to) * pad_to
     if chunk is None:
         chunk = auto_chunk(n_pad, ws.n_snp)
-    if sample_block is None and 16.0 * n_pad * n_pad > 4e9:
+    if sample_block is None and 16.0 * n_pad * n_pad > 6e9:
         sample_block = 4096
     if sample_block:
         n = ws.n_samp
@@ -906,7 +906,7 @@ def king_homo_counts(ws, chunk=None, pad_to: int = 128,
     HBM-resident carry ceiling (auto, ~11k samples) assembles from
     row strips (king_homo_rows)."""
     n_pad, nblk = _pad_blocks(ws.n_samp, pad_to)
-    if sample_block is None and 24.0 * n_pad * n_pad > 4e9:
+    if sample_block is None and 24.0 * n_pad * n_pad > 6e9:
         sample_block = 4096
     if sample_block:
         n = ws.n_samp
@@ -971,7 +971,7 @@ def eigmix_parts(ws, chunk=None, pad_to: int = 128,
     sample). Past the HBM-resident carry ceiling (auto, or explicit
     sample_block=) assembles from row strips."""
     n_pad, nblk = _pad_blocks(ws.n_samp, pad_to)
-    if sample_block is None and 5.0 * n_pad * n_pad > 4e9:
+    if sample_block is None and 5.0 * n_pad * n_pad > 6e9:
         sample_block = 4096
     if sample_block:
         n = ws.n_samp
