@@ -181,6 +181,12 @@ def test_king_streaming_selection(big_data):
                                   sample_block=512, hit_cap=0, **kw)
     assert key(dense) == key(ref)
 
+    # hit_cap=2 mixes the two paths across strips (compact where a strip
+    # has <= 2 candidates, dense where it has more)
+    mixed = sr.king_ibd_selection(data, kinship_cutoff=0.08,
+                                  sample_block=512, hit_cap=2, **kw)
+    assert key(mixed) == key(ref)
+
 
 def test_pair_counts_row_tiled(big_data):
     from snprelate_tpu.ops.pairwise import pair_counts

@@ -1,11 +1,16 @@
 """Per-component timing probe for the fused pairwise step on the real TPU.
 
 Times each constituent of bench.py's fused step in isolation:
-  - int4 plane gram (3N, S) @ (S, 3N)
+  - the reduced 4-gram int4 basis contraction (with and without the
+    decode+basis+transpose elementwise chain)
   - f32 covariance (N, S) @ (S, N) at HIGHEST / HIGH / DEFAULT precision
-  - decode + planes + pca-block elementwise chain
+  - legacy shapes (full 3N gram, 6-block one-hot) for comparison
 so optimization effort goes where the time is. The axon tunnel backend's
-block_until_ready does not wait; a dependent tiny slice materialization does.
+block_until_ready does not wait; a dependent tiny slice materialization
+does. Measured 2026-08-17 at N=16384, S=32768: 4-gram+decode 61% of the
+789 int4 TOPS peak, raw 4-gram 67% (decode ~10% of gram time), HIGH cov
+77% of its 3-pass-bf16 peak -> bench vs_baseline ~0.73 is matmul-bound,
+not elementwise-bound.
 """
 
 import os
@@ -34,8 +39,10 @@ def main():
     import jax.numpy as jnp
     from jax import lax
 
-    from snprelate_tpu.ops.decode import decode2bit, genotype_planes
-    from snprelate_tpu.ops.pairwise import make_pca_block, _flat_planes
+    from snprelate_tpu.ops.decode import (decode2bit, genotype_basis,
+                                          genotype_planes)
+    from snprelate_tpu.ops.pairwise import (make_pca_block, _flat_planes,
+                                            _sym_grams4)
 
     n = int(os.environ.get("PROBE_NSAMP", 4096))
     s = int(os.environ.get("PROBE_CHUNK", 16384))
@@ -118,15 +125,25 @@ def main():
     t = timeit(ew, packed)
     print(f"decode+planes+pcablock: {t*1e3:8.1f} ms")
 
+    # 2d. the production contraction: reduced 4-gram basis + decode
+    def basis_gram(pk):
+        vv, hh, dd, hv = _sym_grams4(genotype_basis(decode2bit(pk)))
+        return vv + hh + dd + hv
+
+    g4 = scan_over(basis_gram, jnp.zeros((n, n), jnp.int32))
+    t = timeit(g4, packed)
+    ops = 2.0 * nch * 4 * n * n * s
+    print(f"4-gram+decode: {t*1e3:8.1f} ms  {ops/t/1e12:7.1f} TOPS "
+          f"({ops/t/789e12*100:.0f}% of 789)")
+
     # 4. full fused step (reference point = bench.py composition)
     def fused(pk):
         geno = decode2bit(pk)
-        fl = _flat_planes(pk).astype(jnp.int4)
-        g = jnp.matmul(fl, fl.T, preferred_element_type=jnp.int32)
+        vv, hh, dd, hv = _sym_grams4(genotype_basis(geno))
         x, _ = make_pca_block(geno, False)
         c = jnp.matmul(x.T, x, preferred_element_type=jnp.float32,
-                       precision=lax.Precision.HIGHEST)
-        return g[:2, :2].astype(jnp.float32) + c[:2, :2]
+                       precision=lax.Precision.HIGH)
+        return (vv + hh + dd + hv)[:2, :2].astype(jnp.float32) + c[:2, :2]
 
     fz = scan_over(fused, jnp.zeros((2, 2), jnp.float32))
     t = timeit(fz, packed)
