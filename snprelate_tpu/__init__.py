@@ -41,6 +41,7 @@ from .io.convert import (bed_to_snpdata, snpdata_to_bed, vcf_to_snpdata,
                          ped_to_snpdata, snpdata_to_ped, gen_to_snpdata,
                          snpdata_to_eigen)
 from .workspace import Workspace, init_workspace, snp_stats
+from .utils.packed import PackedSymmetric
 from .models.ibs import ibs, ibs_num
 from .models.pca import pca
 from .models.grm import grm, merge_grm, save_grm, load_grm

@@ -47,8 +47,10 @@ def _beta_raw(c: PairCounts, inbreeding: bool):
 def indiv_beta(data, sample_id=None, snp_id=None, autosome_only=True,
                remove_monosnp=True, maf=math.nan, missing_rate=0.01,
                method="weighted", inbreeding=True, verbose=False,
-               chunk=None, sample_block=None) -> IndivBetaResult:
-    """snpgdsIndivBeta (R/IBD.R:838)."""
+               chunk=None, sample_block=None,
+               use_matrix=False) -> IndivBetaResult:
+    """snpgdsIndivBeta (R/IBD.R:838). use_matrix packs the symmetric
+    beta output (useMatrix=TRUE analog)."""
     if method != "weighted":
         raise ValueError("method must be 'weighted'")
     ws, _ = init_workspace(data, sample_id, snp_id, autosome_only,
@@ -57,7 +59,10 @@ def indiv_beta(data, sample_id=None, snp_id=None, autosome_only=True,
                     sample_block=sample_block)
     beta, avg = _beta_raw(c, inbreeding)
     out = (beta - avg) / (1.0 - avg)
-    return IndivBetaResult(ws.sample_id, ws.snp_id, inbreeding, out, avg)
+    from ..utils.packed import maybe_packed
+
+    return IndivBetaResult(ws.sample_id, ws.snp_id, inbreeding,
+                           maybe_packed(out, use_matrix), avg)
 
 
 def indiv_beta_rel(beta: IndivBetaResult, beta_rel: float):

@@ -58,7 +58,8 @@ def grm(data, sample_id=None, snp_id=None, autosome_only=True,
         remove_monosnp=True, maf=math.nan, missing_rate=0.01,
         method="GCTA", out_fn=None, out_prec="double",
         out_compress="LZMA_RA", mesh=None, verbose=False,
-        chunk=None, checkpoint=None, sample_block=None) -> GRMResult:
+        chunk=None, checkpoint=None, sample_block=None,
+        use_matrix=False) -> GRMResult:
     """snpgdsGRM (R/IBD.R:543). With out_fn, also writes the
     SNPRELATE_OUTPUT GDS artifact for snpgdsMergeGRM. With checkpoint=path,
     the accumulators are saved every 64 chunks and a rerun resumes
@@ -136,6 +137,10 @@ def grm(data, sample_id=None, snp_id=None, autosome_only=True,
     if out_fn is not None:
         save_grm(res, out_fn, avg_val=getattr(res, "avg_val", None),
                  prec=out_prec)
+    if use_matrix:  # useMatrix=TRUE analog (R/IBD.R:546)
+        from ..utils.packed import PackedSymmetric
+
+        res.grm = PackedSymmetric.from_full(res.grm)
     return res
 
 

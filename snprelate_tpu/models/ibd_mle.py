@@ -737,7 +737,8 @@ def ibd_selection(ibdobj, kinship_cutoff=math.nan, samp_sel=None):
     for name in ("k0", "k1", "IBS0", "kinship"):
         v = getattr(obj, name, None)
         if v is not None:
-            fields[name] = np.asarray(v)
+            # accept packed-triangle results (use_matrix=True outputs)
+            fields[name] = v.full() if hasattr(v, "full") else np.asarray(v)
     if getattr(obj, "D", None):
         fields.update({k: np.asarray(v) for k, v in obj.D.items()})
 

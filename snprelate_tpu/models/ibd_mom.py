@@ -118,8 +118,9 @@ def _est_plink_kinship(ibs0, ibs1, ibs2, e, constraint: bool):
 def ibd_mom(data, sample_id=None, snp_id=None, autosome_only=True,
             remove_monosnp=True, maf=math.nan, missing_rate=0.01,
             allele_freq=None, kinship=False, kinship_constraint=False,
-            verbose=False, chunk=None) -> IBDMoMResult:
-    """snpgdsIBDMoM (R/IBD.R:22)."""
+            verbose=False, chunk=None, use_matrix=False) -> IBDMoMResult:
+    """snpgdsIBDMoM (R/IBD.R:22). use_matrix packs the symmetric outputs
+    (useMatrix=TRUE analog)."""
     ws, afreq_used = init_workspace(data, sample_id, snp_id, autosome_only,
                                     remove_monosnp, maf, missing_rate,
                                     allele_freq=allele_freq, verbose=verbose)
@@ -135,7 +136,12 @@ def ibd_mom(data, sample_id=None, snp_id=None, autosome_only=True,
     np.fill_diagonal(k1, 0.0)
     afreq_out = p_used.copy()
     afreq_out[afreq_out < 0] = np.nan
-    res = IBDMoMResult(ws.sample_id, ws.snp_id, afreq_out, k0, k1)
+    from ..utils.packed import maybe_packed
+
+    res = IBDMoMResult(ws.sample_id, ws.snp_id, afreq_out,
+                       maybe_packed(k0, use_matrix),
+                       maybe_packed(k1, use_matrix))
     if kinship:
-        res.kinship = 0.5 * (1 - k0 - k1) + 0.25 * k1
+        res.kinship = maybe_packed(0.5 * (1 - k0 - k1) + 0.25 * k1,
+                                   use_matrix)
     return res

@@ -34,9 +34,11 @@ class IBSNumResult:
 
 def ibs(data, sample_id=None, snp_id=None, autosome_only=True,
         remove_monosnp=True, maf=math.nan, missing_rate=0.01,
-        verbose=False, chunk=None, checkpoint=None) -> IBSResult:
+        verbose=False, chunk=None, checkpoint=None,
+        use_matrix=False) -> IBSResult:
     """snpgdsIBS (R/IBS.R:22): average IBS
-    (0.5*IBS1 + IBS2) / (IBS0+IBS1+IBS2) per pair (genIBS.cpp:470-475)."""
+    (0.5*IBS1 + IBS2) / (IBS0+IBS1+IBS2) per pair (genIBS.cpp:470-475).
+    use_matrix packs the symmetric output (useMatrix=TRUE analog)."""
     ws, _ = init_workspace(data, sample_id, snp_id, autosome_only,
                            remove_monosnp, maf, missing_rate, verbose=verbose)
     c = pair_counts(ws, chunk=chunk, checkpoint=checkpoint,
@@ -44,7 +46,9 @@ def ibs(data, sample_id=None, snp_id=None, autosome_only=True,
     total = c.nvalid.astype(np.float64)
     with np.errstate(invalid="ignore"):
         avg = (0.5 * c.ibs1 + c.ibs2) / total
-    return IBSResult(ws.sample_id, ws.snp_id, avg)
+    from ..utils.packed import maybe_packed
+
+    return IBSResult(ws.sample_id, ws.snp_id, maybe_packed(avg, use_matrix))
 
 
 def ibs_num(data, sample_id=None, snp_id=None, autosome_only=True,

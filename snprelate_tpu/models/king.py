@@ -42,8 +42,11 @@ class KINGHomoResult:
 
 def ibd_king(data, sample_id=None, snp_id=None, autosome_only=True,
              remove_monosnp=True, maf=math.nan, missing_rate=0.01,
-             type="KING-robust", family_id=None, verbose=False, chunk=None):
-    """snpgdsIBDKING (R/IBD.R:333)."""
+             type="KING-robust", family_id=None, verbose=False, chunk=None,
+             use_matrix=False):
+    """snpgdsIBDKING (R/IBD.R:333). use_matrix packs the symmetric
+    outputs (useMatrix=TRUE analog)."""
+    from ..utils.packed import maybe_packed
     ws, _ = init_workspace(data, sample_id, snp_id, autosome_only,
                            remove_monosnp, maf, missing_rate, verbose=verbose)
     n = ws.n_samp
@@ -58,7 +61,9 @@ def ibd_king(data, sample_id=None, snp_id=None, autosome_only=True,
         k1[~np.isfinite(k1)] = np.nan
         np.fill_diagonal(k0, 0.0)
         np.fill_diagonal(k1, 0.0)
-        return KINGHomoResult(ws.sample_id, ws.snp_id, None, k0, k1)
+        return KINGHomoResult(ws.sample_id, ws.snp_id, None,
+                              maybe_packed(k0, use_matrix),
+                              maybe_packed(k1, use_matrix))
 
     if type != "KING-robust":
         raise ValueError("Invalid 'type'.")
@@ -97,7 +102,9 @@ def ibd_king(data, sample_id=None, snp_id=None, autosome_only=True,
     kinship[~np.isfinite(kinship)] = np.nan
     np.fill_diagonal(ibs0, 0.0)
     np.fill_diagonal(kinship, 0.5)
-    return KINGRobustResult(ws.sample_id, ws.snp_id, None, ibs0, kinship)
+    return KINGRobustResult(ws.sample_id, ws.snp_id, None,
+                            maybe_packed(ibs0, use_matrix),
+                            maybe_packed(kinship, use_matrix))
 
 
 def king_ibd_selection(data, kinship_cutoff, sample_id=None, snp_id=None,

@@ -245,3 +245,48 @@ def test_pca_corr_outgds(hapmap, tmp_path):
     np.testing.assert_allclose(stored[mask], got[mask], atol=5.1e-5)
     assert np.all(np.isnan(stored[~mask]))
     assert list(f.index("sample.id").read()) == list(p.sample_id)
+
+
+def test_use_matrix_packed_equivalence(hapmap):
+    """useMatrix=TRUE analog: packed-triangle outputs equal the dense
+    outputs (the reference's dspMatrix equivalence contract,
+    test_rel.R:111-115, 242-260)."""
+    import snprelate_tpu as sr
+    from snprelate_tpu import PackedSymmetric
+
+    sid = hapmap.sample_id[:40]
+    kw = dict(sample_id=sid, missing_rate=np.nan)
+
+    d = sr.ibs(hapmap, **kw)
+    p = sr.ibs(hapmap, use_matrix=True, **kw)
+    assert isinstance(p.ibs, PackedSymmetric)
+    assert p.ibs.packed.shape == (40 * 41 // 2,)
+    np.testing.assert_array_equal(p.ibs.full(), d.ibs)
+    # indexing matches the dense matrix (both triangles)
+    np.testing.assert_array_equal(p.ibs[3, 7], d.ibs[3, 7])
+    np.testing.assert_array_equal(p.ibs[7, 3], d.ibs[7, 3])
+    np.testing.assert_array_equal(p.ibs.diagonal(), np.diag(d.ibs))
+
+    d = sr.ibd_king(hapmap, **kw)
+    p = sr.ibd_king(hapmap, use_matrix=True, **kw)
+    np.testing.assert_array_equal(p.kinship.full(), d.kinship)
+    np.testing.assert_array_equal(p.IBS0.full(), d.IBS0)
+    # ibd_selection accepts packed results (reference handles dspMatrix)
+    sel_d = sr.ibd_selection(d, kinship_cutoff=0.25)
+    sel_p = sr.ibd_selection(p, kinship_cutoff=0.25)
+    assert list(sel_d["ID1"]) == list(sel_p["ID1"])
+    np.testing.assert_array_equal(sel_d["kinship"], sel_p["kinship"])
+
+    d = sr.ibd_mom(hapmap, kinship=True, **kw)
+    p = sr.ibd_mom(hapmap, kinship=True, use_matrix=True, **kw)
+    np.testing.assert_array_equal(p.k0.full(), d.k0)
+    np.testing.assert_array_equal(p.k1.full(), d.k1)
+    np.testing.assert_array_equal(p.kinship.full(), d.kinship)
+
+    d = sr.grm(hapmap, **kw)
+    p = sr.grm(hapmap, use_matrix=True, **kw)
+    np.testing.assert_array_equal(p.grm.full(), d.grm)
+
+    d = sr.indiv_beta(hapmap, **kw)
+    p = sr.indiv_beta(hapmap, use_matrix=True, **kw)
+    np.testing.assert_array_equal(p.beta.full(), d.beta)
