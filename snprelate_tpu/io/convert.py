@@ -441,15 +441,20 @@ def snpdata_to_ped(data: SNPData, ped_fn: str, sample_id=None, snp_id=None,
 def gen_to_snpdata(gen_fn, sample_fn=None, chr_code="1", call_threshold=0.9,
                    verbose=False, out_fn=None, snpfirstdim=False,
                    compress_annotation="ZIP_RA.max",
-                   compress_geno="") -> SNPData:
+                   compress_geno="", version=">=2.0") -> SNPData:
     """snpgdsGEN2GDS analog (R/Conversion.R:795): genotype probabilities ->
     best-guess dosage of the FIRST allele (A), missing if max prob below
-    call_threshold."""
+    call_threshold. version selects the SNPTEST sample-file layout:
+    ">=2.0" has a header line plus a column-type line (skip 2),
+    "<=1.1.5" a header line only (R/Conversion.R:849-858)."""
+    if version not in (">=2.0", "<=1.1.5"):
+        raise ValueError('version should be ">=2.0" or "<=1.1.5"')
     sample_id = None
     if sample_fn is not None:
         with _open(sample_fn) as f:
             lines = [line.split() for line in f if line.strip()]
-        sample_id = [r[1] if len(r) > 1 else r[0] for r in lines[2:]]
+        skip = 2 if version == ">=2.0" else 1
+        sample_id = [r[1] if len(r) > 1 else r[0] for r in lines[skip:]]
     rows = []
     genos = []
     with _open(gen_fn) as f:
