@@ -111,7 +111,7 @@ def king_ibd_selection(data, kinship_cutoff, sample_id=None, snp_id=None,
                        autosome_only=True, remove_monosnp=True,
                        maf=math.nan, missing_rate=0.01,
                        sample_block=None, chunk=None, verbose=False,
-                       hit_cap: int = 65536):
+                       hit_cap: int = 65536, mesh=None):
     """Streaming KING-robust relatedness screening for cohorts whose n x n
     kinship matrix does not fit anywhere: equivalent to
     ibd_selection(ibd_king(data, type="KING-robust"), kinship_cutoff) but
@@ -126,7 +126,13 @@ def king_ibd_selection(data, kinship_cutoff, sample_id=None, snp_id=None,
     hot path ships ~1 MB of hit indices + counters per strip instead of a
     dense hit bitmask). Strips with more candidates than hit_cap fall back
     to the dense-bitmask path — any cutoff that admits that many pairs is
-    screening, not a relatedness search."""
+    screening, not a relatedness search.
+
+    mesh: a jax.sharding.Mesh — the strip carries are column-sharded over
+    ALL mesh devices (the n-sample axis splits across chips), so each
+    device contracts its own sample shard against the replicated SNP
+    chunk; no collectives run until the compacted hit indices are
+    gathered. Results are identical to the single-device path."""
     if not np.isfinite(kinship_cutoff):
         raise ValueError("kinship_cutoff must be finite")
     import jax
@@ -138,8 +144,24 @@ def king_ibd_selection(data, kinship_cutoff, sample_id=None, snp_id=None,
                            remove_monosnp, maf, missing_rate, verbose=verbose)
     sid = np.asarray(ws.sample_id, object)
     n = ws.n_samp
+    pad_to = 128
+    if mesh is not None:
+        # pad the sample axis to a multiple of the device count so the
+        # column shards are equal
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        ndev = int(np.prod(list(mesh.shape.values())))
+        pad_to = 128 * ndev
+        col_sh = NamedSharding(mesh, P(None, tuple(mesh.axis_names)))
+        rep_sh = NamedSharding(mesh, P())
     sample_block, n_pad, chunk, chunks = _row_tile_setup(
-        ws, sample_block, chunk, 128, bytes_per_cell=20)
+        ws, sample_block, chunk, pad_to, bytes_per_cell=20)
+    if mesh is not None:
+        _base_chunks = chunks
+
+        def chunks():
+            for p in _base_chunks():
+                yield jax.device_put(p, rep_sh)
 
     def _strip_counters(carry5, row0, cutoff):
         """Basis strips -> exact integer counters + the hit mask. The
@@ -192,6 +214,11 @@ def king_ibd_selection(data, kinship_cutoff, sample_id=None, snp_id=None,
         nr = min(sample_block, n - r0)
         carry = tuple(jnp.zeros((sample_block, n_pad), jnp.int32)
                       for _ in range(5))
+        if mesh is not None:
+            # column-shard the strip carries across every mesh device; the
+            # replicated chunk operand lets each device contract its own
+            # sample shard locally (sharding propagates through the step)
+            carry = tuple(jax.device_put(c, col_sh) for c in carry)
         for packed in chunks():
             carry = _basis_rows_step(carry, packed, r0, sample_block)
         cnt, di, dj, dvals = strip_hits(carry, r0, float(kinship_cutoff))

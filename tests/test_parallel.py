@@ -102,3 +102,26 @@ def test_global_mesh_and_init():
     init_distributed(num_processes=1)  # no-op single process
     mesh = global_mesh(n_samp_axis=2)
     assert mesh.shape["samp"] == 2 and mesh.shape["data"] == 4
+
+
+def test_sharded_king_screen_matches(hapmap):
+    """king_ibd_selection(mesh=) — strip carries column-sharded over all
+    mesh devices — equals the single-device streaming path."""
+    import numpy as np
+    from snprelate_tpu import king_ibd_selection
+    from snprelate_tpu.parallel.mesh import make_mesh
+
+    kw = dict(kinship_cutoff=0.2, missing_rate=np.nan,
+              remove_monosnp=False, sample_block=128)
+    base = king_ibd_selection(hapmap, **kw)
+
+    def key(d):
+        return sorted(zip(d["ID1"].tolist(), d["ID2"].tolist(),
+                          np.round(d["kinship"], 12).tolist(),
+                          np.round(d["IBS0"], 12).tolist()))
+
+    assert len(base["ID1"]) > 0
+    for shape in [(8, 1), (4, 2)]:
+        mesh = make_mesh(*shape)
+        sh = king_ibd_selection(hapmap, mesh=mesh, **kw)
+        assert key(sh) == key(base), shape
