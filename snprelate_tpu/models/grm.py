@@ -75,8 +75,7 @@ def grm(data, sample_id=None, snp_id=None, autosome_only=True,
         method = "EIGMIX"
     if sample_block is None and _auto_row_tiling(n, method, mesh):
         sample_block = 4096
-    if sample_block is not None and mesh is None \
-            and method in ("GCTA", "Eigenstrat"):
+    if sample_block is not None and method in ("GCTA", "Eigenstrat"):
         # row-tiled large-N path; checkpoint= saves the completed GRM rows
         # after every tile and a rerun resumes at the first missing tile
         from ..ops.pairwise import TileCheckpointer
@@ -92,7 +91,7 @@ def grm(data, sample_id=None, snp_id=None, autosome_only=True,
         if method == "GCTA":
             for r0, nr, cov, vgr, _nl in gcta_parts_rows(
                     ws, sample_block=sample_block, chunk=chunk,
-                    start_row=start_row, verbose=verbose):
+                    start_row=start_row, verbose=verbose, mesh=mesh):
                 with np.errstate(divide="ignore", invalid="ignore"):
                     mat[r0:r0 + nr] = cov / (2.0 * vgr)
                 tck.save_tile(r0, mat[r0:r0 + nr])
@@ -100,7 +99,7 @@ def grm(data, sample_id=None, snp_id=None, autosome_only=True,
             for r0, nr, cov in pca_cov_rows(ws, sample_block=sample_block,
                                             chunk=chunk,
                                             start_row=start_row,
-                                            verbose=verbose):
+                                            verbose=verbose, mesh=mesh):
                 mat[r0:r0 + nr] = cov
                 tck.save_tile(r0, mat[r0:r0 + nr])
             mat *= (n - 1) / float(np.trace(mat))

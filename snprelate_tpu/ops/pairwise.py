@@ -692,21 +692,53 @@ def _row_tile_setup(ws, sample_block, chunk, pad_to: int,
     return sample_block, n_pad, chunk, _stage_or_stream(ws, chunk, n_pad)
 
 
+def _mesh_row_tools(mesh):
+    """Column-sharding helpers for the row-strip engines over a mesh:
+    (device count, carry sharder, chunk-iterator wrapper). The (B, N)
+    strip carries split their sample-column axis across EVERY mesh device
+    (scalars stay replicated); chunk operands are replicated, so each
+    device contracts its own sample shard locally with no collectives."""
+    if mesh is None:
+        return 1, (lambda c: c), (lambda chunks: chunks)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    ndev = 1
+    for v in mesh.shape.values():
+        ndev *= int(v)
+    col = NamedSharding(mesh, P(None, tuple(mesh.axis_names)))
+    rep = NamedSharding(mesh, P())
+
+    def shard_carry(carry):
+        return jax.tree.map(
+            lambda a: jax.device_put(a, col) if a.ndim == 2 else a, carry)
+
+    def wrap(chunks):
+        def it():
+            for p in chunks():
+                yield jax.device_put(p, rep)
+        return it
+
+    return ndev, shard_carry, wrap
+
+
 def gcta_parts_rows(ws, sample_block=None, chunk=None,
                     pad_to: int = 128, start_row: int = 0,
-                    verbose: bool = False):
+                    verbose: bool = False, mesh=None):
     """Row-tiled CGCTA_AlgArith: yields (row0, nrows, cov_rows, vgram_rows,
     nlocus) per sample tile. Use via models.grm for out-of-core GRMs beyond
-    HBM-resident n x n. start_row resumes at a later tile (checkpointing)."""
+    HBM-resident n x n. start_row resumes at a later tile (checkpointing).
+    mesh= column-shards each strip over every mesh device."""
+    ndev, shard_carry, wrap = _mesh_row_tools(mesh)
     sample_block, n_pad, chunk, chunks = _row_tile_setup(
-        ws, sample_block, chunk, pad_to, bytes_per_cell=8)
+        ws, sample_block, chunk, pad_to * ndev, bytes_per_cell=8)
+    chunks = wrap(chunks)
     fdt = _default_float_dtype()
     n = ws.n_samp
     for r0 in range(start_row, n, sample_block):
         nr = min(sample_block, n - r0)
-        carry = (jnp.zeros((sample_block, n_pad), fdt),
-                 jnp.zeros((sample_block, n_pad), jnp.int32),
-                 jnp.zeros((), jnp.int32))
+        carry = shard_carry((jnp.zeros((sample_block, n_pad), fdt),
+                             jnp.zeros((sample_block, n_pad), jnp.int32),
+                             jnp.zeros((), jnp.int32)))
         for packed in chunks():
             carry = _gcta_rows_step(carry, packed, r0, sample_block)
         cov, vgr, nloc = carry
@@ -770,15 +802,18 @@ def basis_gram_rows(ws, sample_block=None, chunk=None,
 
 def pca_cov_rows(ws, sample_block=None, bayesian: bool = False,
                  chunk=None, pad_to: int = 128, start_row: int = 0,
-                 verbose: bool = False):
-    """Row-tiled exact-PCA covariance: yields (row0, nrows, cov_rows)."""
+                 verbose: bool = False, mesh=None):
+    """Row-tiled exact-PCA covariance: yields (row0, nrows, cov_rows).
+    mesh= column-shards each strip over every mesh device."""
+    ndev, shard_carry, wrap = _mesh_row_tools(mesh)
     sample_block, n_pad, chunk, chunks = _row_tile_setup(
-        ws, sample_block, chunk, pad_to, bytes_per_cell=4)
+        ws, sample_block, chunk, pad_to * ndev, bytes_per_cell=4)
+    chunks = wrap(chunks)
     fdt = _default_float_dtype()
     n = ws.n_samp
     for r0 in range(start_row, n, sample_block):
         nr = min(sample_block, n - r0)
-        carry = jnp.zeros((sample_block, n_pad), fdt)
+        carry = shard_carry(jnp.zeros((sample_block, n_pad), fdt))
         for packed in chunks():
             carry = _pca_rows_step(carry, packed, r0, sample_block, bayesian)
         if verbose:

@@ -125,3 +125,19 @@ def test_sharded_king_screen_matches(hapmap):
         mesh = make_mesh(*shape)
         sh = king_ibd_selection(hapmap, mesh=mesh, **kw)
         assert key(sh) == key(base), shape
+
+
+def test_sharded_row_tiled_grm_matches(hapmap):
+    """grm(sample_block=, mesh=) — row tiles with column-sharded strips —
+    equals the single-device results for GCTA and Eigenstrat."""
+    import numpy as np
+    from snprelate_tpu import grm
+    from snprelate_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(4, 2)
+    for method in ("GCTA", "Eigenstrat"):
+        base = grm(hapmap, sample_id=hapmap.sample_id[:60], method=method)
+        t = grm(hapmap, sample_id=hapmap.sample_id[:60], method=method,
+                sample_block=128, mesh=mesh)
+        np.testing.assert_allclose(t.grm, base.grm, rtol=1e-10,
+                                   err_msg=method)
