@@ -43,7 +43,7 @@ class KINGHomoResult:
 def ibd_king(data, sample_id=None, snp_id=None, autosome_only=True,
              remove_monosnp=True, maf=math.nan, missing_rate=0.01,
              type="KING-robust", family_id=None, verbose=False, chunk=None,
-             use_matrix=False):
+             use_matrix=False, mesh=None):
     """snpgdsIBDKING (R/IBD.R:333). use_matrix packs the symmetric
     outputs (useMatrix=TRUE analog)."""
     from ..utils.packed import maybe_packed
@@ -52,7 +52,8 @@ def ibd_king(data, sample_id=None, snp_id=None, autosome_only=True,
     n = ws.n_samp
 
     if type == "KING-homo":
-        c, waf, waf2 = king_homo_counts(ws, chunk=chunk, verbose=verbose)
+        c, waf, waf2 = king_homo_counts(ws, chunk=chunk, verbose=verbose,
+                                        mesh=mesh)
         with np.errstate(divide="ignore", invalid="ignore"):
             theta = 0.5 - c.sum_sq / (8.0 * waf)
             k0 = c.ibs0 / (2.0 * waf2)
@@ -90,7 +91,7 @@ def ibd_king(data, sample_id=None, snp_id=None, autosome_only=True,
                 continue
             fam[i] = levels.setdefault(f, len(levels))
 
-    c = pair_counts(ws, chunk=chunk, verbose=verbose)
+    c = pair_counts(ws, chunk=chunk, verbose=verbose, mesh=mesh)
     nloci = c.nvalid.astype(np.float64)
     with np.errstate(divide="ignore", invalid="ignore"):
         ibs0 = np.where(nloci > 0, c.ibs0 / nloci, np.nan)
@@ -138,30 +139,17 @@ def king_ibd_selection(data, kinship_cutoff, sample_id=None, snp_id=None,
     import jax
     import jax.numpy as jnp
 
-    from ..ops.pairwise import _basis_rows_step, _row_tile_setup
+    from ..ops.pairwise import (_basis_rows_step, _mesh_row_tools,
+                                _row_tile_setup)
 
     ws, _ = init_workspace(data, sample_id, snp_id, autosome_only,
                            remove_monosnp, maf, missing_rate, verbose=verbose)
     sid = np.asarray(ws.sample_id, object)
     n = ws.n_samp
-    pad_to = 128
-    if mesh is not None:
-        # pad the sample axis to a multiple of the device count so the
-        # column shards are equal
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        ndev = int(np.prod(list(mesh.shape.values())))
-        pad_to = 128 * ndev
-        col_sh = NamedSharding(mesh, P(None, tuple(mesh.axis_names)))
-        rep_sh = NamedSharding(mesh, P())
+    ndev, shard_carry, wrap = _mesh_row_tools(mesh)
     sample_block, n_pad, chunk, chunks = _row_tile_setup(
-        ws, sample_block, chunk, pad_to, bytes_per_cell=20)
-    if mesh is not None:
-        _base_chunks = chunks
-
-        def chunks():
-            for p in _base_chunks():
-                yield jax.device_put(p, rep_sh)
+        ws, sample_block, chunk, 128 * ndev, bytes_per_cell=20)
+    chunks = wrap(chunks)
 
     def _strip_counters(carry5, row0, cutoff):
         """Basis strips -> exact integer counters + the hit mask. The
@@ -212,13 +200,11 @@ def king_ibd_selection(data, kinship_cutoff, sample_id=None, snp_id=None,
     id1, id2, ibs0_v, kin_v = [], [], [], []
     for r0 in range(0, n, sample_block):
         nr = min(sample_block, n - r0)
-        carry = tuple(jnp.zeros((sample_block, n_pad), jnp.int32)
-                      for _ in range(5))
-        if mesh is not None:
-            # column-shard the strip carries across every mesh device; the
-            # replicated chunk operand lets each device contract its own
-            # sample shard locally (sharding propagates through the step)
-            carry = tuple(jax.device_put(c, col_sh) for c in carry)
+        # with mesh: carries column-sharded across every device; the
+        # replicated chunk operand lets each device contract its own
+        # sample shard locally (sharding propagates through the step)
+        carry = shard_carry(tuple(jnp.zeros((sample_block, n_pad), jnp.int32)
+                                  for _ in range(5)))
         for packed in chunks():
             carry = _basis_rows_step(carry, packed, r0, sample_block)
         cnt, di, dj, dvals = strip_hits(carry, r0, float(kinship_cutoff))

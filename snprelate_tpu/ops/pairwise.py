@@ -357,7 +357,8 @@ class PairCounts:
 
 def pair_counts(ws, chunk=None, pad_to: int = 128,
                 checkpoint=None, checkpoint_every: int = 64,
-                sample_block=None, verbose: bool = False) -> PairCounts:
+                sample_block=None, verbose: bool = False,
+                mesh=None) -> PairCounts:
     """Run the integer pairwise engine over a Workspace selection.
 
     Uses the reduced 4-gram basis (``_sym_grams4``). A triangular Pallas
@@ -366,14 +367,23 @@ def pair_counts(ws, chunk=None, pad_to: int = 128,
 
     sample_block: compute counts in sample-row strips with device memory
     O(block x n) (``basis_gram_rows``) — auto-enabled once the 4-gram
-    carries would exceed HBM (~15k samples). Checkpointing applies to
+    carries would exceed HBM (~19k samples). Checkpointing applies to
     both paths.
+
+    mesh: multi-device. Without sample_block, routes to the
+    chunk-data-parallel sharded engine (``sharded_pair_counts``); with
+    sample_block (or past the HBM auto threshold), the row strips are
+    column-sharded over every mesh device.
     """
     n_pad = -(-ws.n_samp // pad_to) * pad_to
     if chunk is None:
         chunk = auto_chunk(n_pad, ws.n_snp)
     if sample_block is None and 16.0 * n_pad * n_pad > 6e9:
         sample_block = 4096
+    if mesh is not None and not sample_block:
+        from ..parallel.mesh import sharded_pair_counts
+
+        return sharded_pair_counts(ws, mesh, chunk=chunk)
     if sample_block:
         n = ws.n_samp
         B = np.empty((5, n, n), np.int64)
@@ -386,7 +396,7 @@ def pair_counts(ws, chunk=None, pad_to: int = 128,
         for r0, nr, strip in basis_gram_rows(ws, sample_block=sample_block,
                                              chunk=chunk, pad_to=pad_to,
                                              start_row=start_row,
-                                             verbose=verbose):
+                                             verbose=verbose, mesh=mesh):
             B[:, r0:r0 + nr, :] = strip
             tck.save_tile(r0, strip)
         return PairCounts(*B)
@@ -780,18 +790,21 @@ def _basis_rows_step(carry5, packed, row0, nrows: int):
 
 def basis_gram_rows(ws, sample_block=None, chunk=None,
                     pad_to: int = 128, start_row: int = 0,
-                    verbose: bool = False):
+                    verbose: bool = False, mesh=None):
     """Row-tiled integer pairwise counts: yields (row0, nrows, B) with
     B (5, nrows, n) int64 — PairCounts base-matrix row strips with device
     memory O(block x n). The large-N analog of pair_counts (e.g. biobank
-    KING screening)."""
+    KING screening). mesh= column-shards each strip over every mesh
+    device."""
+    ndev, shard_carry, wrap = _mesh_row_tools(mesh)
     sample_block, n_pad, chunk, chunks = _row_tile_setup(
-        ws, sample_block, chunk, pad_to, bytes_per_cell=20)
+        ws, sample_block, chunk, pad_to * ndev, bytes_per_cell=20)
+    chunks = wrap(chunks)
     n = ws.n_samp
     for r0 in range(start_row, n, sample_block):
         nr = min(sample_block, n - r0)
-        carry = tuple(jnp.zeros((sample_block, n_pad), jnp.int32)
-                      for _ in range(5))
+        carry = shard_carry(tuple(jnp.zeros((sample_block, n_pad), jnp.int32)
+                                  for _ in range(5)))
         for packed in chunks():
             carry = _basis_rows_step(carry, packed, r0, sample_block)
         c = np.stack([np.asarray(b)[:nr, :n] for b in carry])
@@ -844,19 +857,24 @@ def _king_homo_rows_step(carry, packed, row0, nrows: int):
     return grams, waf, waf2
 
 
-def king_homo_rows(ws, sample_block=None, chunk=None, pad_to: int = 128):
+def king_homo_rows(ws, sample_block=None, chunk=None, pad_to: int = 128,
+                   mesh=None):
     """Row-tiled KING-homo parts: yields (row0, nrows, B(5,nr,n) basis
-    strips, waf rows, waf2 rows) with device memory O(block x n)."""
+    strips, waf rows, waf2 rows) with device memory O(block x n).
+    mesh= column-shards each strip over every mesh device."""
+    ndev, shard_carry, wrap = _mesh_row_tools(mesh)
     sample_block, n_pad, chunk, chunks = _row_tile_setup(
-        ws, sample_block, chunk, pad_to, bytes_per_cell=28)
+        ws, sample_block, chunk, pad_to * ndev, bytes_per_cell=28)
+    chunks = wrap(chunks)
     fdt = _default_float_dtype()
     n = ws.n_samp
     for r0 in range(0, n, sample_block):
         nr = min(sample_block, n - r0)
-        carry = (tuple(jnp.zeros((sample_block, n_pad), jnp.int32)
-                       for _ in range(5)),
-                 jnp.zeros((sample_block, n_pad), fdt),
-                 jnp.zeros((sample_block, n_pad), fdt))
+        carry = shard_carry(
+            (tuple(jnp.zeros((sample_block, n_pad), jnp.int32)
+                   for _ in range(5)),
+             jnp.zeros((sample_block, n_pad), fdt),
+             jnp.zeros((sample_block, n_pad), fdt)))
         for packed in chunks():
             carry = _king_homo_rows_step(carry, packed, r0, sample_block)
         grams, waf, waf2 = carry
@@ -889,19 +907,23 @@ def _eigmix_rows_step(carry, packed, row0, nrows: int):
     return cov, wvg, hetcnt
 
 
-def eigmix_rows(ws, sample_block=None, chunk=None, pad_to: int = 128):
+def eigmix_rows(ws, sample_block=None, chunk=None, pad_to: int = 128,
+                mesh=None):
     """Row-tiled EIGMIX parts: yields (row0, nrows, cov rows, wvg rows,
     het counts). het is the full per-sample vector, identical on every
-    yield (each tile streams all chunks)."""
+    yield (each tile streams all chunks). mesh= column-shards each strip
+    over every mesh device."""
+    ndev, shard_carry, wrap = _mesh_row_tools(mesh)
     sample_block, n_pad, chunk, chunks = _row_tile_setup(
-        ws, sample_block, chunk, pad_to, bytes_per_cell=8)
+        ws, sample_block, chunk, pad_to * ndev, bytes_per_cell=8)
+    chunks = wrap(chunks)
     fdt = _default_float_dtype()
     n = ws.n_samp
     for r0 in range(0, n, sample_block):
         nr = min(sample_block, n - r0)
-        carry = (jnp.zeros((sample_block, n_pad), fdt),
-                 jnp.zeros((sample_block, n_pad), fdt),
-                 jnp.zeros((n_pad,), jnp.int32))
+        carry = shard_carry((jnp.zeros((sample_block, n_pad), fdt),
+                             jnp.zeros((sample_block, n_pad), fdt),
+                             jnp.zeros((n_pad,), jnp.int32)))
         for packed in chunks():
             carry = _eigmix_rows_step(carry, packed, r0, sample_block)
         cov, wvg, het = carry
@@ -936,12 +958,14 @@ def _king_homo_step(carry, packed, nblk: int):
 
 
 def king_homo_counts(ws, chunk=None, pad_to: int = 128,
-                     verbose: bool = False, sample_block=None):
+                     verbose: bool = False, sample_block=None, mesh=None):
     """Returns (PairCounts, SumAFreq, SumAFreq2) for KING-homo. Past the
-    HBM-resident carry ceiling (auto, ~11k samples) assembles from
-    row strips (king_homo_rows)."""
+    HBM-resident carry ceiling (auto, ~16k samples) assembles from
+    row strips (king_homo_rows). mesh= runs the row path with
+    column-sharded strips."""
     n_pad, nblk = _pad_blocks(ws.n_samp, pad_to)
-    if sample_block is None and 24.0 * n_pad * n_pad > 6e9:
+    if sample_block is None and (mesh is not None
+                                 or 24.0 * n_pad * n_pad > 6e9):
         sample_block = 4096
     if sample_block:
         n = ws.n_samp
@@ -949,7 +973,8 @@ def king_homo_counts(ws, chunk=None, pad_to: int = 128,
         waf = np.empty((n, n))
         waf2 = np.empty((n, n))
         for r0, nr, cs, w1, w2 in king_homo_rows(
-                ws, sample_block=sample_block, chunk=chunk, pad_to=pad_to):
+                ws, sample_block=sample_block, chunk=chunk, pad_to=pad_to,
+                mesh=mesh):
             B[:, r0:r0 + nr] = cs
             waf[r0:r0 + nr] = w1
             waf2[r0:r0 + nr] = w2
@@ -1001,12 +1026,14 @@ def _eigmix_step(carry, packed, nblk: int):
 
 
 def eigmix_parts(ws, chunk=None, pad_to: int = 128,
-                 verbose: bool = False, sample_block=None):
+                 verbose: bool = False, sample_block=None, mesh=None):
     """Returns (num=XX^T, denom=(V.d)V^T weighted validity, het per
     sample). Past the HBM-resident carry ceiling (auto, or explicit
-    sample_block=) assembles from row strips."""
+    sample_block=) assembles from row strips. mesh= runs the row path
+    with column-sharded strips."""
     n_pad, nblk = _pad_blocks(ws.n_samp, pad_to)
-    if sample_block is None and 5.0 * n_pad * n_pad > 6e9:
+    if sample_block is None and (mesh is not None
+                                 or 5.0 * n_pad * n_pad > 6e9):
         sample_block = 4096
     if sample_block:
         n = ws.n_samp
@@ -1014,7 +1041,8 @@ def eigmix_parts(ws, chunk=None, pad_to: int = 128,
         wvg = np.empty((n, n))
         het = None
         for r0, nr, cs, wv, h in eigmix_rows(
-                ws, sample_block=sample_block, chunk=chunk, pad_to=pad_to):
+                ws, sample_block=sample_block, chunk=chunk, pad_to=pad_to,
+                mesh=mesh):
             num[r0:r0 + nr] = cs
             wvg[r0:r0 + nr] = wv
             het = h

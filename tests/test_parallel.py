@@ -141,3 +141,41 @@ def test_sharded_row_tiled_grm_matches(hapmap):
                 sample_block=128, mesh=mesh)
         np.testing.assert_allclose(t.grm, base.grm, rtol=1e-10,
                                    err_msg=method)
+
+
+def test_mesh_on_all_count_estimators(hapmap):
+    """mesh= on every count-based estimator (the num.thread analog on each
+    reference API) equals the single-device result — both the sharded
+    full-square route and the sharded row-strip route."""
+    import numpy as np
+    import snprelate_tpu as sr
+    from snprelate_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(4, 2)
+    sid = hapmap.sample_id[:50]
+    kw = dict(sample_id=sid, missing_rate=np.nan)
+
+    for fn, field in [(sr.ibs, "ibs"), (sr.ibs_num, "ibs2"),
+                      (sr.ibd_mom, "k0"), (sr.indiv_beta, "beta"),
+                      (sr.diss, "diss")]:
+        a = getattr(fn(hapmap, **kw), field)
+        b = getattr(fn(hapmap, mesh=mesh, **kw), field)
+        np.testing.assert_allclose(b, a, rtol=1e-12, atol=1e-14,
+                                   err_msg=fn.__name__)
+
+    for type_ in ("KING-robust", "KING-homo"):
+        a = sr.ibd_king(hapmap, type=type_, **kw)
+        b = sr.ibd_king(hapmap, type=type_, mesh=mesh, **kw)
+        f = "kinship" if type_ == "KING-robust" else "k0"
+        np.testing.assert_allclose(getattr(b, f), getattr(a, f),
+                                   rtol=1e-10, err_msg=type_)
+
+    # row-strip route under mesh (explicit sample_block)
+    from snprelate_tpu.workspace import init_workspace
+    from snprelate_tpu.ops.pairwise import pair_counts
+
+    ws, _ = init_workspace(hapmap, sample_id=sid)
+    base = pair_counts(ws).base()
+    rows = pair_counts(ws, sample_block=128, mesh=mesh).base()
+    for got, want in zip(rows, base):
+        np.testing.assert_array_equal(got, want)
