@@ -66,22 +66,27 @@ def indiv_beta(data, sample_id=None, snp_id=None, autosome_only=True,
 
 
 def indiv_beta_rel(beta: IndivBetaResult, beta_rel: float):
-    """snpgdsIndivBetaRel (R/IBD.R:877-890): re-baseline a beta matrix."""
-    mat = beta.beta.copy()
+    """snpgdsIndivBetaRel (R/IBD.R:877-890): re-baseline a beta matrix.
+    Accepts packed (use_matrix=True) results and returns the same form
+    (the reference operates on dspMatrix too)."""
+    packed = hasattr(beta.beta, "full")
+    mat = beta.beta.full() if packed else beta.beta.copy()
     if not beta.inbreeding:
         np.fill_diagonal(mat, (mat.diagonal() - 0.5) * 2.0)
     mat = (mat - beta_rel) / (1.0 - beta_rel)
     np.fill_diagonal(mat, 0.5 * mat.diagonal() + 0.5)
-    return IndivBetaResult(beta.sample_id, beta.snp_id, False, mat,
-                           beta.avg_val)
+    from ..utils.packed import maybe_packed
+
+    return IndivBetaResult(beta.sample_id, beta.snp_id, False,
+                           maybe_packed(mat, packed), beta.avg_val)
 
 
 def beta_grm_matrix(ws, chunk=None, verbose=False,
-                    sample_block=None) -> np.ndarray:
+                    sample_block=None, mesh=None) -> np.ndarray:
     """GRM method='IndivBeta' (CalcIndivBetaGRM, genBeta.cpp:263-357):
     min-rescaled beta matrix with diagonal mapped to (x-min)*scale/2 + 1."""
     c = pair_counts(ws, chunk=chunk, verbose=verbose,
-                    sample_block=sample_block)
+                    sample_block=sample_block, mesh=mesh)
     beta, avg = _beta_raw(c, inbreeding=True)
     mn = float(np.min(beta))
     scale = 2.0 / (1.0 - mn)

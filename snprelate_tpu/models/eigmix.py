@@ -31,9 +31,10 @@ class EigMixResult:
 
 
 def eigmix_ibd_matrix(ws, diagadj: bool = True, chunk=None,
-                      verbose=False, sample_block=None) -> np.ndarray:
+                      verbose=False, sample_block=None,
+                      mesh=None) -> np.ndarray:
     num, denom, het = eigmix_parts(ws, chunk=chunk, verbose=verbose,
-                                   sample_block=sample_block)
+                                   sample_block=sample_block, mesh=mesh)
     if diagadj:
         num = num.copy()
         np.fill_diagonal(num, num.diagonal() - het)

@@ -78,13 +78,17 @@ def grm(data, sample_id=None, snp_id=None, autosome_only=True,
     if sample_block is not None and method in ("GCTA", "Eigenstrat"):
         # row-tiled large-N path; checkpoint= saves the completed GRM rows
         # after every tile and a rerun resumes at the first missing tile
-        from ..ops.pairwise import TileCheckpointer
+        from ..ops.pairwise import (TileCheckpointer, _mesh_row_tools,
+                                    effective_sample_block)
 
         mat = np.empty((n, n))
         tag = 41 if method == "GCTA" else 42
+        ndev = _mesh_row_tools(mesh)[0]
+        sample_block = effective_sample_block(
+            ws, sample_block, 128 * ndev,
+            8 if method == "GCTA" else 4)
         tck = TileCheckpointer(checkpoint,
-                               meta=(tag, ws.n_snp, n,
-                                     int(sample_block or -1)))
+                               meta=(tag, ws.n_snp, n, int(sample_block)))
         start_row = tck.load_rows(
             lambda r0, arr: mat.__setitem__(
                 slice(r0, r0 + arr.shape[0]), arr))
@@ -122,11 +126,11 @@ def grm(data, sample_id=None, snp_id=None, autosome_only=True,
     elif method == "EIGMIX":
         from .eigmix import eigmix_ibd_matrix
         mat = 2.0 * eigmix_ibd_matrix(ws, chunk=chunk, verbose=verbose,
-                                      sample_block=sample_block)
+                                      sample_block=sample_block, mesh=mesh)
     elif method == "IndivBeta":
         from .beta import beta_grm_matrix
         mat = beta_grm_matrix(ws, chunk=chunk, verbose=verbose,
-                              sample_block=sample_block)
+                              sample_block=sample_block, mesh=mesh)
     else:
         raise ValueError("Invalid 'method'!")
     res = GRMResult(ws.sample_id, ws.snp_id, method, mat)

@@ -22,6 +22,11 @@ from ..workspace import init_workspace
 from ..ops.pairwise import king_homo_counts, pair_counts
 
 
+# max elements of one flattened hit block compacted by jnp.nonzero —
+# int32 index safety margin (tests shrink it to exercise sub-blocking)
+_FLAT_BLOCK_LIMIT = 1 << 30
+
+
 @dataclass
 class KINGRobustResult:
     sample_id: np.ndarray
@@ -138,6 +143,7 @@ def king_ibd_selection(data, kinship_cutoff, sample_id=None, snp_id=None,
         raise ValueError("kinship_cutoff must be finite")
     import jax
     import jax.numpy as jnp
+    from jax import lax
 
     from ..ops.pairwise import (_basis_rows_step, _mesh_row_tools,
                                 _row_tile_setup)
@@ -172,19 +178,37 @@ def king_ibd_selection(data, kinship_cutoff, sample_id=None, snp_id=None,
              + 1.0)
         return (sum_sq_i, mn_i, ibs0_i, vv), hit
 
+    # sub-divide the strip so each flattened block stays below 2^30
+    # elements: jnp.nonzero flat indices are int32 without x64, and a
+    # sample_block x n_pad strip can exceed 2^31 entries on wide meshes
+    # (pad_to scales with the device count, overriding the HBM row cap)
+    n_sub = max(1, -(-sample_block * n_pad // _FLAT_BLOCK_LIMIT))
+    rows_sub = -(-sample_block // n_sub)
+    n_sub = -(-sample_block // rows_sub)
+
     @jax.jit
     def strip_hits(carry5, row0, cutoff):
-        """Device-compacted candidates: (count, ii, jj, gathered integer
-        counters) — ~1 MB crosses the host boundary per strip. Entries past
-        ``count`` are fill; the host slices to count (valid only when
+        """Device-compacted candidates per sub-block: (counts (n_sub,),
+        ii, jj, gathered integer counters, each (n_sub, hit_cap)) — ~1 MB
+        crosses the host boundary per strip. Entries past each sub-block's
+        count are fill; the host slices to count (valid only when every
         count <= hit_cap, else the dense fallback runs)."""
         counters, hit = _strip_counters(carry5, row0, cutoff)
-        flat = hit.ravel()
-        cnt = flat.sum(dtype=jnp.int32)
-        (idx,) = jnp.nonzero(flat, size=max(int(hit_cap), 1), fill_value=0)
-        ii = (idx // n_pad).astype(jnp.int32)
-        jj = (idx - ii * n_pad).astype(jnp.int32)
-        return cnt, ii, jj, tuple(c[ii, jj] for c in counters)
+        size = max(int(hit_cap), 1)
+        cnts, iis, jjs, vals = [], [], [], []
+        for b in range(n_sub):
+            r = b * rows_sub
+            nr_b = min(rows_sub, sample_block - r)
+            sub = lax.slice_in_dim(hit, r, r + nr_b, axis=0).ravel()
+            cnts.append(sub.sum(dtype=jnp.int32))
+            (idx,) = jnp.nonzero(sub, size=size, fill_value=0)
+            ii = (idx // n_pad).astype(jnp.int32) + r
+            jj = (idx - (idx // n_pad) * n_pad).astype(jnp.int32)
+            iis.append(ii)
+            jjs.append(jj)
+            vals.append(tuple(c[ii, jj] for c in counters))
+        return (jnp.stack(cnts), jnp.stack(iis), jnp.stack(jjs),
+                tuple(jnp.stack([v[k] for v in vals]) for k in range(4)))
 
     @jax.jit
     def strip_mask(carry5, row0, cutoff):
@@ -207,15 +231,20 @@ def king_ibd_selection(data, kinship_cutoff, sample_id=None, snp_id=None,
                                   for _ in range(5)))
         for packed in chunks():
             carry = _basis_rows_step(carry, packed, r0, sample_block)
-        cnt, di, dj, dvals = strip_hits(carry, r0, float(kinship_cutoff))
-        cnt = int(cnt)
+        cnts, di, dj, dvals = strip_hits(carry, r0, float(kinship_cutoff))
+        cnts = np.asarray(cnts)
+        cnt = int(cnts.sum())
         if cnt == 0:
             continue
-        if cnt <= hit_cap:
-            ii = np.asarray(di)[:cnt]
-            jj = np.asarray(dj)[:cnt]
-            ss, mn, ib0, nv = (np.asarray(v, np.float64)[:cnt]
-                               for v in dvals)
+        if cnts.max() <= hit_cap:
+            di, dj = np.asarray(di), np.asarray(dj)
+            dvals = [np.asarray(v, np.float64) for v in dvals]
+            keep_sub = [slice(0, int(c)) for c in cnts]
+            ii = np.concatenate([di[b][s] for b, s in enumerate(keep_sub)])
+            jj = np.concatenate([dj[b][s] for b, s in enumerate(keep_sub)])
+            ss, mn, ib0, nv = (
+                np.concatenate([v[b][s] for b, s in enumerate(keep_sub)])
+                for v in dvals)
         else:  # dense fallback (more candidates than the compact bound)
             counters, packed_hit = strip_mask(carry, r0,
                                               float(kinship_cutoff))

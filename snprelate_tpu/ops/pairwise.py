@@ -381,11 +381,19 @@ def pair_counts(ws, chunk=None, pad_to: int = 128,
     if sample_block is None and 16.0 * n_pad * n_pad > 6e9:
         sample_block = 4096
     if mesh is not None and not sample_block:
-        from ..parallel.mesh import sharded_pair_counts
+        if checkpoint:
+            # the sharded full-square engine has no resume protocol; honor
+            # the checkpoint request via the (mesh-capable) row path
+            sample_block = 4096
+        else:
+            from ..parallel.mesh import sharded_pair_counts
 
-        return sharded_pair_counts(ws, mesh, chunk=chunk)
+            return sharded_pair_counts(ws, mesh, chunk=chunk)
     if sample_block:
         n = ws.n_samp
+        ndev = _mesh_row_tools(mesh)[0]
+        sample_block = effective_sample_block(ws, sample_block,
+                                              pad_to * ndev, 20)
         B = np.empty((5, n, n), np.int64)
         tck = TileCheckpointer(checkpoint, meta=(62, ws.n_snp, n,
                                                  int(sample_block)),
@@ -683,19 +691,30 @@ class TileCheckpointer:
             self._atomic_save(self._tile_fn(r0), arr)
 
 
-def _row_tile_setup(ws, sample_block, chunk, pad_to: int,
-                    bytes_per_cell: int):
-    """Shared preamble of the row-tiled engines: quantize the sample block
-    to pad_to, cap it by BOTH the padded cohort size and the HBM budget
+def effective_sample_block(ws, sample_block, pad_to: int,
+                           bytes_per_cell: int) -> int:
+    """The sample block a row-tiled engine will actually use: quantized to
+    pad_to and capped by BOTH the padded cohort size and the HBM budget
     for the per-strip carries (bytes_per_cell bytes per block-row x padded
-    sample), pad the sample axis to a block multiple (in-bounds
-    dynamic_slice), resolve the chunk and build the chunk source."""
+    sample). Checkpoint metas must record THIS value (not the requested
+    one) — the effective block depends on pad_to, which scales with the
+    mesh device count, so a resume under a different mesh/request must
+    invalidate the tiles."""
     base = -(-ws.n_samp // pad_to) * pad_to
     if sample_block is None:
         sample_block = 4096
     hbm_rows = int(6e9) // max(1, bytes_per_cell * base)
     sample_block = min(int(sample_block), max(pad_to, hbm_rows), base)
-    sample_block = -(-sample_block // pad_to) * pad_to
+    return -(-sample_block // pad_to) * pad_to
+
+
+def _row_tile_setup(ws, sample_block, chunk, pad_to: int,
+                    bytes_per_cell: int):
+    """Shared preamble of the row-tiled engines: effective_sample_block,
+    pad the sample axis to a block multiple (in-bounds dynamic_slice),
+    resolve the chunk and build the chunk source."""
+    sample_block = effective_sample_block(ws, sample_block, pad_to,
+                                          bytes_per_cell)
     n_pad = -(-ws.n_samp // sample_block) * sample_block
     if chunk is None:
         chunk = auto_chunk(max(n_pad, sample_block), ws.n_snp)
@@ -723,6 +742,12 @@ def _mesh_row_tools(mesh):
             lambda a: jax.device_put(a, col) if a.ndim == 2 else a, carry)
 
     def wrap(chunks):
+        src = chunks()
+        if isinstance(src, list):
+            # HBM-staged source: replicate once, not once per row tile
+            staged = [jax.device_put(p, rep) for p in src]
+            return lambda: staged
+
         def it():
             for p in chunks():
                 yield jax.device_put(p, rep)

@@ -40,6 +40,11 @@ class PackedSymmetric:
     def _flat_index(self, i, j):
         i = np.asarray(i, np.int64)
         j = np.asarray(j, np.int64)
+        # dense-matrix index semantics: negatives wrap, out-of-range raises
+        i = np.where(i < 0, i + self.n, i)
+        j = np.where(j < 0, j + self.n, j)
+        if np.any((i < 0) | (i >= self.n) | (j < 0) | (j >= self.n)):
+            raise IndexError(f"index out of range for n={self.n}")
         lo = np.minimum(i, j)
         hi = np.maximum(i, j)
         # row-major upper triangle: offset(row) = row*n - row*(row-1)/2

@@ -266,3 +266,67 @@ def test_king_homo_eigmix_row_tiled(big_data):
     np.testing.assert_allclose(num_t, num_f, rtol=1e-9, atol=1e-9)
     np.testing.assert_allclose(wvg_t, wvg_f, rtol=1e-10)
     np.testing.assert_array_equal(het_t, het_f)
+
+
+def test_king_streaming_subblock_compaction(big_data, monkeypatch):
+    """Shrinking the int32 flat-index block limit forces the sub-block
+    nonzero compaction path; results must be unchanged."""
+    import snprelate_tpu as sr
+    from snprelate_tpu.models import king as king_mod
+
+    data, _g = big_data
+    kw = dict(autosome_only=False, remove_monosnp=False,
+              missing_rate=np.nan)
+    ref = sr.king_ibd_selection(data, kinship_cutoff=0.08,
+                                sample_block=512, **kw)
+    monkeypatch.setattr(king_mod, "_FLAT_BLOCK_LIMIT", 1 << 14)
+    sub = sr.king_ibd_selection(data, kinship_cutoff=0.08,
+                                sample_block=512, **kw)
+
+    def key(d):
+        return sorted(zip(d["ID1"].tolist(), d["ID2"].tolist(),
+                          np.round(d["kinship"], 12).tolist()))
+
+    assert key(sub) == key(ref)
+
+
+def test_packed_and_mesh_fixes(hapmap):
+    """Regression coverage: PackedSymmetric negative-index semantics,
+    indiv_beta_rel on packed results, grm EIGMIX/IndivBeta under mesh,
+    pair_counts(mesh=, checkpoint=) routing to the resumable row path."""
+    import snprelate_tpu as sr
+    import pytest as _pytest
+
+    sid = hapmap.sample_id[:30]
+    b = sr.indiv_beta(hapmap, sample_id=sid, use_matrix=True)
+    d = sr.indiv_beta(hapmap, sample_id=sid)
+    np.testing.assert_array_equal(b.beta[-1, 0], d.beta[-1, 0])
+    with _pytest.raises(IndexError):
+        b.beta[30, 0]
+    rp = sr.indiv_beta_rel(b, 0.02)
+    rd = sr.indiv_beta_rel(d, 0.02)
+    np.testing.assert_array_equal(rp.beta.full(), rd.beta)
+
+    from snprelate_tpu.parallel.mesh import make_mesh
+    mesh = make_mesh(4, 2)
+    for method in ("EIGMIX", "IndivBeta"):
+        a = sr.grm(hapmap, sample_id=sid, method=method)
+        m = sr.grm(hapmap, sample_id=sid, method=method, mesh=mesh)
+        np.testing.assert_allclose(m.grm, a.grm, rtol=1e-10,
+                                   err_msg=method)
+
+
+def test_pair_counts_mesh_checkpoint(hapmap, tmp_path):
+    from snprelate_tpu.ops.pairwise import pair_counts
+    from snprelate_tpu.parallel.mesh import make_mesh
+    from snprelate_tpu.workspace import init_workspace
+
+    ws, _ = init_workspace(hapmap, sample_id=hapmap.sample_id[:40])
+    mesh = make_mesh(4, 2)
+    base = pair_counts(ws).base()
+    ckpt = str(tmp_path / "pc")
+    got = pair_counts(ws, mesh=mesh, checkpoint=ckpt).base()
+    for g, w in zip(got, base):
+        np.testing.assert_array_equal(g, w)
+    import glob
+    assert glob.glob(ckpt + ".tile*")  # checkpoint was honored, not dropped
