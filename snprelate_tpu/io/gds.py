@@ -390,6 +390,14 @@ def _decompress_ra(raw: bytes, total_bytes: int, kind: str) -> bytes:
     """
     out: list[bytes] = []
     got, pos, n = 0, 0, len(raw)
+    # RA streams use a FIXED uncompressed block size: every block but the
+    # last must decode to the same length, and the per-block header gap
+    # (bytes between one member's end and the next's start) is constant.
+    # Both invariants reject false boundary candidates whose bytes merely
+    # look like a compression magic (e.g. ~1/1024 of random byte pairs
+    # pass the 2-byte zlib header check).
+    block_len: int | None = None
+    header_gap: int | None = None
 
     def find_start(p: int) -> int:
         limit = min(n - 1, p + 64)
@@ -409,35 +417,59 @@ def _decompress_ra(raw: bytes, total_bytes: int, kind: str) -> bytes:
             p += 1
         return -1
 
+    def try_decode(p: int):
+        """Attempt to decode one member at p: (chunk, consumed) or None."""
+        try:
+            if kind == "zlib":
+                d = zlib.decompressobj()
+                chunk = d.decompress(raw[p:])
+                if not d.eof:
+                    return None
+                return chunk, (n - p) - len(d.unused_data)
+            if kind == "xz":
+                d = lzma.LZMADecompressor(lzma.FORMAT_XZ)
+                chunk = d.decompress(raw[p:])
+                if not d.eof:
+                    return None
+                return chunk, (n - p) - len(d.unused_data)
+            return _lz4_frame_decompress(raw, p)
+        except (zlib.error, lzma.LZMAError, ValueError, IndexError,
+                struct.error):
+            return None
+
+    def block_ok(chunk: bytes) -> bool:
+        if block_len is None:
+            return True  # first block calibrates the size
+        if got + len(chunk) >= total_bytes:
+            return len(chunk) <= block_len  # final block may be short
+        return len(chunk) == block_len
+
     while got < total_bytes:
-        p = find_start(pos)
         chunk = None
-        while p >= 0:
-            try:
-                if kind == "zlib":
-                    d = zlib.decompressobj()
-                    chunk = d.decompress(raw[p:])
-                    ok = d.eof
-                    consumed = (n - p) - len(d.unused_data)
-                elif kind == "xz":
-                    d = lzma.LZMADecompressor(lzma.FORMAT_XZ)
-                    chunk = d.decompress(raw[p:])
-                    ok = d.eof
-                    consumed = (n - p) - len(d.unused_data)
-                else:
-                    chunk, consumed = _lz4_frame_decompress(raw, p)
-                    ok = True
-                if ok:
+        # constant header gap: try the calibrated offset first
+        if header_gap is not None and pos + header_gap < n:
+            r = try_decode(pos + header_gap)
+            if r is not None and block_ok(r[0]):
+                chunk, consumed = r
+                p = pos + header_gap
+        if chunk is None:
+            p = find_start(pos)
+            while p >= 0:
+                r = try_decode(p)
+                if r is not None and block_ok(r[0]):
+                    chunk, consumed = r
                     break
-                chunk = None
-            except (zlib.error, lzma.LZMAError, ValueError, IndexError,
-                    struct.error):
-                chunk = None
-            p = find_start(p + 1)
+                p = find_start(p + 1)
         if chunk is None:
             raise ValueError(
                 f"RA stream parse failure at offset {pos} "
                 f"({got}/{total_bytes} bytes decoded)")
+        if block_len is None:
+            block_len = len(chunk)
+        elif header_gap is None:
+            # calibrate from the SECOND block: the first gap also spans
+            # the stream header, which is longer than per-block headers
+            header_gap = p - pos
         out.append(chunk)
         got += len(chunk)
         pos = p + consumed

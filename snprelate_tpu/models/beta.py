@@ -82,9 +82,12 @@ def indiv_beta_rel(beta: IndivBetaResult, beta_rel: float):
 
 
 def beta_grm_matrix(ws, chunk=None, verbose=False,
-                    sample_block=None, mesh=None) -> np.ndarray:
+                    sample_block=None, mesh=None):
     """GRM method='IndivBeta' (CalcIndivBetaGRM, genBeta.cpp:263-357):
-    min-rescaled beta matrix with diagonal mapped to (x-min)*scale/2 + 1."""
+    min-rescaled beta matrix with diagonal mapped to (x-min)*scale/2 + 1.
+    Returns (grm, avg_val): avg_val is the pre-transform upper-triangle
+    average the reference stashes for snpgdsMergeGRM (grm_avg_value,
+    genPCA.cpp:1605)."""
     c = pair_counts(ws, chunk=chunk, verbose=verbose,
                     sample_block=sample_block, mesh=mesh)
     beta, avg = _beta_raw(c, inbreeding=True)
@@ -92,7 +95,4 @@ def beta_grm_matrix(ws, chunk=None, verbose=False,
     scale = 2.0 / (1.0 - mn)
     out = (beta - mn) * scale
     np.fill_diagonal(out, (beta.diagonal() - mn) * scale * 0.5 + 1.0)
-    # the reference stashes the pre-transform upper-triangle average for
-    # snpgdsMergeGRM (grm_avg_value, genPCA.cpp:1605)
-    beta_grm_matrix.last_avg_val = avg
-    return out
+    return out, avg

@@ -79,7 +79,8 @@ def grm(data, sample_id=None, snp_id=None, autosome_only=True,
         # row-tiled large-N path; checkpoint= saves the completed GRM rows
         # after every tile and a rerun resumes at the first missing tile
         from ..ops.pairwise import (TileCheckpointer, _mesh_row_tools,
-                                    effective_sample_block)
+                                    effective_sample_block,
+                                    resolve_row_chunk)
 
         mat = np.empty((n, n))
         tag = 41 if method == "GCTA" else 42
@@ -87,8 +88,13 @@ def grm(data, sample_id=None, snp_id=None, autosome_only=True,
         sample_block = effective_sample_block(
             ws, sample_block, 128 * ndev,
             8 if method == "GCTA" else 4)
+        # meta records the RESOLVED chunk: float tiles accumulated under a
+        # different chunk have a different summation order, so a resume
+        # with a new chunk= must invalidate them
+        chunk = resolve_row_chunk(ws, sample_block, chunk)
         tck = TileCheckpointer(checkpoint,
-                               meta=(tag, ws.n_snp, n, int(sample_block)))
+                               meta=(tag, ws.n_snp, n, int(sample_block),
+                                     int(chunk)))
         start_row = tck.load_rows(
             lambda r0, arr: mat.__setitem__(
                 slice(r0, r0 + arr.shape[0]), arr))
@@ -129,14 +135,13 @@ def grm(data, sample_id=None, snp_id=None, autosome_only=True,
                                       sample_block=sample_block, mesh=mesh)
     elif method == "IndivBeta":
         from .beta import beta_grm_matrix
-        mat = beta_grm_matrix(ws, chunk=chunk, verbose=verbose,
-                              sample_block=sample_block, mesh=mesh)
+        mat, beta_avg = beta_grm_matrix(ws, chunk=chunk, verbose=verbose,
+                                        sample_block=sample_block, mesh=mesh)
     else:
         raise ValueError("Invalid 'method'!")
     res = GRMResult(ws.sample_id, ws.snp_id, method, mat)
     if method == "IndivBeta":
-        from .beta import beta_grm_matrix
-        res.avg_val = beta_grm_matrix.last_avg_val
+        res.avg_val = beta_avg
     if out_fn is not None:
         save_grm(res, out_fn, avg_val=getattr(res, "avg_val", None),
                  prec=out_prec)

@@ -431,6 +431,353 @@ def simplex_3state(pr: np.ndarray, k0: float, k1: float, max_iter: int,
     return out_k0, out_k1, out_ll, niter
 
 
+def _nm_loglik_planes(p0, p1, p2, k0, k1):
+    """Batched nm_loglik over contiguous (W,S) table planes, k0/k1 (W,).
+    -inf outside the simplex or when an observed state has zero
+    probability (the same rule as the scalar ``simplex_3state`` closure;
+    summation is masked-in-place instead of compressed, a ~1e-12 relative
+    reduction-order difference)."""
+    s = p0 * k0[:, None] + p1 * k1[:, None] + p2
+    pos = s > 0
+    bad = ((~pos) & (p0 > 0)).any(1)
+    lt = np.zeros_like(s)
+    np.log(s, where=pos, out=lt)
+    ll = lt.sum(1)
+    invalid = (k0 < 0) | (k1 < 0) | (k0 + k1 > 1) | bad
+    return np.where(invalid, -np.inf, ll)
+
+
+def _simplex_min_batch(p: np.ndarray, planes, reltol: float,
+                       nfunkmax: int):
+    """Batched-masked Nelder-Mead: the vectorized re-expression of
+    ``_simplex_min`` (GWAS_Math::SimplexMin, genIBD.cpp:96-189) over a
+    pair batch. Every pair follows its own scalar trajectory — ordering,
+    reflect/expand/contract/shrink and the convergence rule are applied
+    per pair with masks; the active set is compacted as pairs finish (the
+    ``_em_loop`` pattern). Per-pair f64 arithmetic matches the scalar port
+    up to the log-likelihood reduction order (see ``_nm_loglik_rows``).
+
+    p: (B,3,2) initial vertices; planes: (p0, p1, p2) contiguous (B,S)
+    NM-transformed table planes. Returns (x (B,2), fmin (B,), nfunk (B,))."""
+    B = p.shape[0]
+    p = p.copy()
+    p0, p1, p2 = planes
+
+    def funk(x, sel=None):
+        """Objective over the current working set (sel=None) or a row
+        subset of it."""
+        if sel is None:
+            a0, a1, a2 = p0, p1, p2
+        else:
+            a0, a1, a2 = p0[sel], p1[sel], p2[sel]
+        rv = -_nm_loglik_planes(a0, a1, a2, x[:, 0], x[:, 1])
+        return np.where(np.isfinite(rv), rv, 1e30)
+
+    y = np.stack([funk(p[:, i]) for i in range(3)], axis=1)  # (B,3)
+    nfunk = np.full(B, 2, np.int64)  # nfunk = ndim after init (scalar)
+    convtol = np.maximum(reltol * (np.abs(y[:, 0]) + abs(reltol)),
+                         np.finfo(float).eps)
+    psum = p.sum(axis=1)  # (B,2)
+
+    out_x = np.zeros((B, 2))
+    out_y = np.zeros(B)
+    out_n = np.zeros(B, np.int64)
+    widx = np.arange(B)
+
+    while widx.size:
+        W = widx.size
+        r = np.arange(W)
+        # --- vertex ordering: exact unrolled scalar logic
+        ilo = np.zeros(W, np.intp)
+        ihi = np.where(y[:, 0] > y[:, 1], 0, 1).astype(np.intp)
+        inhi = 1 - ihi
+        for i in range(3):
+            yi = y[:, i]
+            ilo = np.where(yi <= y[r, ilo], i, ilo)
+            hi = yi > y[r, ihi]
+            inhi = np.where(hi, ihi, inhi)
+            ihi = np.where(hi, i, ihi)
+            nhi = (~hi) & (yi > y[r, inhi]) & (i != ihi)
+            inhi = np.where(nhi, i, inhi)
+        # --- convergence / budget
+        done = (y[r, ihi] - y[r, ilo] <= convtol) | (nfunk >= nfunkmax)
+        if done.any():
+            d = np.nonzero(done)[0]
+            out_x[widx[d]] = p[d, ilo[d]]
+            out_y[widx[d]] = y[d, ilo[d]]
+            out_n[widx[d]] = nfunk[d]
+            keep = ~done
+            widx, p, y, psum = widx[keep], p[keep], y[keep], psum[keep]
+            p0, p1, p2 = p0[keep], p1[keep], p2[keep]
+            nfunk, convtol = nfunk[keep], convtol[keep]
+            ilo, ihi, inhi = ilo[keep], ihi[keep], inhi[keep]
+            if widx.size == 0:
+                break
+            W = widx.size
+            r = np.arange(W)
+        nfunk += 2
+        y_ilo = y[r, ilo]
+        y_inhi = y[r, inhi]
+
+        def try_point(rows, fac, full=False):
+            """try_point(ihi, fac) over the row subset; updates p/psum/y
+            in place exactly when ytry < y[ihi]; returns ytry."""
+            fac1 = (1.0 - fac) / 2.0
+            fac2 = fac1 - fac
+            rr, hh = rows, ihi[rows]
+            ptry = psum[rr] * fac1 - p[rr, hh] * fac2
+            ytry = funk(ptry, sel=None if full else rr)
+            better = ytry < y[rr, hh]
+            b = np.nonzero(better)[0]
+            psum[rr[b]] += ptry[b] - p[rr[b], hh[b]]
+            p[rr[b], hh[b]] = ptry[b]
+            y[rr[b], hh[b]] = ytry[b]
+            return ytry
+
+        # --- reflect through the high point
+        ytry = try_point(r, -1.0, full=True)
+        m_exp = ytry <= y_ilo
+        m_con = (~m_exp) & (ytry >= y_inhi)
+        # --- expand
+        e = np.nonzero(m_exp)[0]
+        if e.size:
+            try_point(e, 2.0)
+        # --- 1-d contract; shrink toward the low point if it fails
+        c = np.nonzero(m_con)[0]
+        if c.size:
+            ysave = y[c, ihi[c]]
+            ytry2 = try_point(c, 0.5)
+            s = c[ytry2 >= ysave]
+            if s.size:
+                for i in range(3):
+                    rows = s[ilo[s] != i]
+                    if rows.size == 0:
+                        continue
+                    lo = ilo[rows]
+                    newp = 0.5 * (p[rows, i] + p[rows, lo])
+                    p[rows, i] = newp
+                    y[rows, i] = funk(newp, sel=rows)
+                nfunk[s] += 2  # ndim extra evaluations (scalar)
+                psum[s] = p[s].sum(axis=1)
+        # --- neither: the reference refunds one evaluation
+        nfunk[(~m_exp) & (~m_con)] -= 1
+
+    return out_x, out_y, out_n
+
+
+def simplex_3state_batch(prn: np.ndarray, k0: np.ndarray, k1: np.ndarray,
+                         max_iter: int, reltol: float,
+                         loglik_adjust: bool):
+    """Batched Simplex (genIBD.cpp:741-779): prn (B,S,3) NM-transformed
+    tables (pr0-pr2, pr1-pr2, pr2), k0/k1 (B,) initial values. The
+    vectorized counterpart of per-pair ``simplex_3state``."""
+    B = len(k0)
+    k0 = np.asarray(k0, np.float64)
+    k1 = np.asarray(k1, np.float64)
+    # simplex vertices (genIBD.cpp:745-757)
+    p = np.zeros((B, 3, 2))
+    p[:, 0, 0] = k0
+    p[:, 0, 1] = k1
+    f = (1 - k0) / 2
+    p[:, 1, 0] = k0
+    p[:, 1, 1] = np.where(k1 <= f,
+                          k1 + np.maximum(k1, f - k1) / 2,
+                          k1 - np.maximum(k1 - f, 1 - k0 - k1))
+    p[:, 2, 1] = k1
+    f = (1 - k1) / 2
+    p[:, 2, 0] = np.where(k0 <= f,
+                          k0 + np.maximum(k0, f - k0) / 2,
+                          k0 - np.maximum(k0 - f, 1 - k1 - k0) / 2)
+
+    planes = tuple(np.ascontiguousarray(prn[:, :, i]) for i in range(3))
+    x, fmin, niter = _simplex_min_batch(p, planes, reltol, max_iter)
+    out_k0, out_k1, out_ll = x[:, 0], x[:, 1], -fmin
+    if loglik_adjust:
+        for ck0, ck1 in RELATEDNESS_K.values():
+            cll = _nm_loglik_planes(*planes, np.full(B, ck0),
+                                    np.full(B, ck1))
+            better = np.isfinite(cll) & (out_ll < cll)
+            out_k0 = np.where(better, ck0, out_k0)
+            out_k1 = np.where(better, ck1, out_k1)
+            out_ll = np.where(better, cll, out_ll)
+    return out_k0, out_k1, out_ll, niter
+
+
+# --- device NM: the same masked batched trajectory as _simplex_min_batch,
+# run as one jax while_loop (all pairs advance one NM macro-step per trip;
+# finished pairs are masked, not compacted — static shapes for XLA).
+# f64 on CPU (trajectory-exact vs the scalar port at reduction-order
+# tolerance); f32 on TPU, where the convergence test saturates at the f32
+# reduction noise (~3e-6 relative) above convtol, so pairs may spend their
+# full evaluation budget — the returned optimum agrees with the f64
+# trajectory to ~1e-4 in k (documented in STATUS.md; golden parity stays
+# with the host paths).
+
+
+def _make_nm_dev():
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    def obj(a0, a1, a2, x):
+        k0, k1 = x[:, 0], x[:, 1]
+        s = a0 * k0[:, None] + a1 * k1[:, None] + a2
+        pos = s > 0
+        bad = ((~pos) & (a0 > 0)).any(1)
+        ll = jnp.where(pos, jnp.log(jnp.where(pos, s, 1.0)), 0.0).sum(1)
+        invalid = (k0 < 0) | (k1 < 0) | (k0 + k1 > 1) | bad
+        rv = jnp.where(invalid, jnp.inf, -ll)
+        return jnp.where(jnp.isfinite(rv), rv, 1e30)
+
+    def order(y):
+        b = y.shape[0]
+        take = lambda a, i: jnp.take_along_axis(a, i[:, None], 1)[:, 0]
+        ilo = jnp.zeros(b, jnp.int32)
+        ihi = jnp.where(y[:, 0] > y[:, 1], 0, 1).astype(jnp.int32)
+        inhi = 1 - ihi
+        for i in range(3):
+            yi = y[:, i]
+            ilo = jnp.where(yi <= take(y, ilo), i, ilo)
+            hi = yi > take(y, ihi)
+            inhi = jnp.where(hi, ihi, inhi)
+            ihi = jnp.where(hi, jnp.int32(i), ihi)
+            nhi = (~hi) & (yi > take(y, inhi)) & (i != ihi)
+            inhi = jnp.where(nhi, jnp.int32(i), inhi)
+        return ilo, ihi, inhi
+
+    @functools.partial(jax.jit, static_argnums=(5, 7))
+    def nm(table, g1, g2, k0, k1, max_iter: int, reltol, adjust: bool):
+        s_idx = jnp.arange(table.shape[0])
+        pr = table[s_idx[None, :], g1, g2]  # (B,S,3)
+        a0 = pr[:, :, 0] - pr[:, :, 2]
+        a1 = pr[:, :, 1] - pr[:, :, 2]
+        a2 = pr[:, :, 2]
+        b = pr.shape[0]
+        fdt = table.dtype
+        take2 = lambda a, i: jnp.take_along_axis(
+            a, i[:, None, None], 1)[:, 0]  # (B,3,2)[i] -> (B,2)
+        takey = lambda a, i: jnp.take_along_axis(a, i[:, None], 1)[:, 0]
+        vmask = jnp.arange(3, dtype=jnp.int32)[None, :]
+
+        def setv(p, i, val, upd):
+            """p[:, i] = val where upd (p (B,3,2) or y (B,3))."""
+            m = (vmask == i[:, None]) & upd[:, None]
+            if p.ndim == 3:
+                return jnp.where(m[:, :, None], val[:, None, :], p)
+            return jnp.where(m, val[:, None], p)
+
+        # vertices (genIBD.cpp:745-757)
+        p = jnp.zeros((b, 3, 2), fdt)
+        p = p.at[:, 0, 0].set(k0).at[:, 0, 1].set(k1)
+        f = (1 - k0) / 2
+        p = p.at[:, 1, 0].set(k0)
+        p = p.at[:, 1, 1].set(jnp.where(
+            k1 <= f, k1 + jnp.maximum(k1, f - k1) / 2,
+            k1 - jnp.maximum(k1 - f, 1 - k0 - k1)))
+        p = p.at[:, 2, 1].set(k1)
+        f = (1 - k1) / 2
+        p = p.at[:, 2, 0].set(jnp.where(
+            k0 <= f, k0 + jnp.maximum(k0, f - k0) / 2,
+            k0 - jnp.maximum(k0 - f, 1 - k1 - k0) / 2))
+
+        y = jnp.stack([obj(a0, a1, a2, p[:, i]) for i in range(3)], 1)
+        convtol = jnp.maximum(reltol * (jnp.abs(y[:, 0]) + abs(reltol)),
+                              jnp.finfo(fdt).eps)
+        psum = p.sum(1)
+        nfunk = jnp.full(b, 2, jnp.int32)
+        st = (p, y, psum, nfunk, jnp.ones(b, bool),
+              jnp.zeros((b, 2), fdt), jnp.zeros(b, fdt),
+              jnp.zeros(b, jnp.int32))
+
+        def cond(st):
+            return st[4].any()
+
+        def body(st):
+            p, y, psum, nfunk, active, out_x, out_y, out_n = st
+            ilo, ihi, inhi = order(y)
+            y_ilo, y_ihi, y_inhi = takey(y, ilo), takey(y, ihi), \
+                takey(y, inhi)
+            done = active & ((y_ihi - y_ilo <= convtol)
+                             | (nfunk >= max_iter))
+            out_x = jnp.where(done[:, None], take2(p, ilo), out_x)
+            out_y = jnp.where(done, y_ilo, out_y)
+            out_n = jnp.where(done, nfunk, out_n)
+            active = active & ~done
+            nfunk = nfunk + 2 * active.astype(jnp.int32)
+
+            def try_point(p, y, psum, fac, gate):
+                fac1 = (1.0 - fac) / 2.0
+                fac2 = fac1 - fac
+                p_hi = take2(p, ihi)
+                ptry = psum * fac1 - p_hi * fac2
+                ytry = obj(a0, a1, a2, ptry)
+                upd = gate & (ytry < takey(y, ihi))
+                psum = jnp.where(upd[:, None], psum + ptry - p_hi, psum)
+                p = setv(p, ihi, ptry, upd)
+                y = setv(y, ihi, ytry, upd)
+                return p, y, psum, ytry
+
+            # reflect
+            p, y, psum, ytry = try_point(p, y, psum, -1.0, active)
+            m_exp = active & (ytry <= y_ilo)
+            m_con = active & ~m_exp & (ytry >= y_inhi)
+            # expand
+            p, y, psum, _ = try_point(p, y, psum, 2.0, m_exp)
+            # contract; shrink toward the low point if it fails
+            ysave = takey(y, ihi)
+            p, y, psum, ytry2 = try_point(p, y, psum, 0.5, m_con)
+            m_shr = m_con & (ytry2 >= ysave)
+            i1 = jnp.where(ilo == 0, 1, 0).astype(jnp.int32)
+            i2 = jnp.where(ilo == 2, 1, 2).astype(jnp.int32)
+            p_lo = take2(p, ilo)
+            for iv in (i1, i2):
+                newp = 0.5 * (take2(p, iv) + p_lo)
+                ynew = obj(a0, a1, a2, newp)
+                p = setv(p, iv, newp, m_shr)
+                y = setv(y, iv, ynew, m_shr)
+            nfunk = nfunk + 2 * m_shr.astype(jnp.int32)
+            psum = jnp.where(m_shr[:, None], p.sum(1), psum)
+            nfunk = nfunk - (active & ~m_exp & ~m_con).astype(jnp.int32)
+            return p, y, psum, nfunk, active, out_x, out_y, out_n
+
+        st = jax.lax.while_loop(cond, body, st)
+        out_x, out_y, out_n = st[5], st[6], st[7]
+        out_k0, out_k1, out_ll = out_x[:, 0], out_x[:, 1], -out_y
+        if adjust:
+            for ck0, ck1 in RELATEDNESS_K.values():
+                rv = obj(a0, a1, a2, jnp.broadcast_to(
+                    jnp.asarray([ck0, ck1], fdt), (b, 2)))
+                cll = jnp.where(rv >= 1e30, -jnp.inf, -rv)
+                better = jnp.isfinite(cll) & (out_ll < cll)
+                out_k0 = jnp.where(better, ck0, out_k0)
+                out_k1 = jnp.where(better, ck1, out_k1)
+                out_ll = jnp.where(better, cll, out_ll)
+        return out_k0, out_k1, out_ll, out_n
+
+    return nm
+
+
+_NM_DEV = None
+
+
+def simplex_3state_dev(table, g1, g2, k0, k1, max_iter, reltol, adjust):
+    """Device batched NM over a pair batch (table staged as a jnp array,
+    g1/g2 (B,S) genotype codes). See the module note above for the
+    f64/f32 trajectory contract."""
+    global _NM_DEV
+    if _NM_DEV is None:
+        _NM_DEV = _make_nm_dev()
+    import jax.numpy as jnp
+
+    fdt = table.dtype
+    k0o, k1o, ll, ni = _NM_DEV(table, g1, g2,
+                               jnp.asarray(k0, fdt), jnp.asarray(k1, fdt),
+                               int(max_iter), float(reltol), bool(adjust))
+    return (np.asarray(k0o, np.float64), np.asarray(k1o, np.float64),
+            np.asarray(ll, np.float64), np.asarray(ni))
+
+
 def em_jacquard(pr: np.ndarray, max_iter: int, reltol: float):
     """EM_Jacq_Alg (genIBD.cpp:989-1080) over a batch: pr (B,S,9)."""
     b = pr.shape[0]
@@ -508,7 +855,9 @@ def ibd_mle(data, sample_id=None, snp_id=None, autosome_only=True,
                 Dmats[f"D{k+1}"][j_idx, i_idx] = D[:, k]
             nit[i_idx, j_idx] = ni
             nit[j_idx, i_idx] = ni
-        # diagonal: D1=1 convention? reference leaves diag at initial value 0
+        # diagonal convention (gnrIBD_MLE_Jacquard output loop,
+        # genIBD.cpp:1616-1622): D1 = 1, D2..D8 = 0, niter = 0
+        np.fill_diagonal(Dmats["D1"], 1.0)
         res = IBDMLEResult(ws.sample_id, ws.snp_id, afreq_out, D=Dmats,
                            niter=nit if out_num_iter else None)
         if kinship:
@@ -530,7 +879,7 @@ def ibd_mle(data, sample_id=None, snp_id=None, autosome_only=True,
     k0m = np.zeros((n, n))
     k1m = np.zeros((n, n))
     nit = np.zeros((n, n), np.int32)
-    use_dev = method == "EM" and _use_device_em(batch, table.shape[0])
+    use_dev = _use_device_em(batch, table.shape[0])
     if use_dev:
         import jax.numpy as jnp
         from ..ops.pairwise import _default_float_dtype
@@ -549,27 +898,38 @@ def ibd_mle(data, sample_id=None, snp_id=None, autosome_only=True,
         k2 = np.maximum(k2, INIT_TOL)
         ssum = k0 + k1 + k2
         k0, k1 = k0 / ssum, k1 / ssum
-        if use_dev:
+        if use_dev and method == "EM":
             k0o, k1o, ll, ni = em_3state_dev(table_d, gT_d[i_idx],
                                              gT_d[j_idx], k0, k1,
                                              max_niter, reltol,
                                              coeff_correct)
+        elif use_dev:  # device batched NM (downhill.simplex)
+            k0o, k1o, ll, ni = simplex_3state_dev(table_d, gT_d[i_idx],
+                                                  gT_d[j_idx], k0, k1,
+                                                  max_niter, reltol,
+                                                  coeff_correct)
         elif method == "EM":
             pr = _gather_pr(table, gT[i_idx], gT[j_idx])
             k0o, k1o, ll, ni = em_3state(pr, k0, k1, max_niter, reltol,
                                          coeff_correct)
         else:
             pr = _gather_pr(table, gT[i_idx], gT[j_idx])
-            k0o = np.empty(e - s)
-            k1o = np.empty(e - s)
-            ni = np.empty(e - s, np.int32)
             prn = pr.copy()
             prn[:, :, 0] -= pr[:, :, 2]
             prn[:, :, 1] -= pr[:, :, 2]
-            for b_i in range(e - s):
-                k0o[b_i], k1o[b_i], _ll, ni[b_i] = simplex_3state(
-                    prn[b_i], k0[b_i], k1[b_i], max_niter, reltol,
-                    coeff_correct)
+            import os as _o
+
+            if _o.environ.get("SNPRELATE_TPU_SIMPLEX") == "scalar":
+                k0o = np.empty(e - s)
+                k1o = np.empty(e - s)
+                ni = np.empty(e - s, np.int32)
+                for b_i in range(e - s):
+                    k0o[b_i], k1o[b_i], _ll, ni[b_i] = simplex_3state(
+                        prn[b_i], k0[b_i], k1[b_i], max_niter, reltol,
+                        coeff_correct)
+            else:  # batched-masked NM (VERDICT r1 #3): >=10x the scalar
+                k0o, k1o, _ll, ni = simplex_3state_batch(
+                    prn, k0, k1, max_niter, reltol, coeff_correct)
         k0m[i_idx, j_idx] = k0o
         k0m[j_idx, i_idx] = k0o
         k1m[i_idx, j_idx] = k1o

@@ -45,6 +45,36 @@ class KINGHomoResult:
     k1: np.ndarray
 
 
+def _resolve_family(family_id, sample_id, ws) -> np.ndarray:
+    """family.id -> per-selected-sample integer codes; samples with
+    empty/missing family are singletons (code -1). family_id aligns with
+    the sample_id argument when given, else with the selection
+    (R/IBD.R:349-375)."""
+    n = ws.n_samp
+    fam = np.full(n, -1, np.int64)
+    if family_id is None:
+        return fam
+    family_id = np.asarray(family_id, dtype=object)
+    if sample_id is not None:
+        if len(family_id) != len(np.asarray(sample_id, dtype=object)):
+            raise ValueError(
+                "'length(family.id)' should be the number of samples.")
+        pos = {s: i for i, s in
+               enumerate(np.asarray(sample_id, dtype=object).tolist())}
+        family_id = np.asarray(
+            [family_id[pos[s]] for s in ws.sample_id.tolist()], object)
+    elif len(family_id) != n:
+        raise ValueError(
+            "'length(family.id)' should be the number of samples.")
+    levels: dict = {}
+    for i, f in enumerate(family_id.tolist()):
+        if f is None or (isinstance(f, str) and f == "") or \
+                (isinstance(f, float) and math.isnan(f)):
+            continue
+        fam[i] = levels.setdefault(f, len(levels))
+    return fam
+
+
 def ibd_king(data, sample_id=None, snp_id=None, autosome_only=True,
              remove_monosnp=True, maf=math.nan, missing_rate=0.01,
              type="KING-robust", family_id=None, verbose=False, chunk=None,
@@ -74,28 +104,7 @@ def ibd_king(data, sample_id=None, snp_id=None, autosome_only=True,
     if type != "KING-robust":
         raise ValueError("Invalid 'type'.")
 
-    # family codes: samples with empty/missing family are singletons
-    fam = np.full(n, -1, np.int64)
-    if family_id is not None:
-        family_id = np.asarray(family_id, dtype=object)
-        if sample_id is not None:
-            if len(family_id) != len(np.asarray(sample_id, dtype=object)):
-                raise ValueError(
-                    "'length(family.id)' should be the number of samples.")
-            pos = {s: i for i, s in
-                   enumerate(np.asarray(sample_id, dtype=object).tolist())}
-            family_id = np.asarray(
-                [family_id[pos[s]] for s in ws.sample_id.tolist()], object)
-        elif len(family_id) != n:
-            raise ValueError(
-                "'length(family.id)' should be the number of samples.")
-        levels: dict = {}
-        for i, f in enumerate(family_id.tolist()):
-            if f is None or (isinstance(f, str) and f == "") or \
-                    (isinstance(f, float) and math.isnan(f)):
-                continue
-            fam[i] = levels.setdefault(f, len(levels))
-
+    fam = _resolve_family(family_id, sample_id, ws)
     c = pair_counts(ws, chunk=chunk, verbose=verbose, mesh=mesh)
     nloci = c.nvalid.astype(np.float64)
     with np.errstate(divide="ignore", invalid="ignore"):
@@ -115,18 +124,20 @@ def ibd_king(data, sample_id=None, snp_id=None, autosome_only=True,
 
 def king_ibd_selection(data, kinship_cutoff, sample_id=None, snp_id=None,
                        autosome_only=True, remove_monosnp=True,
-                       maf=math.nan, missing_rate=0.01,
+                       maf=math.nan, missing_rate=0.01, family_id=None,
                        sample_block=None, chunk=None, verbose=False,
                        hit_cap: int = 65536, mesh=None):
     """Streaming KING-robust relatedness screening for cohorts whose n x n
     kinship matrix does not fit anywhere: equivalent to
-    ibd_selection(ibd_king(data, type="KING-robust"), kinship_cutoff) but
-    computed in sample-row strips with device memory O(block x n) and host
-    memory proportional to the number of RELATED pairs only (the typical
-    biobank pipeline: find relatives, never materialize the matrix).
-    Between-family estimator only (family_id semantics need the full
-    matrix path). Returns {ID1, ID2, IBS0, kinship} like snpgdsIBDSelection
-    (R/IBD.R:463).
+    ibd_selection(ibd_king(data, type="KING-robust", family_id=...),
+    kinship_cutoff) but computed in sample-row strips with device memory
+    O(block x n) and host memory proportional to the number of RELATED
+    pairs only (the typical biobank pipeline: find relatives, never
+    materialize the matrix). family_id selects the reference's
+    within-family estimator 0.5 - SumSq/(2(N1+N2)) per same-family pair
+    (genKING.cpp:634-638) — the family-code vector ships to the device and
+    each pair picks its estimator in the strip kernel. Returns
+    {ID1, ID2, IBS0, kinship} like snpgdsIBDSelection (R/IBD.R:463).
 
     hit_cap: per-strip bound for the device-compacted candidate list (the
     hot path ships ~1 MB of hit indices + counters per strip instead of a
@@ -152,17 +163,23 @@ def king_ibd_selection(data, kinship_cutoff, sample_id=None, snp_id=None,
                            remove_monosnp, maf, missing_rate, verbose=verbose)
     sid = np.asarray(ws.sample_id, object)
     n = ws.n_samp
+    fam = _resolve_family(family_id, sample_id, ws)
     ndev, shard_carry, wrap = _mesh_row_tools(mesh)
     sample_block, n_pad, chunk, chunks = _row_tile_setup(
         ws, sample_block, chunk, 128 * ndev, bytes_per_cell=20)
     chunks = wrap(chunks)
+    fam_pad = np.full(n_pad, -1, np.int32)
+    fam_pad[:n] = fam
+    fam_d = jnp.asarray(fam_pad)
 
     def _strip_counters(carry5, row0, cutoff):
         """Basis strips -> exact integer counters + the hit mask. The
-        cutoff test kin >= c  <=>  sum_sq <= (2 - 4c) * mn runs on the
-        integer counters in f32 with a relative slack so rounding can only
-        ADMIT borderline pairs; the exact f64 filter runs on the gathered
-        integers afterwards."""
+        cutoff tests run on the integer counters in f32 with a one-sided
+        relative slack so rounding can only ADMIT borderline pairs; the
+        exact f64 filter runs on the gathered integers afterwards.
+        Between-family pairs: kin >= c  <=>  sum_sq <= (2-4c) * min(N1,N2)
+        (genKING.cpp:637); same-family pairs: kin >= c  <=>
+        sum_sq <= (1-2c) * (N1+N2) (genKING.cpp:635)."""
         vv, hh, dd, hv, vh = carry5
         homo = vv + hh - hv - vh
         ibs0_i = (homo - dd) // 2
@@ -172,11 +189,25 @@ def king_ibd_selection(data, kinship_cutoff, sample_id=None, snp_id=None,
         mn_i = jnp.minimum(hv, vh)
         gi = row0 + jnp.arange(mn_i.shape[0])[:, None]
         tri = gi > jnp.arange(mn_i.shape[1])[None, :]
-        thr = (2.0 - 4.0 * cutoff) * (1.0 + 4e-6)
-        hit = tri & (mn_i > 0) & \
-            (sum_sq_i.astype(jnp.float32) <= thr * mn_i.astype(jnp.float32)
-             + 1.0)
-        return (sum_sq_i, mn_i, ibs0_i, vv), hit
+        # one-sided slack for EVERY cutoff sign: the relative term scales
+        # away from the bound (|thr| keeps it admitting when thr < 0, i.e.
+        # cutoff > 0.5), plus +1.0 absolute for tiny |thr|*mn
+        ss_f = sum_sq_i.astype(jnp.float32)
+        thr = 2.0 - 4.0 * cutoff
+        mn_f = mn_i.astype(jnp.float32)
+        hit_btw = (mn_i > 0) & \
+            (ss_f <= thr * mn_f + 4e-6 * abs(thr) * mn_f + 1.0)
+        fam_rows = lax.dynamic_slice_in_dim(fam_d, row0,
+                                            mn_i.shape[0], axis=0)
+        same = (fam_rows[:, None] == fam_d[None, :]) & \
+            (fam_rows[:, None] >= 0)
+        tot_i = hv + vh
+        thr2 = 1.0 - 2.0 * cutoff
+        tot_f = tot_i.astype(jnp.float32)
+        hit_win = (tot_i > 0) & \
+            (ss_f <= thr2 * tot_f + 4e-6 * abs(thr2) * tot_f + 1.0)
+        hit = tri & jnp.where(same, hit_win, hit_btw)
+        return (sum_sq_i, hv, vh, ibs0_i, vv), hit
 
     # sub-divide the strip so each flattened block stays below 2^30
     # elements: jnp.nonzero flat indices are int32 without x64, and a
@@ -208,7 +239,7 @@ def king_ibd_selection(data, kinship_cutoff, sample_id=None, snp_id=None,
             jjs.append(jj)
             vals.append(tuple(c[ii, jj] for c in counters))
         return (jnp.stack(cnts), jnp.stack(iis), jnp.stack(jjs),
-                tuple(jnp.stack([v[k] for v in vals]) for k in range(4)))
+                tuple(jnp.stack([v[k] for v in vals]) for k in range(5)))
 
     @jax.jit
     def strip_mask(carry5, row0, cutoff):
@@ -242,7 +273,7 @@ def king_ibd_selection(data, kinship_cutoff, sample_id=None, snp_id=None,
             keep_sub = [slice(0, int(c)) for c in cnts]
             ii = np.concatenate([di[b][s] for b, s in enumerate(keep_sub)])
             jj = np.concatenate([dj[b][s] for b, s in enumerate(keep_sub)])
-            ss, mn, ib0, nv = (
+            ss, hv_, vh_, ib0, nv = (
                 np.concatenate([v[b][s] for b, s in enumerate(keep_sub)])
                 for v in dvals)
         else:  # dense fallback (more candidates than the compact bound)
@@ -258,15 +289,20 @@ def king_ibd_selection(data, kinship_cutoff, sample_id=None, snp_id=None,
             pj = np.zeros(m, np.int32)
             pi[: len(ii)] = ii
             pj[: len(jj)] = jj
-            ss, mn, ib0, nv = (np.asarray(c, np.float64)[: len(ii)]
-                               for c in gather_hits(
-                                   counters,
-                                   (jnp.asarray(pi), jnp.asarray(pj))))
+            ss, hv_, vh_, ib0, nv = (np.asarray(c, np.float64)[: len(ii)]
+                                     for c in gather_hits(
+                                         counters,
+                                         (jnp.asarray(pi), jnp.asarray(pj))))
         if verbose:
             print(f"KING screening rows {r0 + nr}/{n}: "
                   f"{len(ii)} candidate pairs")
-        kin = 0.5 - ss / (4.0 * mn)  # exact f64 from integer counters
-        keep = kin >= kinship_cutoff
+        # exact f64 from integer counters; same-family pairs use the
+        # within-family estimator (genKING.cpp:634-638)
+        same = (fam[ii + r0] == fam[jj]) & (fam[jj] >= 0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            kin = np.where(same, 0.5 - ss / (2.0 * (hv_ + vh_)),
+                           0.5 - ss / (4.0 * np.minimum(hv_, vh_)))
+        keep = np.nan_to_num(kin, nan=-np.inf) >= kinship_cutoff
         with np.errstate(divide="ignore", invalid="ignore"):
             ibs0f = np.where(nv > 0, ib0 / nv, np.nan)
         id1.append(sid[jj[keep]])

@@ -72,16 +72,22 @@ def pair_score(data, sample1_id, sample2_id, snp_id=None, method="IBS",
     score = table[s1, s2]  # (S, P) with NaN for missing
 
     out = {"sample.id": ws.sample_id, "snp.id": ws.snp_id} if with_id else {}
+    import warnings as _warnings
     if type == "per.pair":
         num = np.isfinite(score).sum(0)
-        avg = np.nanmean(np.where(np.isfinite(score), score, np.nan), axis=0)
-        sd = np.nanstd(score, axis=0, ddof=1)
+        with _warnings.catch_warnings():
+            # all-NaN slices / ddof<=0 legitimately yield NaN Avg/SD
+            _warnings.simplefilter("ignore", RuntimeWarning)
+            avg = np.nanmean(score, axis=0)
+            sd = np.nanstd(score, axis=0, ddof=1)
         out["score"] = {"Avg": avg, "SD": sd, "Num": num,
                         "Sample1": sample1_id, "Sample2": sample2_id}
     elif type == "per.snp":
         num = np.isfinite(score).sum(1)
-        avg = np.nanmean(score, axis=1)
-        sd = np.nanstd(score, axis=1, ddof=1)
+        with _warnings.catch_warnings():
+            _warnings.simplefilter("ignore", RuntimeWarning)
+            avg = np.nanmean(score, axis=1)
+            sd = np.nanstd(score, axis=1, ddof=1)
         out["score"] = np.stack([avg, sd, num.astype(float)])
     elif type == "matrix":
         out["score"] = score.T  # (P, S), NaN for missing

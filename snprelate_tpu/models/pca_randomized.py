@@ -305,6 +305,16 @@ def randomized_pca(ws, eigen_cnt=16, aux_dim=None, iter_num=10, seed=None,
     fdt = _default_float_dtype()
     n_pad = -(-n // 128) * 128
 
+    # the span basis cannot have more vectors than (padded) SNPs: QR on the
+    # (m_pad x hsize) H block would return min(m_pad, hsize) columns and
+    # fail the downstream reshape with an opaque shape error
+    if hsize > -(-m // chunk) * chunk:
+        raise ValueError(
+            f"aux_dim*(iter_num+1) = {hsize} exceeds the padded SNP count "
+            f"{-(-m // chunk) * chunk}; reduce aux_dim/iter_num or use "
+            "algorithm='exact' (the subspace cannot be wider than the "
+            "SNP dimension)")
+
     if mesh is not None:
         return _randomized_pca_sharded(ws, eigen_cnt, aux_dim, iter_num,
                                        seed, chunk, n_pad, mesh)

@@ -708,6 +708,17 @@ def effective_sample_block(ws, sample_block, pad_to: int,
     return -(-sample_block // pad_to) * pad_to
 
 
+def resolve_row_chunk(ws, sample_block: int, chunk) -> int:
+    """The SNP chunk a row-tiled engine will actually use for an
+    already-effective sample_block. Float row-engine checkpoint metas must
+    record this (the summation order depends on it, so a resume under a
+    different chunk must invalidate the tiles)."""
+    if chunk is not None:
+        return int(chunk)
+    n_pad = -(-ws.n_samp // sample_block) * sample_block
+    return auto_chunk(max(n_pad, sample_block), ws.n_snp)
+
+
 def _row_tile_setup(ws, sample_block, chunk, pad_to: int,
                     bytes_per_cell: int):
     """Shared preamble of the row-tiled engines: effective_sample_block,
@@ -716,8 +727,7 @@ def _row_tile_setup(ws, sample_block, chunk, pad_to: int,
     sample_block = effective_sample_block(ws, sample_block, pad_to,
                                           bytes_per_cell)
     n_pad = -(-ws.n_samp // sample_block) * sample_block
-    if chunk is None:
-        chunk = auto_chunk(max(n_pad, sample_block), ws.n_snp)
+    chunk = resolve_row_chunk(ws, sample_block, chunk)
     return sample_block, n_pad, chunk, _stage_or_stream(ws, chunk, n_pad)
 
 

@@ -188,6 +188,65 @@ def test_king_streaming_selection(big_data):
     assert key(mixed) == key(ref)
 
 
+def test_king_streaming_selection_family(big_data):
+    """family_id on the streaming screen: per-pair within/between
+    estimator selection in the strip kernel == full-matrix
+    ibd_king(family_id=) + ibd_selection (VERDICT r1 #6). Relatives are
+    planted both inside and across families so BOTH estimators fire at
+    the cutoff (random iid pairs never pass it)."""
+    import snprelate_tpu as sr
+    from snprelate_tpu.io.store import create_geno
+
+    _data, g0 = big_data
+    g = g0.copy()
+    n_snp, n = g.shape
+    rng = np.random.default_rng(1)
+
+    def noisy_copy(src, dst, frac=0.2):
+        m = rng.random(n_snp) < frac
+        g[m, dst] = rng.choice([0, 1, 2], size=int(m.sum()))
+        g[~m, dst] = g[~m, src]
+
+    # families of 8 with singletons sprinkled in (empty string = none)
+    fam = [f"F{i // 8}" if i % 5 else "" for i in range(n)]
+    noisy_copy(16, 17)    # within family F2
+    noisy_copy(700, 701)  # within family F87 (both cross a 512 strip? no —
+                          # same strip; the pair below crosses strips)
+    noisy_copy(24, 1500)  # across families F3 / F187
+    noisy_copy(40, 45)    # 40 in F5, 45 is a singleton (i%5==0)
+    data = create_geno(
+        g, sample_id=[f"s{i}" for i in range(n)], snp_id=np.arange(n_snp),
+        snp_position=np.arange(n_snp) * 50,
+        snp_chromosome=np.ones(n_snp, np.int32))
+
+    kw = dict(autosome_only=False, remove_monosnp=False,
+              missing_rate=np.nan)
+    full = sr.ibd_king(data, type="KING-robust", family_id=fam, **kw)
+    ref = sr.ibd_selection(full, kinship_cutoff=0.05)
+    pairs = set(zip(ref["ID1"].tolist(), ref["ID2"].tolist()))
+    assert {("s16", "s17"), ("s700", "s701"), ("s24", "s1500"),
+            ("s40", "s45")} <= pairs
+    # the within-family estimator actually differs from between here
+    nofam = sr.ibd_selection(sr.ibd_king(data, type="KING-robust", **kw),
+                             kinship_cutoff=0.05)
+    m_f = dict(zip(zip(ref["ID1"].tolist(), ref["ID2"].tolist()),
+                   ref["kinship"].tolist()))
+    m_0 = dict(zip(zip(nofam["ID1"].tolist(), nofam["ID2"].tolist()),
+                   nofam["kinship"].tolist()))
+    assert m_f[("s16", "s17")] != m_0[("s16", "s17")]
+    assert m_f[("s24", "s1500")] == m_0[("s24", "s1500")]
+
+    def key(d):
+        return sorted(zip(d["ID1"].tolist(), d["ID2"].tolist(),
+                          np.round(d["kinship"], 12).tolist()))
+
+    for cap in (65536, 0):
+        stream = sr.king_ibd_selection(data, kinship_cutoff=0.05,
+                                       family_id=fam, sample_block=512,
+                                       hit_cap=cap, **kw)
+        assert key(stream) == key(ref), f"hit_cap={cap}"
+
+
 def test_pair_counts_row_tiled(big_data):
     from snprelate_tpu.ops.pairwise import pair_counts
 

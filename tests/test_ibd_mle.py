@@ -135,6 +135,65 @@ def test_loglik_consistency(hapmap):
     assert (ll_est[iu] >= ll_unrel[iu] - 1e-6).all()
 
 
+def test_simplex_batch_equals_scalar(hapmap):
+    """The batched-masked NM (simplex_3state_batch) must reproduce the
+    scalar literal-port trajectory per pair: same k estimates, loglik and
+    evaluation counts (the only arithmetic difference is the reduction
+    order inside the log-likelihood sum)."""
+    from snprelate_tpu.models.ibd_mle import (_gather_pr, mle_allele_freq,
+                                              pr_ibd_table, simplex_3state,
+                                              simplex_3state_batch)
+    from snprelate_tpu.workspace import init_workspace
+
+    ws, _ = init_workspace(hapmap, sample_id=hapmap.sample_id[:14],
+                           snp_id=hapmap.snp_id[:800])
+    geno = ws.geno()
+    af = mle_allele_freq(geno, None)
+    table = pr_ibd_table(af)
+    gT = np.where(geno < 3, geno, 3).T.astype(np.intp)
+    n = ws.n_samp
+    iu = np.triu_indices(n, 1)
+    rng = np.random.default_rng(11)
+    k0 = rng.uniform(0.1, 0.8, len(iu[0]))
+    k1 = rng.uniform(0.05, np.minimum(0.9, 1 - k0) - 0.02, len(iu[0]))
+    reltol = math.sqrt(np.finfo(float).eps)
+
+    pr = _gather_pr(table, gT[iu[0]], gT[iu[1]])
+    prn = pr.copy()
+    prn[:, :, 0] -= pr[:, :, 2]
+    prn[:, :, 1] -= pr[:, :, 2]
+    for adjust in (False, True):
+        bk0, bk1, bll, bni = simplex_3state_batch(prn, k0, k1, 1000,
+                                                  reltol, adjust)
+        for b in range(len(iu[0])):
+            sk0, sk1, sll, sni = simplex_3state(prn[b], k0[b], k1[b],
+                                                1000, reltol, adjust)
+            np.testing.assert_allclose(bk0[b], sk0, rtol=1e-7, atol=1e-9)
+            np.testing.assert_allclose(bk1[b], sk1, rtol=1e-7, atol=1e-9)
+            np.testing.assert_allclose(bll[b], sll, rtol=1e-9)
+            assert bni[b] == sni, (b, bni[b], sni)
+
+
+def test_ibd_mle_simplex_env_paths_agree(hapmap):
+    """ibd_mle(method='downhill.simplex') default (batched) equals the
+    SNPRELATE_TPU_SIMPLEX=scalar per-pair path."""
+    import os
+
+    from snprelate_tpu.models.ibd_mle import ibd_mle
+
+    kw = dict(sample_id=hapmap.sample_id[:8], snp_id=hapmap.snp_id[:600],
+              method="downhill.simplex")
+    res_b = ibd_mle(hapmap, **kw)
+    os.environ["SNPRELATE_TPU_SIMPLEX"] = "scalar"
+    try:
+        res_s = ibd_mle(hapmap, **kw)
+    finally:
+        del os.environ["SNPRELATE_TPU_SIMPLEX"]
+    np.testing.assert_allclose(res_b.k0, res_s.k0, rtol=1e-7, atol=1e-9)
+    np.testing.assert_allclose(res_b.k1, res_s.k1, rtol=1e-7, atol=1e-9)
+    np.testing.assert_array_equal(res_b.niter, res_s.niter)
+
+
 def test_device_em_equals_numpy():
     """The jax while_loop EM (device path, f64 on CPU) must match the
     compacted numpy EM: same fixed point, revert-on-converge, niter and
@@ -174,3 +233,46 @@ def test_device_em_equals_numpy():
     np.testing.assert_allclose(devD, refD, rtol=1e-8, atol=1e-10)
     np.testing.assert_allclose(devll, refll, rtol=1e-8)
     np.testing.assert_array_equal(devni, refni)
+
+
+def test_device_nm_equals_batch():
+    """The jax masked NM (simplex_3state_dev, f64 on CPU) must find the
+    same optimum as the numpy batched trajectory. XLA's reduction order
+    differs from numpy's pairwise sum, so near-tie NM branches can flip:
+    most pairs must match the trajectory exactly (same niter), and every
+    pair must agree on the converged log-likelihood (the NM convergence
+    contract) with k inside the simplex-collapse resolution."""
+    import jax.numpy as jnp
+
+    from snprelate_tpu.models.ibd_mle import (pr_ibd_table, _gather_pr,
+                                              simplex_3state_batch,
+                                              simplex_3state_dev)
+
+    rng = np.random.default_rng(7)
+    B, S = 48, 400
+    af = rng.uniform(0.05, 0.95, S)
+    g1 = rng.integers(0, 4, (B, S)).astype(np.uint8)
+    g2 = rng.integers(0, 4, (B, S)).astype(np.uint8)
+    k0 = rng.uniform(0.1, 0.8, B)
+    k1 = rng.uniform(0.05, np.minimum(0.9, 1 - k0) - 0.02, B)
+    reltol = float(np.sqrt(np.finfo(np.float64).eps))
+
+    table = pr_ibd_table(af)
+    pr = _gather_pr(table, g1.astype(np.intp), g2.astype(np.intp))
+    prn = pr.copy()
+    prn[:, :, 0] -= pr[:, :, 2]
+    prn[:, :, 1] -= pr[:, :, 2]
+    for adjust in (False, True):
+        ref = simplex_3state_batch(prn, k0, k1, 1000, reltol, adjust)
+        dev = simplex_3state_dev(jnp.asarray(table), jnp.asarray(g1),
+                                 jnp.asarray(g2), k0, k1, 1000, reltol,
+                                 adjust)
+        # converged objective: tight agreement for every pair
+        np.testing.assert_allclose(dev[2], ref[2], rtol=1e-8)
+        # k estimates: within the NM convergence resolution
+        np.testing.assert_allclose(dev[0], ref[0], atol=1e-3)
+        np.testing.assert_allclose(dev[1], ref[1], atol=1e-3)
+        # trajectory-exact for the vast majority (reduction-order ties
+        # are rare)
+        exact = (np.abs(dev[0] - ref[0]) < 1e-9) & (dev[3] == ref[3])
+        assert exact.mean() >= 0.75, exact.mean()
