@@ -486,6 +486,73 @@ def gen_to_snpdata(gen_fn, sample_fn=None, chr_code="1", call_threshold=0.9,
     return _maybe_write_gds(sd, out_fn, snpfirstdim)
 
 
+def gen_prob_to_snpdata(gprobs_fn, markers_fn=None, chr_code="1",
+                        call_threshold=0.9, verbose=False, out_fn=None,
+                        snpfirstdim=False) -> SNPData:
+    """BEAGLE genotype-probability importer (the reference ships a
+    genotype-probability parser at ConvToGDS.cpp:1379 `gnrParseGProbs`
+    under a 'bgl.gprobs (BEAGLE) ==> SNP Prob GDS' heading,
+    R/Conversion2.R:16, though no exported R function reaches it).
+
+    BEAGLE 3 .gprobs layout: a header line
+    ``marker alleleA alleleB I1 I1 I1 I2 I2 I2 ...`` then one line per
+    marker with P(AA), P(AB), P(BB) triplets per sample (A = alleleA).
+    Genotype = best-guess dosage of alleleA, missing when the max
+    probability is below call_threshold (the GEN-importer convention,
+    R/Conversion.R:894-900). markers_fn: optional BEAGLE .markers file
+    (``marker position alleleA alleleB``) supplying positions."""
+    pos_map = {}
+    if markers_fn is not None:
+        with _open(markers_fn) as f:
+            for line in f:
+                p = line.split()
+                if len(p) >= 2:
+                    pos_map[p[0]] = int(float(p[1]))
+    rows = []
+    genos = []
+    sample_id = None
+    with _open(gprobs_fn) as f:
+        header = f.readline().split()
+        if len(header) < 3 or header[0].lower() != "marker":
+            raise ValueError(
+                f"'{gprobs_fn}' does not look like a BEAGLE gprobs file "
+                "(expected a 'marker alleleA alleleB ...' header)")
+        ids = header[3:]
+        if len(ids) % 3 != 0:
+            raise ValueError("gprobs header: sample columns not in "
+                             "triplets")
+        sample_id = ids[0::3]
+        for line in f:
+            p = line.split()
+            if not p:
+                continue
+            rsid, a, b = p[0], p[1], p[2]
+            probs = np.asarray(p[3:], np.float64).reshape(-1, 3)
+            if probs.shape[0] != len(sample_id):
+                raise ValueError(f"marker {rsid}: expected "
+                                 f"{len(sample_id)} probability triplets")
+            best = probs.argmax(1)
+            g = np.where(probs.max(1) >= call_threshold,
+                         2 - best, 3).astype(np.uint8)
+            rows.append((rsid, pos_map.get(rsid, 0), a, b))
+            genos.append(g)
+    n_snp = len(rows)
+    n_samp = len(sample_id)
+    if verbose:
+        print(f"BEAGLE gprobs: {n_samp} samples, {n_snp} markers")
+    sd = SNPData(
+        sample_id=np.asarray(sample_id, object),
+        snp_id=np.arange(1, n_snp + 1),
+        genotype_packed=pack2bit(np.stack(genos)) if genos else
+        np.zeros((0, 0), np.uint8),
+        n_samp=n_samp,
+        snp_position=np.asarray([r[1] for r in rows]),
+        snp_chromosome=np.asarray([_int0(chr_code)] * n_snp, np.int32),
+        snp_allele=np.asarray([f"{r[2]}/{r[3]}" for r in rows], object),
+        snp_rs_id=np.asarray([r[0] for r in rows], object))
+    return _maybe_write_gds(sd, out_fn, snpfirstdim)
+
+
 # ---------------------------------------------------------------------------
 # EIGENSTRAT
 

@@ -43,7 +43,7 @@ class EigMixSNPLoadingResult:
 
 
 def pca_corr(pcaobj, data, snp_id=None, eig_which=None, verbose=False,
-             chunk=4096, outgds=None) -> PCACorrResult:
+             chunk=None, outgds=None, mesh=None) -> PCACorrResult:
     """snpgdsPCACorr (R/PCA.R:100): correlation between eigenvectors and
     genotypes over ALL selected SNPs (no freq/chromosome filtering —
     uses .InitFile, not .InitFile2). With outgds=path, writes the
@@ -59,7 +59,7 @@ def pca_corr(pcaobj, data, snp_id=None, eig_which=None, verbose=False,
         e = eigenvect
     else:
         e = eigenvect[:, np.asarray(eig_which) - 1]  # 1-based like R
-    corr = snp_pc_corr(ws, np.asarray(e), chunk=chunk)
+    corr = snp_pc_corr(ws, np.asarray(e), chunk=chunk, mesh=mesh)
     if outgds is not None:
         _write_corr_gds(outgds, sampid, ws.snp_id, corr)
     return PCACorrResult(sampid, ws.snp_id, corr)
@@ -100,7 +100,7 @@ def _write_corr_gds(path, sample_id, snp_id, corr):
     w.write(path, entry_id=root_id)
 
 
-def pca_snp_loading(pcaobj, data, verbose=False, chunk=4096):
+def pca_snp_loading(pcaobj, data, verbose=False, chunk=None, mesh=None):
     """snpgdsPCASNPLoading (R/PCA.R:185)."""
     ws, _ = init_workspace(data, sample_id=pcaobj.sample_id,
                            snp_id=pcaobj.snp_id, autosome_only=False,
@@ -114,7 +114,7 @@ def pca_snp_loading(pcaobj, data, verbose=False, chunk=4096):
         eig_scaled = pcaobj.eigenvect * col_scale[None, :]
         load, avgfreq, scale = snp_loadings(ws, eig_scaled,
                                             bayesian=pcaobj.Bayesian,
-                                            chunk=chunk)
+                                            chunk=chunk, mesh=mesh)
         return PCASNPLoadingResult(pcaobj.sample_id, pcaobj.snp_id,
                                    pcaobj.eigenval, load, pcaobj.TraceXTX,
                                    pcaobj.Bayesian, avgfreq, scale)
@@ -125,14 +125,14 @@ def pca_snp_loading(pcaobj, data, verbose=False, chunk=4096):
         from ..ops.loadings import eigmix_snp_loadings
         k = pcaobj.eigenvect.shape[1]
         load = eigmix_snp_loadings(ws, pcaobj.eigenvect, pcaobj.afreq,
-                                   chunk=chunk)
+                                   chunk=chunk, mesh=mesh)
         return EigMixSNPLoadingResult(pcaobj.sample_id, pcaobj.snp_id,
                                       pcaobj.eigenval, load, pcaobj.afreq)
     raise TypeError("pcaobj should be a PCAResult or EigMixResult")
 
 
 def pca_samp_loading(loadobj, data, sample_id=None, verbose=False,
-                     chunk=4096):
+                     chunk=None, mesh=None):
     """snpgdsPCASampLoading (R/PCA.R:243): project (new) samples onto the
     SNP loadings."""
     ws, _ = init_workspace(data, sample_id=sample_id, snp_id=loadobj.snp_id,
@@ -143,7 +143,7 @@ def pca_samp_loading(loadobj, data, sample_id=None, verbose=False,
         sqrt_eigval = np.sqrt(ss / loadobj.eigenval[:eigcnt])
         sload = loadobj.snploading * sqrt_eigval[:, None]
         mm = samp_loadings(ws, sload, loadobj.avgfreq, loadobj.scale,
-                           chunk=chunk)
+                           chunk=chunk, mesh=mesh)
         n_new = ws.n_samp
         return PCAResult(ws.sample_id, loadobj.snp_id,
                          np.full(n_new, np.nan), mm, np.full(n_new, np.nan),
@@ -152,7 +152,8 @@ def pca_samp_loading(loadobj, data, sample_id=None, verbose=False,
         from ..ops.loadings import eigmix_samp_loadings
         sqrt_eigval = np.sqrt(1.0 / loadobj.eigenval[:eigcnt])
         sload = loadobj.snploading * sqrt_eigval[:, None]
-        mm = eigmix_samp_loadings(ws, sload, loadobj.afreq, chunk=chunk)
+        mm = eigmix_samp_loadings(ws, sload, loadobj.afreq, chunk=chunk,
+                                  mesh=mesh)
         return EigMixResult(ws.sample_id, loadobj.snp_id,
                             np.full(ws.n_samp, np.nan), mm, loadobj.afreq,
                             None, False)

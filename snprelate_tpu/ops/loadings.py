@@ -16,7 +16,59 @@ import numpy as np
 
 from .decode import decode2bit
 from .pairwise import (norm_precision, _default_float_dtype, _stream,
-                       chunk_snp_stats)
+                       auto_chunk, chunk_snp_stats)
+
+
+def _mesh_tools(mesh):
+    """(ndev, batch sharding, replicated sharding) for the loadings
+    family: per-SNP kernels are data-parallel over the SNP-chunk axis, so
+    a batch of ndev chunks shards its leading axis over EVERY mesh device
+    (both mesh axes flattened — the num.thread analog of the reference's
+    threaded loadings machinery, genPCA.cpp:809-1123)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    ndev = 1
+    for v in mesh.shape.values():
+        ndev *= int(v)
+    ax = tuple(mesh.axis_names)
+    return ndev, NamedSharding(mesh, P(ax)), NamedSharding(mesh, P())
+
+
+def _resolve_chunk(ws, chunk, n_pad):
+    """HBM-tuned SNP chunk (the reference sizes loadings blocks with the
+    same cache policy as the pairwise kernels, genPCA.cpp:947-951)."""
+    return auto_chunk(n_pad, ws.n_snp) if chunk is None else int(chunk)
+
+
+def _per_snp_run(ws, chunk, n_pad, mesh, step_one, consts, n_out):
+    """Drive a per-SNP chunk kernel over the selection; yields host
+    numpy per-output lists truncated to n_snp rows.
+
+    step_one(packed, *consts) -> tuple of n_out arrays with leading dim
+    ``chunk``. With mesh, ndev chunks run per dispatch, the batch axis
+    sharded over every device (results bitwise identical to the
+    single-device loop: the same kernel runs per chunk either way)."""
+    results = [[] for _ in range(n_out)]
+    if mesh is None:
+        for packed in _stream(ws, chunk, n_pad):
+            res = step_one(packed, *consts)
+            res = res if isinstance(res, tuple) else (res,)
+            for i in range(n_out):
+                results[i].append(np.asarray(res[i]))
+    else:
+        from ..parallel.mesh import _batched_chunks
+
+        ndev, b_sh, rep = _mesh_tools(mesh)
+        consts_d = tuple(jax.device_put(c, rep) for c in consts)
+        batched = jax.jit(jax.vmap(
+            step_one, in_axes=(0,) + (None,) * len(consts)))
+        for pb in _batched_chunks(ws, chunk, n_pad, ndev):
+            res = batched(jax.device_put(pb, b_sh), *consts_d)
+            res = res if isinstance(res, tuple) else (res,)
+            for i in range(n_out):
+                a = np.asarray(res[i])
+                results[i].append(a.reshape((-1,) + a.shape[2:]))
+    return [np.concatenate(r)[: ws.n_snp] for r in results]
 
 
 @jax.jit
@@ -46,20 +98,17 @@ def _corr_step(packed, eig):
     return corr  # (S, K)
 
 
-def snp_pc_corr(ws, eigenvect: np.ndarray, chunk: int = 4096) -> np.ndarray:
-    """(K, n_snp) correlations, NaN where undefined."""
+def snp_pc_corr(ws, eigenvect: np.ndarray, chunk=None,
+                mesh=None) -> np.ndarray:
+    """(K, n_snp) correlations, NaN where undefined. mesh= runs ndev
+    chunks per dispatch, batch axis sharded over every mesh device."""
     fdt = _default_float_dtype()
     n_pad = -(-ws.n_samp // 128) * 128
+    chunk = _resolve_chunk(ws, chunk, n_pad)
     e = np.zeros((n_pad, eigenvect.shape[1]), np.float64)
     e[: ws.n_samp] = eigenvect
     e = jnp.asarray(e, fdt)
-    out = np.empty((ws.n_snp, eigenvect.shape[1]))
-    start = 0
-    for packed in _stream(ws, chunk, n_pad):
-        c = np.asarray(_corr_step(packed, e))
-        take = min(chunk, ws.n_snp - start)
-        out[start : start + take] = c[:take]
-        start += take
+    (out,) = _per_snp_run(ws, chunk, n_pad, mesh, _corr_step, (e,), 1)
     return out.T
 
 
@@ -85,30 +134,21 @@ def _snp_loading_step(packed, eig_scaled, bayesian: bool):
 
 
 def snp_loadings(ws, eig_scaled: np.ndarray, bayesian: bool = False,
-                 chunk: int = 4096):
+                 chunk=None, mesh=None):
     """Returns (snploading (K, n_snp), avgfreq, scale)."""
     fdt = _default_float_dtype()
     n_pad = -(-ws.n_samp // 128) * 128
+    chunk = _resolve_chunk(ws, chunk, n_pad)
     e = np.zeros((n_pad, eig_scaled.shape[1]), np.float64)
     e[: ws.n_samp] = eig_scaled
     e = jnp.asarray(e, fdt)
-    k = eig_scaled.shape[1]
-    load = np.empty((ws.n_snp, k))
-    avgfreq = np.empty(ws.n_snp)
-    scale = np.empty(ws.n_snp)
-    start = 0
-    for packed in _stream(ws, chunk, n_pad):
-        lo, av, sc = _snp_loading_step(packed, e, bayesian)
-        take = min(chunk, ws.n_snp - start)
-        load[start : start + take] = np.asarray(lo)[:take]
-        avgfreq[start : start + take] = np.asarray(av)[:take]
-        scale[start : start + take] = np.asarray(sc)[:take]
-        start += take
+    load, avgfreq, scale = _per_snp_run(
+        ws, chunk, n_pad, mesh,
+        lambda pk, ee: _snp_loading_step(pk, ee, bayesian), (e,), 3)
     return load.T, avgfreq, scale
 
 
-@functools.partial(jax.jit, donate_argnums=0)
-def _samp_loading_step(carry, packed, sload, avgfreq, scale):
+def _samp_loading_body(carry, packed, sload, avgfreq, scale):
     """Project new samples onto scaled SNP loadings
     (CPCA_SampleLoad::thread_loading, genPCA.cpp:1060-1080).
     sload: (S, K); avgfreq/scale: (S,)."""
@@ -121,27 +161,70 @@ def _samp_loading_step(carry, packed, sload, avgfreq, scale):
                       precision=norm_precision())
 
 
-def samp_loadings(ws, sload_scaled: np.ndarray, avgfreq: np.ndarray,
-                  scale: np.ndarray, chunk: int = 4096) -> np.ndarray:
-    """(n_samp, K) projected eigenvectors. sload_scaled: (K, n_snp)."""
-    fdt = _default_float_dtype()
-    n_pad = -(-ws.n_samp // 128) * 128
-    k = sload_scaled.shape[0]
-    carry = jnp.zeros((n_pad, k), fdt)
-    start = 0
-    for packed in _stream(ws, chunk, n_pad):
-        s = slice(start, start + chunk)
-        sl = np.zeros((chunk, k))
-        af = np.zeros(chunk)
-        sc = np.zeros(chunk)
-        take = min(chunk, ws.n_snp - start)
+_samp_loading_step = functools.partial(jax.jit, donate_argnums=0)(
+    _samp_loading_body)
+
+
+def _chunk_slices(vals, chunk, start, k):
+    """Zero-padded per-chunk host slices of (sload.T, avgfreq, scale);
+    all-zero past the end of the selection (padding chunks contribute
+    nothing to the projection)."""
+    sload_scaled, avgfreq, scale = vals
+    n_snp = len(avgfreq)
+    sl = np.zeros((chunk, k))
+    af = np.zeros(chunk)
+    sc = np.zeros(chunk)
+    take = max(0, min(chunk, n_snp - start))
+    if take:
+        s = slice(start, start + take)
         sl[:take] = sload_scaled.T[s]
         af[:take] = avgfreq[s]
         sc[:take] = scale[s]
-        carry = _samp_loading_step(carry, packed, jnp.asarray(sl, fdt),
-                                   jnp.asarray(af, fdt), jnp.asarray(sc, fdt))
-        start += chunk
-    return np.asarray(carry)[: ws.n_samp].astype(np.float64)
+    return sl, af, sc
+
+
+def samp_loadings(ws, sload_scaled: np.ndarray, avgfreq: np.ndarray,
+                  scale: np.ndarray, chunk=None, mesh=None) -> np.ndarray:
+    """(n_samp, K) projected eigenvectors. sload_scaled: (K, n_snp).
+    mesh= accumulates ndev chunk partials per dispatch (batch axis over
+    every device), merged with one final all-reduce."""
+    fdt = _default_float_dtype()
+    n_pad = -(-ws.n_samp // 128) * 128
+    chunk = _resolve_chunk(ws, chunk, n_pad)
+    k = sload_scaled.shape[0]
+    vals = (sload_scaled, avgfreq, scale)
+    if mesh is None:
+        carry = jnp.zeros((n_pad, k), fdt)
+        start = 0
+        for packed in _stream(ws, chunk, n_pad):
+            sl, af, sc = _chunk_slices(vals, chunk, start, k)
+            carry = _samp_loading_step(carry, packed, jnp.asarray(sl, fdt),
+                                       jnp.asarray(af, fdt),
+                                       jnp.asarray(sc, fdt))
+            start += chunk
+        return np.asarray(carry)[: ws.n_samp].astype(np.float64)
+
+    from ..parallel.mesh import _batched_chunks, _reduce_replicated
+
+    ndev, b_sh, _rep = _mesh_tools(mesh)
+    step_b = jax.jit(jax.vmap(_samp_loading_body), donate_argnums=0)
+    carry = jax.device_put(jnp.zeros((ndev, n_pad, k), fdt), b_sh)
+    npdt = np.dtype(np.float64 if fdt == jnp.float64 else np.float32)
+    start = 0
+    for pb in _batched_chunks(ws, chunk, n_pad, ndev):
+        sls, afs, scs = [], [], []
+        for _ in range(ndev):
+            sl, af, sc = _chunk_slices(vals, chunk, start, k)
+            sls.append(sl)
+            afs.append(af)
+            scs.append(sc)
+            start += chunk
+        carry = step_b(carry, jax.device_put(pb, b_sh),
+                       jax.device_put(np.asarray(sls, npdt), b_sh),
+                       jax.device_put(np.asarray(afs, npdt), b_sh),
+                       jax.device_put(np.asarray(scs, npdt), b_sh))
+    total = _reduce_replicated(carry, mesh)
+    return np.asarray(total)[: ws.n_samp].astype(np.float64)
 
 
 @jax.jit
@@ -158,32 +241,63 @@ def _snp_loading_provided_step(packed, eig, avg2p, scale):
 
 
 def eigmix_snp_loadings(ws, eigenvect: np.ndarray, afreq: np.ndarray,
-                        chunk: int = 4096) -> np.ndarray:
+                        chunk=None, mesh=None) -> np.ndarray:
     """(K, n_snp) EIGMIX SNP loadings: centered by 2p, uniform scale
     1/sqrt(sum 4p(1-p)) (genEIGMIX.cpp:502-509)."""
     fdt = _default_float_dtype()
     n_pad = -(-ws.n_samp // 128) * 128
+    chunk = _resolve_chunk(ws, chunk, n_pad)
     e = np.zeros((n_pad, eigenvect.shape[1]), np.float64)
     e[: ws.n_samp] = eigenvect
     e = jnp.asarray(e, fdt)
     afscale = 1.0 / np.sqrt(np.sum(4.0 * afreq * (1.0 - afreq)))
+    if mesh is None:
+        out = np.empty((ws.n_snp, eigenvect.shape[1]))
+        start = 0
+        for packed in _stream(ws, chunk, n_pad):
+            take = min(chunk, ws.n_snp - start)
+            a2p = np.zeros(chunk)
+            a2p[:take] = 2.0 * afreq[start : start + take]
+            sc = np.full(chunk, afscale)
+            lo = _snp_loading_provided_step(packed, e, jnp.asarray(a2p, fdt),
+                                            jnp.asarray(sc, fdt))
+            out[start : start + take] = np.asarray(lo)[:take]
+            start += chunk
+        return out.T
+
+    from ..parallel.mesh import _batched_chunks
+
+    ndev, b_sh, rep = _mesh_tools(mesh)
+    e_d = jax.device_put(e, rep)
+    batched = jax.jit(jax.vmap(_snp_loading_provided_step,
+                               in_axes=(0, None, 0, 0)))
+    npdt = np.dtype(np.float64 if fdt == jnp.float64 else np.float32)
     out = np.empty((ws.n_snp, eigenvect.shape[1]))
     start = 0
-    for packed in _stream(ws, chunk, n_pad):
-        take = min(chunk, ws.n_snp - start)
-        a2p = np.zeros(chunk)
-        a2p[:take] = 2.0 * afreq[start : start + take]
-        sc = np.full(chunk, afscale)
-        lo = _snp_loading_provided_step(packed, e, jnp.asarray(a2p, fdt),
-                                        jnp.asarray(sc, fdt))
-        out[start : start + take] = np.asarray(lo)[:take]
-        start += chunk
+    for pb in _batched_chunks(ws, chunk, n_pad, ndev):
+        a2ps = []
+        for d in range(ndev):
+            a2p = np.zeros(chunk)
+            s0 = start + d * chunk
+            take = max(0, min(chunk, ws.n_snp - s0))
+            if take:
+                a2p[:take] = 2.0 * afreq[s0 : s0 + take]
+            a2ps.append(a2p)
+        scb = np.full((ndev, chunk), afscale, npdt)
+        lo = np.asarray(batched(jax.device_put(pb, b_sh), e_d,
+                                jax.device_put(np.asarray(a2ps, npdt), b_sh),
+                                jax.device_put(scb, b_sh)))
+        lo = lo.reshape(-1, lo.shape[-1])
+        take = min(ndev * chunk, ws.n_snp - start)
+        out[start : start + take] = lo[:take]
+        start += ndev * chunk
     return out.T
 
 
 def eigmix_samp_loadings(ws, sload_scaled: np.ndarray, afreq: np.ndarray,
-                         chunk: int = 4096) -> np.ndarray:
+                         chunk=None, mesh=None) -> np.ndarray:
     """Project samples with EIGMIX normalization (genEIGMIX.cpp:535-620)."""
     afscale = 1.0 / np.sqrt(np.sum(4.0 * afreq * (1.0 - afreq)))
     return samp_loadings(ws, sload_scaled, 2.0 * afreq,
-                         np.full(len(afreq), afscale), chunk=chunk)
+                         np.full(len(afreq), afscale), chunk=chunk,
+                         mesh=mesh)

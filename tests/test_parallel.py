@@ -143,6 +143,47 @@ def test_sharded_row_tiled_grm_matches(hapmap):
                                    err_msg=method)
 
 
+def test_mesh_on_loadings_family(hapmap):
+    """mesh= on the loadings family (pca_corr / SNP loadings / sample
+    projection / EIGMIX loadings, VERDICT r1 #7): sharded == single-device
+    bitwise (the same per-chunk kernel runs either way, the batch axis is
+    sharded over every mesh device)."""
+    import numpy as np
+    import snprelate_tpu as sr
+    from snprelate_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(4, 2)
+    sid = hapmap.sample_id[:60]
+    p = sr.pca(hapmap, sample_id=sid, eigen_cnt=8)
+
+    c0 = sr.pca_corr(p, hapmap, eig_which=[1, 2, 3], chunk=512)
+    c1 = sr.pca_corr(p, hapmap, eig_which=[1, 2, 3], chunk=512, mesh=mesh)
+    np.testing.assert_array_equal(c1.snpcorr, c0.snpcorr)
+
+    l0 = sr.pca_snp_loading(p, hapmap, chunk=512)
+    l1 = sr.pca_snp_loading(p, hapmap, chunk=512, mesh=mesh)
+    np.testing.assert_array_equal(l1.snploading, l0.snploading)
+    np.testing.assert_array_equal(l1.avgfreq, l0.avgfreq)
+
+    s0 = sr.pca_samp_loading(l0, hapmap, sample_id=hapmap.sample_id[:90],
+                             chunk=512)
+    s1 = sr.pca_samp_loading(l0, hapmap, sample_id=hapmap.sample_id[:90],
+                             chunk=512, mesh=mesh)
+    np.testing.assert_allclose(s1.eigenvect, s0.eigenvect, rtol=1e-12,
+                               atol=1e-14)
+
+    e = sr.eigmix(hapmap, sample_id=sid, eigen_cnt=6, diagadj=False)
+    el0 = sr.pca_snp_loading(e, hapmap, chunk=512)
+    el1 = sr.pca_snp_loading(e, hapmap, chunk=512, mesh=mesh)
+    np.testing.assert_array_equal(el1.snploading, el0.snploading)
+    es0 = sr.pca_samp_loading(el0, hapmap, sample_id=hapmap.sample_id[:90],
+                              chunk=512)
+    es1 = sr.pca_samp_loading(el0, hapmap, sample_id=hapmap.sample_id[:90],
+                              chunk=512, mesh=mesh)
+    np.testing.assert_allclose(es1.eigenvect, es0.eigenvect, rtol=1e-12,
+                               atol=1e-14)
+
+
 def test_mesh_on_all_count_estimators(hapmap):
     """mesh= on every count-based estimator (the num.thread analog on each
     reference API) equals the single-device result — both the sharded
