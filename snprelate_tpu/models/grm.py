@@ -59,14 +59,17 @@ def grm(data, sample_id=None, snp_id=None, autosome_only=True,
         method="GCTA", out_fn=None, out_prec="double",
         out_compress="LZMA_RA", mesh=None, verbose=False,
         chunk=None, checkpoint=None, sample_block=None,
-        use_matrix=False) -> GRMResult:
+        use_matrix=False, tiles=None, tile_group=None) -> GRMResult:
     """snpgdsGRM (R/IBD.R:543). With out_fn, also writes the
     SNPRELATE_OUTPUT GDS artifact for snpgdsMergeGRM. With checkpoint=path,
     the accumulators are saved every 64 chunks and a rerun resumes
     (generalized snpgdsLDpruning autosave / GRM out-of-core protocol).
     sample_block: compute the GRM in row tiles of this many samples (device
     memory O(block x n) — the large-cohort path, auto-enabled for GCTA/
-    Eigenstrat when the n x n accumulators would exceed HBM)."""
+    Eigenstrat when the n x n accumulators would exceed HBM).
+    tiles/tile_group: the super-tile engine (ops/tiles.py) with bounded
+    host->device traffic — auto-selected when the packed selection
+    exceeds the HBM slab-staging budget; tiles=True/False forces."""
     ws, _ = init_workspace(data, sample_id, snp_id, autosome_only,
                            remove_monosnp, maf, missing_rate, verbose=verbose)
     n = ws.n_samp
@@ -75,7 +78,18 @@ def grm(data, sample_id=None, snp_id=None, autosome_only=True,
         method = "EIGMIX"
     if sample_block is None and _auto_row_tiling(n, method, mesh):
         sample_block = 4096
-    if sample_block is not None and method in ("GCTA", "Eigenstrat"):
+    if sample_block is not None and method in ("GCTA", "Eigenstrat") \
+            and mesh is None and tiles is not False \
+            and (tiles or ws.n_snp * (-(-n // 4)) > 2e9):
+        # super-tile path (ops/tiles.py): bounded host->device traffic
+        # when the packed selection exceeds the 2 GB HBM staging budget
+        # (the row-strip engine would re-stream the dataset per strip)
+        from ..ops.tiles import auto_tile_group, grm_tiled
+
+        group = tile_group or auto_tile_group(ws.n_snp)
+        mat = grm_tiled(ws, group, method=method, chunk=chunk,
+                        checkpoint=checkpoint, verbose=verbose)
+    elif sample_block is not None and method in ("GCTA", "Eigenstrat"):
         # row-tiled large-N path; checkpoint= saves the completed GRM rows
         # after every tile and a rerun resumes at the first missing tile
         from ..ops.pairwise import (TileCheckpointer, _mesh_row_tools,

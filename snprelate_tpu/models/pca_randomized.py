@@ -292,6 +292,161 @@ def _randomized_pca_cached(ws, eigen_cnt, aux_dim, iter_num, seed, chunk,
                      trace2, False, None)
 
 
+# --- slab-wise randomized PCA: for cohorts whose full-sample packed
+# chunks exceed HBM (the 100k x 1M regime), the power iteration runs over
+# sample-group slabs from a tiles.py SlabSource: H = Y G accumulates one
+# group at a time, then G_next = Y^T H in a second group sweep. Data
+# crosses the host boundary only as slab uploads (zero for a device-
+# generated cohort); all factors (H, G, T) stay device-resident.
+
+
+def _make_slab_pca_steps():
+    from snprelate_tpu.ops.decode import decode2bit
+
+    @jax.jit
+    def h_accum(h_all, slab, avg, scale, g_j):
+        """h_all (n_chunks, chunk, aux) += Y_slab @ G_j; also the trace
+        contribution of this slab."""
+        def step(tr, xs):
+            pk, av, sc, h = xs
+            geno = decode2bit(pk)
+            valid = geno < 3
+            y = jnp.where(valid, (geno.astype(av.dtype) - av[:, None])
+                          * sc[:, None], 0.0)
+            h = h + jnp.matmul(y, g_j, preferred_element_type=y.dtype,
+                               precision=norm_precision())
+            return tr + (y * y).sum(), h
+
+        tr, h_new = lax.scan(step, jnp.zeros((), h_all.dtype),
+                             (slab, avg, scale, h_all))
+        return h_new, tr
+
+    @jax.jit
+    def g_accum(slab, avg, scale, h_all):
+        """G_j = Y_slab^T @ H summed over chunks."""
+        def step(gj, xs):
+            pk, av, sc, h = xs
+            geno = decode2bit(pk)
+            valid = geno < 3
+            y = jnp.where(valid, (geno.astype(av.dtype) - av[:, None])
+                          * sc[:, None], 0.0)
+            return gj + jnp.matmul(y.T, h, preferred_element_type=y.dtype,
+                                   precision=norm_precision()), None
+
+        g0 = jnp.zeros((slab.shape[2] * 4, h_all.shape[2]), h_all.dtype)
+        return lax.scan(step, g0, (slab, avg, scale, h_all))[0]
+
+    return h_accum, g_accum
+
+
+def randomized_pca_slabs(source, n_samp, eigen_cnt=32, aux_dim=None,
+                         iter_num=4, seed=None, verbose=False):
+    """Randomized PCA (CRandomPCA, genPCA.cpp:472-803) over a SlabSource:
+    the biobank-scale path where neither the n x n covariance nor the
+    full-sample packed chunks fit HBM. Normalization is the randomized-
+    PCA scaling 1/sqrt(2p(1-p)) with per-SNP stats from a first pass over
+    all groups (thread_lookup_y, genPCA.cpp:501-528). Returns PCAResult
+    with the reference's eigval = (n-1) * 2 sigma^2 / TraceXTX semantics
+    (R/PCA.R:80-88)."""
+    from snprelate_tpu.ops.tiles import _stats_pass
+    from .pca import PCAResult
+
+    if aux_dim is None:
+        aux_dim = 2 * eigen_cnt
+    fdt = _default_float_dtype()
+    k = source.n_groups
+    group = source.group
+    n_pad = k * group
+    m = source.n_chunks * source.chunk
+
+    # per-SNP stats over ALL samples; randomized scaling from avg
+    avg, _scale_pca, _poly, _nl = _stats_pass(source, fdt)
+    p = avg * 0.5
+    scale = jnp.where((p > 0) & (p < 1),
+                      1.0 / jnp.sqrt(2.0 * p * (1.0 - p)), 0.0)
+
+    h_accum, g_accum = _make_slab_pca_steps()
+    rng = np.random.default_rng(seed)
+    g_host = np.zeros((n_pad, aux_dim))
+    g_host[:n_samp] = rng.standard_normal((n_samp, aux_dim))
+    G = jnp.asarray(g_host, fdt)
+
+    h_parts = []
+    trace_xtx = 0.0
+    for it in range(iter_num + 1):
+        h_all = jnp.zeros((source.n_chunks, source.chunk, aux_dim), fdt)
+        tr_sum = 0.0
+        for j in range(k):
+            slab = source.slab(j)
+            h_all, tr = h_accum(h_all, slab, avg, scale,
+                                lax.dynamic_slice_in_dim(G, j * group,
+                                                         group))
+            tr_sum += float(tr)
+        if it == 0:
+            trace_xtx = tr_sum
+        h_parts.append(h_all.reshape(m, aux_dim))
+        if verbose:
+            print(f"randomized PCA: power pass {it + 1}/{iter_num + 1}")
+        if it < iter_num:
+            g_next = []
+            for j in range(k):
+                slab = source.slab(j)
+                g_next.append(g_accum(slab, avg, scale, h_all))
+            G = jnp.concatenate(g_next, axis=0) / m
+
+    h = jnp.concatenate(h_parts, axis=1)  # (m, hsize)
+    q, _r = jnp.linalg.qr(h)
+    uh_all = q.reshape(source.n_chunks, source.chunk, q.shape[1])
+    hsize = q.shape[1]
+
+    # T = U_H^T Y, assembled group by group (hsize x n_pad)
+    @jax.jit
+    def t_accum(slab, avg, scale, uh):
+        from snprelate_tpu.ops.decode import decode2bit
+
+        def step(tj, xs):
+            pk, av, sc, ub = xs
+            geno = decode2bit(pk)
+            valid = geno < 3
+            y = jnp.where(valid, (geno.astype(av.dtype) - av[:, None])
+                          * sc[:, None], 0.0)
+            return tj + jnp.matmul(ub.T, y, preferred_element_type=y.dtype,
+                                   precision=norm_precision()), None
+
+        t0 = jnp.zeros((uh.shape[2], slab.shape[2] * 4), uh.dtype)
+        return lax.scan(step, t0, (slab, avg, scale, uh))[0]
+
+    t_parts = [t_accum(source.slab(j), avg, scale, uh_all)
+               for j in range(k)]
+    T = jnp.concatenate(t_parts, axis=1)  # (hsize, n_pad)
+
+    B = np.asarray(jnp.matmul(T, T.T, preferred_element_type=T.dtype,
+                              precision=jax.lax.Precision.HIGHEST)
+                   ).astype(np.float64)
+    w, U = np.linalg.eigh(B)
+    order = np.argsort(w)[::-1][:eigen_cnt]
+    sigma = np.sqrt(np.maximum(w[order], 0.0))
+    u_sig = U[:, order] / np.where(sigma > 0, sigma, 1.0)
+    eigenvect = np.asarray(
+        jnp.matmul(T.T, jnp.asarray(u_sig, T.dtype),
+                   preferred_element_type=T.dtype,
+                   precision=jax.lax.Precision.HIGHEST))[:n_samp] \
+        .astype(np.float64)
+
+    trace2 = 2.0 * trace_xtx
+    vp = np.full(n_samp, np.nan)
+    kk = min(len(w), n_samp)
+    sig_all = np.sqrt(np.maximum(np.sort(w)[::-1][:kk], 0.0))
+    vp[:kk] = 2.0 * sig_all**2 / trace2
+    eigenval = (n_samp - 1) * vp
+    sample_id = getattr(source, "sample_id",
+                        np.asarray([f"s{i}" for i in range(n_samp)],
+                                   object))
+    snp_id = getattr(source, "snp_id", np.arange(source.n_snp))
+    return PCAResult(sample_id, snp_id, eigenval, eigenvect, vp,
+                     trace2, False, None)
+
+
 def randomized_pca(ws, eigen_cnt=16, aux_dim=None, iter_num=10, seed=None,
                    chunk=None, p_all=None, mesh=None):
     from .pca import PCAResult

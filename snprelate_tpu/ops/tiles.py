@@ -1,0 +1,332 @@
+"""Super-tile out-of-core engine: (sample-group x sample-group) GRM tiles
+with HBM-resident packed slabs and bounded host->device traffic.
+
+The row-strip engines (ops/pairwise.py) re-stream the whole dataset once
+per strip when the packed selection exceeds the HBM staging budget —
+O(data x n_strips) host traffic. This engine bounds it (VERDICT r1 #2):
+
+- the sample axis splits into k groups sized so TWO packed slabs
+  (group x all-SNPs, 2-bit) plus one (group x group) tile carry fit HBM;
+- pass 1 loads each slab once and reduces per-SNP stats (sum/count) —
+  the normalization constants must cover ALL samples, so they are
+  computed before any tile (the analog of the reference's
+  SummarizeGeno_SampxSNP pass, genPCA.cpp:84-141);
+- pass 2 walks the upper tile triangle serpentine-fashion with a
+  one-slab cache for the column group, so consecutive rows reuse the
+  last column slab. Slab uploads total k (stats) + ~k^2/2 - (k-1)
+  (tiles); host->device volume is (1 + (k+1)/2)x the dataset instead of
+  the row-strip engine's (n/strip)x. The reference reads each block
+  exactly once per pass (CGenoReadBySNP, dGenGWAS.cpp:1283-1397); this
+  is the same discipline applied to a device whose memory is the cache.
+
+Slabs come from a pluggable source: ``StoreSlabSource`` (reads the
+workspace, H2D bytes counted by a TransferMeter) or any object with the
+same ``slab(j)`` contract (e.g. the biobank bench's on-device PRNG
+cohort generator, which moves zero host bytes).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from .decode import decode2bit
+from .pairwise import _default_float_dtype, norm_precision
+
+
+@dataclass
+class TransferMeter:
+    """Counts host->device bytes moved by a slab source (the scarce
+    resource on PCIe/tunnel hosts; host-side disk re-reads are not
+    counted — disk bandwidth is orders of magnitude above the link)."""
+
+    h2d_bytes: int = 0
+    slab_loads: int = 0
+
+    def add(self, nbytes: int):
+        self.h2d_bytes += int(nbytes)
+        self.slab_loads += 1
+
+
+class StoreSlabSource:
+    """Packed sample-group slabs from a Workspace selection.
+
+    slab(j) -> (n_chunks, chunk, group//4) uint8 device array holding the
+    2-bit genotypes of samples [j*group, (j+1)*group) over every selected
+    SNP (padding chunks/samples are all-missing = 0xFF).
+    """
+
+    def __init__(self, ws, group: int, chunk: int, meter=None):
+        assert group % 4 == 0
+        self.ws = ws
+        self.group = group
+        self.chunk = chunk
+        self.n_chunks = -(-ws.n_snp // chunk)
+        self.n_groups = -(-ws.n_samp // group)
+        self.n_samp = ws.n_samp
+        self.n_snp = ws.n_snp
+        self.meter = meter if meter is not None else TransferMeter()
+
+    def slab(self, j: int):
+        g4 = self.group // 4
+        nbytes_full = -(-self.ws.n_samp // 4)
+        out = np.full((self.n_chunks, self.chunk, g4), 0xFF, np.uint8)
+        c0 = j * g4
+        c1 = min(c0 + g4, nbytes_full)
+        for i, (_s, packed) in enumerate(
+                self.ws.packed_chunks(self.chunk)):
+            take = packed[:, c0:c1]
+            out[i, : packed.shape[0], : take.shape[1]] = take
+        self.meter.add(out.nbytes)
+        return jax.device_put(out)
+
+    def stats_host(self):
+        """Per-SNP (gsum, gnum) computed on the HOST — the bytes already
+        live there, so the stats pass costs zero device traffic (the tile
+        pass is then the only H2D: <= 2x the dataset for up to 4 sample
+        groups with the serpentine one-slab cache)."""
+        gsum = np.zeros((self.n_chunks, self.chunk), np.int64)
+        gnum = np.zeros((self.n_chunks, self.chunk), np.int64)
+        n = self.ws.n_samp
+        for i, (s0, _packed) in enumerate(
+                self.ws.packed_chunks(self.chunk)):
+            g = self.ws.geno(slice(s0, min(s0 + self.chunk,
+                                           self.ws.n_snp)))
+            valid = g < 3
+            take = g.shape[0]
+            gsum[i, :take] = np.where(valid, g, 0).sum(1)
+            gnum[i, :take] = valid.sum(1)
+        return gsum, gnum
+
+
+@jax.jit
+def _slab_stats(slab):
+    """Per-SNP genotype sum / valid count over one slab:
+    (n_chunks, chunk) int32 each."""
+    def step(_, pk):
+        geno = decode2bit(pk)
+        valid = geno < 3
+        gsum = jnp.where(valid, geno, 0).astype(jnp.int32).sum(1)
+        gnum = valid.sum(1, dtype=jnp.int32)
+        return None, (gsum, gnum)
+
+    _, (gsum, gnum) = lax.scan(step, None, slab)
+    return gsum, gnum
+
+
+@functools.partial(jax.jit, static_argnums=(7,))
+def _gcta_tile_scan(slab_i, slab_j, avg, scale, poly, r0_i, r0_j,
+                    gcta: bool):
+    """One (group x group) tile over every SNP chunk: normalized
+    covariance (+ polymorphic-validity gram for GCTA). avg/scale/poly are
+    (n_chunks, chunk) per-SNP normalization constants computed over ALL
+    samples (pass 1). r0_* unused except to keep the signature future-
+    proof for masked diagonals."""
+    fdt = avg.dtype
+    g = slab_i.shape[2] * 4
+
+    def step(carry, xs):
+        pk_i, pk_j, av, sc, po = xs
+
+        def norm(pk):
+            geno = decode2bit(pk)
+            valid = geno < 3
+            x = (jnp.where(valid, geno.astype(fdt), av[:, None])
+                 - av[:, None]) * sc[:, None]
+            return x, valid
+
+        xi, vi = norm(pk_i)
+        xj, vj = norm(pk_j)
+        if gcta:
+            cov, vgr = carry
+            vpi = (vi & po[:, None]).astype(jnp.int8)
+            vpj = (vj & po[:, None]).astype(jnp.int8)
+            cov = cov + jnp.matmul(xi.T, xj, preferred_element_type=fdt,
+                                   precision=norm_precision())
+            vgr = vgr + jnp.matmul(vpi.T, vpj,
+                                   preferred_element_type=jnp.int32)
+            return (cov, vgr), None
+        cov = carry
+        cov = cov + jnp.matmul(xi.T, xj, preferred_element_type=fdt,
+                               precision=norm_precision())
+        return cov, None
+
+    if gcta:
+        carry = (jnp.zeros((g, g), fdt), jnp.zeros((g, g), jnp.int32))
+    else:
+        carry = jnp.zeros((g, g), fdt)
+    carry, _ = lax.scan(step, carry, (slab_i, slab_j, avg, scale, poly))
+    if gcta:
+        # per-pair missing denominator applied ON DEVICE
+        # (genPCA.cpp:1202-1236) — only the final GRM tile crosses the
+        # host boundary (half the D2H of shipping cov + vgr)
+        cov, vgr = carry
+        return cov / (2.0 * vgr.astype(fdt))
+    return carry
+
+
+class TileGridCheckpointer:
+    """Per-(I,J)-tile checkpoints for the super-tile engine: one .npz per
+    completed tile plus a meta sidecar; resume skips tiles whose file
+    exists (any order — the grid has no prefix structure)."""
+
+    def __init__(self, path, meta: tuple = ()):
+        import os as _o
+
+        self.path = path
+        self.meta = np.asarray(meta, np.int64)
+        self._os = _o
+        if path:
+            mfn = path + ".meta.npy"
+            if _o.path.exists(mfn) and not np.array_equal(
+                    np.load(mfn), self.meta):
+                import glob
+
+                for fn in glob.glob(f"{path}.tile*.npz"):
+                    _o.remove(fn)
+                _o.remove(mfn)
+            if not _o.path.exists(mfn):
+                tmp = mfn + ".tmp"
+                with open(tmp, "wb") as f:
+                    np.save(f, self.meta)
+                _o.replace(tmp, mfn)
+
+    def _fn(self, i: int, j: int) -> str:
+        return f"{self.path}.tile{i:05d}_{j:05d}.npz"
+
+    def load(self, i: int, j: int):
+        if not self.path or not self._os.path.exists(self._fn(i, j)):
+            return None
+        with np.load(self._fn(i, j)) as z:
+            return {k: z[k] for k in z.files}
+
+    def save(self, i: int, j: int, **arrays):
+        if not self.path:
+            return
+        fn = self._fn(i, j)
+        tmp = fn + ".tmp"
+        with open(tmp, "wb") as f:
+            np.savez(f, **arrays)
+        self._os.replace(tmp, fn)
+
+
+def _stats_pass(source, fdt):
+    """Pass 1: per-SNP sum/count over all sample groups -> normalization
+    constants (avg, scale, poly) as (n_chunks, chunk) device arrays plus
+    the polymorphic-locus count. Sources exposing ``stats_host`` (the
+    host already holds the bytes) skip the device round entirely."""
+    if hasattr(source, "stats_host"):
+        gsum, gnum = source.stats_host()
+    else:
+        gsum = np.zeros((source.n_chunks, source.chunk), np.int64)
+        gnum = np.zeros((source.n_chunks, source.chunk), np.int64)
+        for j in range(source.n_groups):
+            s, n = _slab_stats(source.slab(j))
+            gsum += np.asarray(s, np.int64)
+            gnum += np.asarray(n, np.int64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        avg = np.where(gnum > 0, gsum / gnum, 0.0)
+        p = avg * 0.5
+        scale = np.where((p > 0) & (p < 1), 1.0 / np.sqrt(p * (1 - p)),
+                         0.0)
+    poly = (gsum > 0) & (gsum < 2 * gnum)
+    # SNPs beyond the selection (padding rows of the final chunk) decode
+    # as all-missing -> gnum == 0 -> scale 0, poly False: contribute 0.
+    npdt = np.float64 if fdt == jnp.float64 else np.float32
+    return (jnp.asarray(avg, npdt), jnp.asarray(scale, npdt),
+            jnp.asarray(poly), int(poly.sum()))
+
+
+def gcta_grm_tiles(source, n_samp: int, method: str = "GCTA",
+                   checkpoint=None, verbose: bool = False,
+                   out_dtype=np.float64):
+    """Super-tile GRM: yields (r0, c0, nr, nc, grm_tile) over the upper
+    tile triangle (r0 <= c0). method 'GCTA' applies the per-pair
+    missing denominator (genPCA.cpp:1202-1236); 'Eigenstrat' yields the
+    raw covariance tiles (caller applies the (n-1)/trace scale, which
+    needs the full diagonal). Tiles are final (independent of each
+    other), so the grid checkpointer resumes at any completed subset."""
+    gcta = method == "GCTA"
+    fdt = _default_float_dtype()
+    group = source.group
+    k = source.n_groups
+    avg, scale, poly, _nloc = _stats_pass(source, fdt)
+    tck = TileGridCheckpointer(
+        checkpoint, meta=(71 if gcta else 72, source.n_snp, n_samp,
+                          group, source.chunk))
+
+    slab_i = None
+    cache_j = (None, None)  # (index, slab) one-slab column cache
+    for i in range(k):
+        slab_i = None  # loaded lazily: a fully-checkpointed row skips it
+        # serpentine: odd rows walk J downward so the previous row's last
+        # column slab is reused
+        cols = range(i, k) if i % 2 == 0 else range(k - 1, i - 1, -1)
+        for j in cols:
+            r0, c0 = i * group, j * group
+            nr = min(group, n_samp - r0)
+            nc = min(group, n_samp - c0)
+            saved = tck.load(i, j)
+            if saved is not None:
+                yield r0, c0, nr, nc, saved["grm"]
+                continue
+            if slab_i is None:
+                slab_i = (cache_j[1] if cache_j[0] == i
+                          else source.slab(i))
+            if j == i:
+                slab_j = slab_i
+            elif cache_j[0] == j:
+                slab_j = cache_j[1]
+            else:
+                slab_j = source.slab(j)
+                cache_j = (j, slab_j)
+            out = _gcta_tile_scan(slab_i, slab_j, avg, scale, poly,
+                                  r0, c0, gcta)
+            tile = np.asarray(out)[:nr, :nc].astype(out_dtype)
+            tck.save(i, j, grm=tile)
+            if verbose:
+                print(f"GRM tile ({i},{j}) rows {r0}..{r0 + nr} x "
+                      f"cols {c0}..{c0 + nc}")
+            yield r0, c0, nr, nc, tile
+
+
+def auto_tile_group(n_snp: int, slab_budget: float = 8e9,
+                    carry_budget: float = 2.5e9) -> int:
+    """Sample-group size for the super-tile engine: two packed slabs
+    (group x n_snp x 2bit) within slab_budget AND the (group x group)
+    f32+int32 tile carries within carry_budget, 128-aligned."""
+    g1 = slab_budget / 2.0 / max(n_snp / 4.0, 1.0)
+    g2 = (carry_budget / 8.0) ** 0.5
+    g = int(min(g1, g2))
+    return max(128, (g // 128) * 128)
+
+
+def grm_tiled(ws, group: int, method: str = "GCTA", chunk=None,
+              checkpoint=None, verbose: bool = False, meter=None,
+              source=None) -> np.ndarray:
+    """Assembled (n x n) GRM from the super-tile engine (both triangles
+    mirrored). Used by models.grm for selections past the slab-staging
+    budget; also callable directly with a custom ``source``."""
+    from .pairwise import auto_chunk
+
+    n = ws.n_samp if ws is not None else source.n_samp
+    if source is None:
+        group = -(-group // 128) * 128
+        if chunk is None:
+            chunk = auto_chunk(group, ws.n_snp)
+        source = StoreSlabSource(ws, group, chunk, meter=meter)
+    mat = np.empty((n, n))
+    for r0, c0, nr, nc, tile in gcta_grm_tiles(
+            source, n, method=method, checkpoint=checkpoint,
+            verbose=verbose):
+        mat[r0:r0 + nr, c0:c0 + nc] = tile
+        if r0 != c0:
+            mat[c0:c0 + nc, r0:r0 + nr] = tile.T
+    if method == "Eigenstrat":
+        mat *= (n - 1) / float(np.trace(mat))
+    return mat

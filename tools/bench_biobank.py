@@ -1,0 +1,304 @@
+"""North-star biobank benchmark (BASELINE.md / VERDICT r1 #1):
+GRM(GCTA) + randomized PCA to top-32 PCs at 100k samples x 1M SNPs on ONE
+chip, with per-tile checkpoints and measured host-transfer volume.
+
+The synthetic cohort is GENERATED ON DEVICE (jax.random, keyed per
+(chunk, group) so every slab visit regenerates identical data): host->
+device traffic is then exactly zero for genotypes — the honest number for
+this mode, reported as such. ``--source store`` instead reads a real
+on-disk 2-bit store through StoreSlabSource, whose TransferMeter counts
+the slab uploads (the bounded-traffic demonstration: (1 + ~(k+1)/2) x
+dataset instead of the row-strip engine's (n/strip) x). GRM tiles are
+computed on device (cov and the per-pair missing denominator,
+genPCA.cpp:1202-1236), shipped f32 and written per tile via
+TileGridCheckpointer — kill the run at any point and it resumes at the
+first missing tile (--selftest-resume demonstrates this in-process).
+
+Output: one JSON line per phase plus a summary JSON written to
+BIOBANK.json (wall-clock per phase, pair-SNP/s, transfer volumes).
+
+Usage:
+  python tools/bench_biobank.py                     # full 100k x 1M
+  python tools/bench_biobank.py --samples 16384 --snps 131072   # smoke
+  python tools/bench_biobank.py --selftest-resume   # checkpoint demo
+"""
+
+import argparse
+import functools
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+class GenSlabSource:
+    """Device-generated synthetic cohort with the SlabSource contract.
+
+    Per-SNP allele frequencies U(0.1, 0.9) keyed by chunk index; two
+    population halves (groups below/above n_groups/2) shifted by
+    +-structure so the top PC separates them (a correctness probe);
+    HWE genotypes via two 15-bit threshold draws; ~1.2% missing. The
+    same (chunk, group) key always regenerates identical data, so the
+    stats pass, every tile visit and every PCA sweep see one consistent
+    dataset — the device-memory analog of re-reading a file."""
+
+    def __init__(self, seed, n_samp, n_snp, group, chunk,
+                 structure=0.05, missing_u8=3):
+        import jax
+        import jax.numpy as jnp
+        import jax.random as jr
+        from jax import lax
+
+        assert n_snp % chunk == 0 and group % 4 == 0
+        self.n_samp = n_samp
+        self.n_snp = n_snp
+        self.group = group
+        self.chunk = chunk
+        self.n_chunks = n_snp // chunk
+        self.n_groups = -(-n_samp // group)
+        self.seed = seed
+        self.h2d_bytes = 0  # device-generated: nothing crosses the host
+
+        n_chunks = self.n_chunks
+
+        @jax.jit
+        def gen(j, pop_shift):
+            def one(c, _):
+                kp = jr.fold_in(jr.key(seed), c)
+                p = jr.uniform(kp, (chunk,), minval=0.1, maxval=0.9)
+                p = jnp.clip(p + pop_shift, 0.01, 0.99)
+                p15 = (p * 32768.0).astype(jnp.uint32)
+                kg = jr.fold_in(jr.fold_in(jr.key(seed ^ 0x5DEECE), c), j)
+                r = jr.bits(kg, (chunk, group), jnp.uint32)
+                a1 = (r & 0x7FFF) < p15[:, None]
+                a2 = ((r >> 15) & 0x7FFF) < p15[:, None]
+                g = a1.astype(jnp.uint8) + a2.astype(jnp.uint8)
+                km = jr.fold_in(jr.fold_in(jr.key(seed ^ 0xB5297A), c), j)
+                miss = jr.bits(km, (chunk, group), jnp.uint8) < missing_u8
+                g = jnp.where(miss, jnp.uint8(3), g)
+                b = g.reshape(chunk, group // 4, 4)
+                packed = (b[..., 0] | (b[..., 1] << 2) | (b[..., 2] << 4)
+                          | (b[..., 3] << 6))
+                return c + 1, packed
+
+            _, slabs = lax.scan(one, 0, None, length=n_chunks)
+            return slabs
+
+        self._gen = gen
+
+    def pop_label(self, j: int) -> int:
+        return 1 if j >= self.n_groups // 2 else 0
+
+    def slab(self, j: int):
+        shift = 0.05 if self.pop_label(j) else -0.05
+        s = self._gen(j, shift)
+        # padding samples of the final group decode as missing (code 3)
+        valid = self.n_samp - j * self.group
+        if valid < self.group:
+            import jax.numpy as jnp
+
+            g4 = self.group // 4
+            and_mask = np.empty(g4, np.uint8)
+            or_mask = np.empty(g4, np.uint8)
+            for b in range(g4):
+                keep = min(max(valid - 4 * b, 0), 4)
+                am = (1 << (2 * keep)) - 1
+                and_mask[b] = am
+                or_mask[b] = 0xFF & ~am
+            s = (s & jnp.asarray(and_mask)) | jnp.asarray(or_mask)
+        return s
+
+
+def _sync(x):
+    # block_until_ready does not wait on the axon tunnel: materialize
+    return np.asarray(x[:1, :1] if getattr(x, "ndim", 0) >= 2 else x[:1])
+
+
+def run(args):
+    import jax
+
+    from snprelate_tpu.ops.tiles import (StoreSlabSource, TransferMeter,
+                                         gcta_grm_tiles)
+    from snprelate_tpu.models.pca_randomized import randomized_pca_slabs
+
+    n, s = args.samples, args.snps
+    group, chunk = args.group, args.chunk
+    ck = args.checkpoint
+    results = {"n_samples": n, "n_snps": s, "group": group, "chunk": chunk,
+               "backend": jax.default_backend(), "source": args.source}
+
+    if args.source == "gen":
+        src = GenSlabSource(7, n, s, group, chunk)
+        meter = None
+    else:
+        from snprelate_tpu.io.store import create_geno
+        from snprelate_tpu.workspace import init_workspace
+
+        gen = GenSlabSource(7, n, s, group, chunk)
+        cols = []
+        for j in range(gen.n_groups):
+            sl = np.asarray(gen.slab(j)).reshape(s, group // 4)
+            cols.append(sl)
+        packed = np.concatenate(cols, axis=1)[:, : -(-n // 4)]
+        from snprelate_tpu.io.store import SNPData
+
+        data = SNPData(sample_id=np.asarray([f"s{i}" for i in range(n)],
+                                            object),
+                       snp_id=np.arange(s), genotype_packed=packed,
+                       n_samp=n, snp_position=np.arange(s) * 10,
+                       snp_chromosome=np.ones(s, np.int32))
+        ws, _ = init_workspace(data, autosome_only=False,
+                               remove_monosnp=False,
+                               missing_rate=np.nan)
+        meter = TransferMeter()
+        src = StoreSlabSource(ws, group, chunk, meter=meter)
+
+    k = src.n_groups
+    n_tiles = k * (k + 1) // 2
+
+    # ---- phase: GRM (GCTA) over super tiles, per-tile checkpoints
+    t0 = time.time()
+    d2h = 0
+    diag_sum = 0.0
+    diag_cnt = 0
+    off_sum = 0.0
+    off_cnt = 0
+    done_tiles = 0
+    for r0, c0, nr, nc, tile in gcta_grm_tiles(
+            src, n, method="GCTA", checkpoint=ck, out_dtype=np.float32,
+            verbose=args.verbose):
+        d2h += tile.nbytes
+        done_tiles += 1
+        if r0 == c0:
+            d = np.diag(tile)
+            diag_sum += np.nansum(d)
+            diag_cnt += np.isfinite(d).sum()
+            iu = np.triu_indices(nr, 1)
+            off = tile[iu]
+        else:
+            off = tile.ravel()
+        off_sum += np.nansum(off)
+        off_cnt += np.isfinite(off).sum()
+        if args.verbose:
+            el = time.time() - t0
+            print(f"  tile {done_tiles}/{n_tiles} at {el:.0f}s",
+                  flush=True)
+    grm_s = time.time() - t0
+    pair_snp = 0.5 * float(n) * n * s
+    results["grm"] = {
+        "wall_s": round(grm_s, 1),
+        "tera_pair_snp_per_s": round(pair_snp / grm_s / 1e12, 3),
+        "tiles": done_tiles,
+        "grm_diag_mean": round(diag_sum / max(diag_cnt, 1), 5),
+        "grm_offdiag_mean": round(off_sum / max(off_cnt, 1), 6),
+        "d2h_gb": round(d2h / 1e9, 2),
+        "h2d_gb": round((meter.h2d_bytes if meter else 0) / 1e9, 2),
+        "h2d_over_dataset": (round(meter.h2d_bytes
+                                   / (s * (-(-n // 4))), 2)
+                            if meter else 0.0),
+    }
+    print(json.dumps({"phase": "grm", **results["grm"]}), flush=True)
+
+    # ---- phase: randomized PCA to top-32 PCs
+    t0 = time.time()
+    pca = randomized_pca_slabs(src, n, eigen_cnt=args.pcs,
+                               aux_dim=2 * args.pcs, iter_num=args.iters,
+                               seed=11, verbose=args.verbose)
+    pca_s = time.time() - t0
+    # correctness probe: PC1 separates the two planted populations
+    # (group index determines the population in both source modes)
+    pc1 = pca.eigenvect[:, 0]
+    half = src.n_groups // 2
+    lab = np.asarray([1 if (i // group) >= half else 0 for i in range(n)])
+    sep = (np.median(pc1[lab == 1]) - np.median(pc1[lab == 0]))
+    polarity = np.sign(sep) if sep != 0 else 1.0
+    frac = float(((pc1 * polarity > 0) == (lab == 1)).mean())
+    results["pca"] = {
+        "wall_s": round(pca_s, 1),
+        "pcs": args.pcs,
+        "iters": args.iters,
+        "varprop_top5": [round(float(v), 6) for v in pca.varprop[:5]],
+        "pc1_pop_separation_frac": round(frac, 4),
+    }
+    print(json.dumps({"phase": "pca", **results["pca"]}), flush=True)
+
+    results["total_wall_s"] = round(grm_s + pca_s, 1)
+    out = args.out or "BIOBANK.json"
+    with open(out, "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps({"phase": "total", "wall_s": results["total_wall_s"],
+                      "artifact": out}), flush=True)
+    assert frac > 0.95, "PC1 failed to separate the planted populations"
+    return results
+
+
+def selftest_resume(args):
+    """Small-config kill/resume demonstration: run 3 tiles, 'crash',
+    rerun and verify only the remaining tiles compute and the assembled
+    matrix matches an uncheckpointed run."""
+    import tempfile
+
+    from snprelate_tpu.ops import tiles as T
+
+    src = GenSlabSource(7, args.samples, args.snps, args.group, args.chunk)
+    k = src.n_groups
+    n_tiles = k * (k + 1) // 2
+    with tempfile.TemporaryDirectory() as td:
+        ck = os.path.join(td, "grm.ck")
+        seen = []
+        for out in T.gcta_grm_tiles(src, args.samples, checkpoint=ck,
+                                    out_dtype=np.float32):
+            seen.append(out)
+            if len(seen) == 3:
+                break  # simulated kill
+        computed = {"n": 0}
+        orig = T._gcta_tile_scan
+
+        def count(*a, **kw):
+            computed["n"] += 1
+            return orig(*a, **kw)
+
+        T._gcta_tile_scan = count
+        try:
+            tiles2 = list(T.gcta_grm_tiles(src, args.samples,
+                                           checkpoint=ck,
+                                           out_dtype=np.float32))
+        finally:
+            T._gcta_tile_scan = orig
+        assert len(tiles2) == n_tiles
+        assert computed["n"] == n_tiles - 3, \
+            f"resume recomputed {computed['n']} != {n_tiles - 3}"
+        print(json.dumps({"phase": "selftest-resume", "ok": True,
+                          "tiles": n_tiles, "resumed_from": 3}))
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--samples", type=int, default=100_000)
+    ap.add_argument("--snps", type=int, default=1_048_576)
+    ap.add_argument("--group", type=int, default=None)
+    ap.add_argument("--chunk", type=int, default=4096)
+    ap.add_argument("--pcs", type=int, default=32)
+    ap.add_argument("--iters", type=int, default=4)
+    ap.add_argument("--source", choices=("gen", "store"), default="gen")
+    ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--verbose", action="store_true")
+    ap.add_argument("--selftest-resume", action="store_true")
+    args = ap.parse_args()
+    if args.group is None:
+        from snprelate_tpu.ops.tiles import auto_tile_group
+
+        args.group = auto_tile_group(args.snps)
+    if args.selftest_resume:
+        args.samples = min(args.samples, 2048)
+        args.snps = min(args.snps, 16384)
+        args.group = min(args.group, 512)
+        args.chunk = min(args.chunk, 2048)
+        selftest_resume(args)
+    else:
+        run(args)
