@@ -389,6 +389,16 @@ def pair_counts(ws, chunk=None, pad_to: int = 128,
             from ..parallel.mesh import sharded_pair_counts
 
             return sharded_pair_counts(ws, mesh, chunk=chunk)
+    if sample_block and mesh is None \
+            and ws.n_snp * (-(-ws.n_samp // 4)) > 2e9:
+        # past the HBM slab-staging budget the row strips would re-stream
+        # the dataset once per strip: use the bounded-traffic super-tile
+        # engine instead (ops/tiles.py, bit-exact)
+        from .tiles import auto_tile_group, pair_counts_tiled
+
+        return pair_counts_tiled(
+            ws, auto_tile_group(ws.n_snp, bytes_per_cell=20),
+            chunk=chunk, checkpoint=checkpoint, verbose=verbose)
     if sample_block:
         n = ws.n_samp
         ndev = _mesh_row_tools(mesh)[0]

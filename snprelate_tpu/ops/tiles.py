@@ -295,13 +295,113 @@ def gcta_grm_tiles(source, n_samp: int, method: str = "GCTA",
             yield r0, c0, nr, nc, tile
 
 
+@jax.jit
+def _basis_tile_scan(slab_i, slab_j):
+    """Integer reduced-basis grams for one (group x group) tile over every
+    SNP chunk: (vv, hh, dd, hv, vh) int32. The transpose identity
+    vh = hv^T only holds on the diagonal tile, so both het cross-grams
+    are computed (same rule as the row-strip engine,
+    ops/pairwise.py::_basis_strip_update)."""
+    from .decode import genotype_basis
+    from .pairwise import _plane_mm_dtype
+
+    g = slab_i.shape[2] * 4
+    mm_dt = _plane_mm_dtype()
+
+    def step(carry, xs):
+        pk_i, pk_j = xs
+        bi = genotype_basis(decode2bit(pk_i)).astype(mm_dt)  # (3,S,G)
+        bj = genotype_basis(decode2bit(pk_j)).astype(mm_dt)
+
+        def mm(x, y):
+            return lax.dot_general(x, y, (((0,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.int32)
+
+        vv, hh, dd, hv, vh = carry
+        return (vv + mm(bi[0], bj[0]), hh + mm(bi[1], bj[1]),
+                dd + mm(bi[2], bj[2]), hv + mm(bi[1], bj[0]),
+                vh + mm(bi[0], bj[1])), None
+
+    carry = tuple(jnp.zeros((g, g), jnp.int32) for _ in range(5))
+    return lax.scan(step, carry, (slab_i, slab_j))[0]
+
+
+def basis_count_tiles(source, n_samp: int, checkpoint=None,
+                      verbose: bool = False):
+    """Super-tile integer pairwise counts: yields (r0, c0, nr, nc,
+    B (5, nr, nc) int64 PairCounts base blocks) over the upper tile
+    triangle — the bounded-traffic analog of basis_gram_rows for count
+    estimators (IBS/KING/MoM/Beta) past the slab-staging budget."""
+    group = source.group
+    k = source.n_groups
+    tck = TileGridCheckpointer(
+        checkpoint, meta=(75, source.n_snp, n_samp, group, source.chunk))
+    cache_j = (None, None)
+    for i in range(k):
+        slab_i = None
+        cols = range(i, k) if i % 2 == 0 else range(k - 1, i - 1, -1)
+        for j in cols:
+            r0, c0 = i * group, j * group
+            nr = min(group, n_samp - r0)
+            nc = min(group, n_samp - c0)
+            saved = tck.load(i, j)
+            if saved is not None:
+                yield r0, c0, nr, nc, saved["b"]
+                continue
+            if slab_i is None:
+                slab_i = (cache_j[1] if cache_j[0] == i
+                          else source.slab(i))
+            if j == i:
+                slab_j = slab_i
+            elif cache_j[0] == j:
+                slab_j = cache_j[1]
+            else:
+                slab_j = source.slab(j)
+                cache_j = (j, slab_j)
+            out = _basis_tile_scan(slab_i, slab_j)
+            b = np.stack([np.asarray(a)[:nr, :nc] for a in out]) \
+                .astype(np.int64)
+            tck.save(i, j, b=b)
+            if verbose:
+                print(f"count tile ({i},{j})")
+            yield r0, c0, nr, nc, b
+
+
+def pair_counts_tiled(ws, group: int, chunk=None, checkpoint=None,
+                      verbose: bool = False, meter=None, source=None):
+    """Assembled PairCounts from the super-tile engine (integer
+    bit-exact; both triangles mirrored with the per-block transpose
+    rules: vv/hh/dd symmetric, hv(j,i) = vh(i,j)^T)."""
+    from .pairwise import PairCounts, auto_chunk
+
+    n = ws.n_samp if ws is not None else source.n_samp
+    if source is None:
+        group = -(-group // 128) * 128
+        if chunk is None:
+            chunk = auto_chunk(group, ws.n_snp)
+        source = StoreSlabSource(ws, group, chunk, meter=meter)
+    B = np.empty((5, n, n), np.int64)
+    for r0, c0, nr, nc, b in basis_count_tiles(
+            source, n, checkpoint=checkpoint, verbose=verbose):
+        B[:, r0:r0 + nr, c0:c0 + nc] = b
+        if r0 != c0:
+            # mirror: vv/hh/dd symmetric; hv lower = vh upper transposed
+            for sym in (0, 1, 2):
+                B[sym, c0:c0 + nc, r0:r0 + nr] = b[sym].T
+            B[3, c0:c0 + nc, r0:r0 + nr] = b[4].T
+            B[4, c0:c0 + nc, r0:r0 + nr] = b[3].T
+    return PairCounts(*B)
+
+
 def auto_tile_group(n_snp: int, slab_budget: float = 8e9,
-                    carry_budget: float = 2.5e9) -> int:
+                    carry_budget: float = 2.5e9,
+                    bytes_per_cell: int = 8) -> int:
     """Sample-group size for the super-tile engine: two packed slabs
     (group x n_snp x 2bit) within slab_budget AND the (group x group)
-    f32+int32 tile carries within carry_budget, 128-aligned."""
+    tile carries (bytes_per_cell: 8 for GRM f32+int32, 20 for the
+    5-counter integer basis) within carry_budget, 128-aligned."""
     g1 = slab_budget / 2.0 / max(n_snp / 4.0, 1.0)
-    g2 = (carry_budget / 8.0) ** 0.5
+    g2 = (carry_budget / bytes_per_cell) ** 0.5
     g = int(min(g1, g2))
     return max(128, (g // 128) * 128)
 

@@ -343,6 +343,20 @@ def test_grm_super_tiles_checkpoint(big_data, tmp_path):
     np.testing.assert_allclose(mat, full.grm, rtol=1e-9, atol=1e-12)
 
 
+def test_pair_counts_super_tiles_bit_exact(big_data):
+    """Integer basis super tiles (pair_counts_tiled) == full engine,
+    bit-exact, including the off-diagonal hv/vh transpose mirroring."""
+    from snprelate_tpu.ops.pairwise import pair_counts
+    from snprelate_tpu.ops.tiles import pair_counts_tiled
+
+    data, _g = big_data
+    ws = _workspace(data)
+    full = pair_counts(ws)
+    tiled = pair_counts_tiled(ws, group=512, chunk=128)
+    np.testing.assert_array_equal(np.stack(tiled.base()),
+                                  np.stack(full.base()))
+
+
 def test_randomized_pca_slabs_equals_plain(big_data):
     """Slab-wise randomized PCA (the biobank path) == the plain
     randomized PCA on the same data and seed: identical subspace math,
