@@ -371,17 +371,24 @@ def randomized_pca_slabs(source, n_samp, eigen_cnt=32, aux_dim=None,
     g_host[:n_samp] = rng.standard_normal((n_samp, aux_dim))
     G = jnp.asarray(g_host, fdt)
 
+    # NOTE on memory: async dispatch would otherwise let the Python loop
+    # queue every group's slab at once (k slabs of HBM). A tiny dependent
+    # materialization after each group bounds residency to ~2 slabs
+    # (block_until_ready does not wait on the axon tunnel backend).
     h_parts = []
     trace_xtx = 0.0
+    slab = None
     for it in range(iter_num + 1):
         h_all = jnp.zeros((source.n_chunks, source.chunk, aux_dim), fdt)
         tr_sum = 0.0
         for j in range(k):
+            slab = None
             slab = source.slab(j)
             h_all, tr = h_accum(h_all, slab, avg, scale,
                                 lax.dynamic_slice_in_dim(G, j * group,
                                                          group))
-            tr_sum += float(tr)
+            tr_sum += float(tr)  # also syncs this group's work
+        slab = None
         if it == 0:
             trace_xtx = tr_sum
         h_parts.append(h_all.reshape(m, aux_dim))
@@ -390,8 +397,12 @@ def randomized_pca_slabs(source, n_samp, eigen_cnt=32, aux_dim=None,
         if it < iter_num:
             g_next = []
             for j in range(k):
+                slab = None
                 slab = source.slab(j)
-                g_next.append(g_accum(slab, avg, scale, h_all))
+                gj = g_accum(slab, avg, scale, h_all)
+                np.asarray(gj[:1, :1])  # sync: bound slab residency
+                g_next.append(gj)
+            slab = None
             G = jnp.concatenate(g_next, axis=0) / m
 
     h = jnp.concatenate(h_parts, axis=1)  # (m, hsize)
@@ -416,8 +427,14 @@ def randomized_pca_slabs(source, n_samp, eigen_cnt=32, aux_dim=None,
         t0 = jnp.zeros((uh.shape[2], slab.shape[2] * 4), uh.dtype)
         return lax.scan(step, t0, (slab, avg, scale, uh))[0]
 
-    t_parts = [t_accum(source.slab(j), avg, scale, uh_all)
-               for j in range(k)]
+    t_parts = []
+    for j in range(k):
+        slab = None
+        slab = source.slab(j)
+        tj = t_accum(slab, avg, scale, uh_all)
+        np.asarray(tj[:1, :1])  # sync: bound slab residency
+        t_parts.append(tj)
+    slab = None
     T = jnp.concatenate(t_parts, axis=1)  # (hsize, n_pad)
 
     B = np.asarray(jnp.matmul(T, T.T, preferred_element_type=T.dtype,

@@ -260,8 +260,10 @@ def gcta_grm_tiles(source, n_samp: int, method: str = "GCTA",
         checkpoint, meta=(71 if gcta else 72, source.n_snp, n_samp,
                           group, source.chunk))
 
-    slab_i = None
-    cache_j = (None, None)  # (index, slab) one-slab column cache
+    # Peak HBM = exactly TWO slabs + scan workspace: every stale slab
+    # reference is dropped BEFORE a new slab loads (a transient third
+    # slab OOMs a 16 GB chip at the auto group size).
+    cache = {}  # at most one entry: column-slab cache {index: slab}
     for i in range(k):
         slab_i = None  # loaded lazily: a fully-checkpointed row skips it
         # serpentine: odd rows walk J downward so the previous row's last
@@ -276,23 +278,26 @@ def gcta_grm_tiles(source, n_samp: int, method: str = "GCTA",
                 yield r0, c0, nr, nc, saved["grm"]
                 continue
             if slab_i is None:
-                slab_i = (cache_j[1] if cache_j[0] == i
-                          else source.slab(i))
+                slab_i = cache.pop(i) if i in cache else source.slab(i)
             if j == i:
                 slab_j = slab_i
-            elif cache_j[0] == j:
-                slab_j = cache_j[1]
+            elif j in cache:
+                slab_j = cache[j]
             else:
+                cache.clear()  # drop the old column slab BEFORE loading
                 slab_j = source.slab(j)
-                cache_j = (j, slab_j)
+                cache[j] = slab_j
             out = _gcta_tile_scan(slab_i, slab_j, avg, scale, poly,
                                   r0, c0, gcta)
+            slab_j = None
             tile = np.asarray(out)[:nr, :nc].astype(out_dtype)
+            out = None
             tck.save(i, j, grm=tile)
             if verbose:
                 print(f"GRM tile ({i},{j}) rows {r0}..{r0 + nr} x "
                       f"cols {c0}..{c0 + nc}")
             yield r0, c0, nr, nc, tile
+        slab_i = None
 
 
 @jax.jit
@@ -336,7 +341,7 @@ def basis_count_tiles(source, n_samp: int, checkpoint=None,
     k = source.n_groups
     tck = TileGridCheckpointer(
         checkpoint, meta=(75, source.n_snp, n_samp, group, source.chunk))
-    cache_j = (None, None)
+    cache = {}  # at most one column slab (see gcta_grm_tiles HBM note)
     for i in range(k):
         slab_i = None
         cols = range(i, k) if i % 2 == 0 else range(k - 1, i - 1, -1)
@@ -349,22 +354,25 @@ def basis_count_tiles(source, n_samp: int, checkpoint=None,
                 yield r0, c0, nr, nc, saved["b"]
                 continue
             if slab_i is None:
-                slab_i = (cache_j[1] if cache_j[0] == i
-                          else source.slab(i))
+                slab_i = cache.pop(i) if i in cache else source.slab(i)
             if j == i:
                 slab_j = slab_i
-            elif cache_j[0] == j:
-                slab_j = cache_j[1]
+            elif j in cache:
+                slab_j = cache[j]
             else:
+                cache.clear()  # drop the old column slab BEFORE loading
                 slab_j = source.slab(j)
-                cache_j = (j, slab_j)
+                cache[j] = slab_j
             out = _basis_tile_scan(slab_i, slab_j)
+            slab_j = None
             b = np.stack([np.asarray(a)[:nr, :nc] for a in out]) \
                 .astype(np.int64)
+            out = None
             tck.save(i, j, b=b)
             if verbose:
                 print(f"count tile ({i},{j})")
             yield r0, c0, nr, nc, b
+        slab_i = None
 
 
 def pair_counts_tiled(ws, group: int, chunk=None, checkpoint=None,
