@@ -401,13 +401,17 @@ def pair_counts_tiled(ws, group: int, chunk=None, checkpoint=None,
     return PairCounts(*B)
 
 
-def auto_tile_group(n_snp: int, slab_budget: float = 8e9,
-                    carry_budget: float = 2.5e9,
+def auto_tile_group(n_snp: int, slab_budget: float = 6.5e9,
+                    carry_budget: float = 1.3e9,
                     bytes_per_cell: int = 8) -> int:
     """Sample-group size for the super-tile engine: two packed slabs
     (group x n_snp x 2bit) within slab_budget AND the (group x group)
     tile carries (bytes_per_cell: 8 for GRM f32+int32, 20 for the
-    5-counter integer basis) within carry_budget, 128-aligned."""
+    5-counter integer basis) within carry_budget, 128-aligned. Budgets
+    leave ~4 GB headroom on a 16 GB chip for the scan workspace (f32
+    chunk blocks, 3-pass bf16 copies, the shipped tile) plus allocator
+    fragmentation — group 16384 at 1M SNPs OOMed in practice, 12288
+    holds."""
     g1 = slab_budget / 2.0 / max(n_snp / 4.0, 1.0)
     g2 = (carry_budget / bytes_per_cell) ** 0.5
     g = int(min(g1, g2))
