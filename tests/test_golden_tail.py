@@ -387,3 +387,95 @@ def test_hwe_exact_golden(hapmap):
                                   int((g[i] == 0).sum()))
                       for i in range(g.shape[0])])
     np.testing.assert_allclose(pv, ref, rtol=1e-10)
+
+
+# ---------------------------------------------------------------------------
+# LD composite / D' / r — literal scalar transcriptions
+# (PairComposite genLD.cpp:215-250, PairDPrime :418-444, PairR :361-385)
+
+
+def _ld_scalar(g1, g2, method):
+    v = (g1 <= 2) & (g2 <= 2)
+    a, b = g1[v].astype(int), g2[v].astype(int)
+    n = len(a)
+    if method == "composite":
+        if n == 0:
+            return np.nan
+        naa = int((a == 0).sum()); naA = int((a == 1).sum())
+        nAA = int((a == 2).sum())
+        nbb = int((b == 0).sum()); nbB = int((b == 1).sum())
+        nBB = int((b == 2).sum())
+        nAABB = int(((a == 2) & (b == 2)).sum())
+        naabb = int(((a == 0) & (b == 0)).sum())
+        naaBB = int(((a == 0) & (b == 2)).sum())
+        nAAbb = int(((a == 2) & (b == 0)).sum())
+        delta = (nAABB + naabb - naaBB - nAAbb) / (2 * n) \
+            - (naa - nAA) * (nbb - nBB) / (2.0 * n * n)
+        pa = (2 * naa + naA) / (2 * n)
+        pA, pAA = 1 - pa, nAA / n
+        pb = (2 * nbb + nbB) / (2 * n)
+        pB, pBB = 1 - pb, nBB / n
+        DA = pAA - pA * pA
+        DB = pBB - pB * pB
+        t = (pA * pa + DA) * (pB * pb + DB)
+        return delta / math.sqrt(t) if t > 0 else np.nan
+    # haplotype-based measures: counts feeding ProportionHaplo
+    # (A = dosage-2 allele of snp1, B = snp2; genLD.cpp:57-172 tables)
+    nA_A = nA_B = nB_A = nB_B = nDH2 = 0
+    for x, y in zip(a, b):
+        if x == 1 and y == 1:
+            nDH2 += 2
+            continue
+        # each sample contributes 2 haplotypes; hets contribute one of
+        # each allele
+        hx = [1, 1] if x == 2 else ([0, 0] if x == 0 else [1, 0])
+        hy = [1, 1] if y == 2 else ([0, 0] if y == 0 else [1, 0])
+        for ha, hb in zip(hx, hy):
+            if ha and hb:
+                nA_A += 1
+            elif ha:
+                nA_B += 1
+            elif hb:
+                nB_A += 1
+            else:
+                nB_B += 1
+    from snprelate_tpu.ops.ld import em_haplo
+
+    pA_A, pA_B, pB_A, pB_B = (float(np.asarray(x)) for x in em_haplo(
+        [nA_A], [nA_B], [nB_A], [nB_B], [nDH2]))
+    pA = pA_A + pA_B
+    pB = pB_A + pB_B
+    p_A = pA_A + pB_A
+    p_B = pA_B + pB_B
+    D = pA_A - pA * p_A
+    if method == "dprime":
+        den = min(pA * p_B, pB * p_A) if D >= 0 \
+            else max(-pA * p_A, -pB * p_B)
+        return D / den
+    if method == "r":
+        t = pA * p_A * pB * p_B
+        return D / math.sqrt(t) if t > 0 else np.nan
+    raise ValueError(method)
+
+
+def test_ld_pair_measures_golden(hapmap):
+    from snprelate_tpu.models.ld import ld_pair
+    from snprelate_tpu.workspace import init_workspace
+
+    ws, _ = init_workspace(hapmap, sample_id=hapmap.sample_id[:90],
+                           snp_id=hapmap.snp_id[:80],
+                           autosome_only=False, remove_monosnp=False)
+    g = ws.geno().astype(float)
+    g[g == 3] = np.nan
+    pairs = [(0, 1), (2, 3), (10, 40), (5, 77), (33, 34), (60, 61)]
+    for method in ("composite", "dprime", "r"):
+        for i, j in pairs:
+            got = ld_pair(g[i], g[j], method=method)
+            if isinstance(got, dict):
+                got = got["ld"]
+            want = _ld_scalar(ws.geno()[i], ws.geno()[j], method)
+            if np.isnan(want):
+                assert np.isnan(got), (method, i, j)
+            else:
+                np.testing.assert_allclose(got, want, rtol=1e-10,
+                                           err_msg=f"{method} {i},{j}")
