@@ -47,11 +47,15 @@ def main():
     n = int(os.environ.get("PROBE_NSAMP", 16384))
     s = int(os.environ.get("PROBE_CHUNK", 32768))
     nch = int(os.environ.get("PROBE_NCHUNKS", 4))
-    rng = np.random.default_rng(0)
-    packed = jax.device_put(jnp.asarray(
-        rng.integers(0, 256, (nch, s, n // 4), np.uint8)))
-    xf = jax.device_put(jnp.asarray(
-        rng.standard_normal((nch, s, n)).astype(np.float32)))
+    # operands generated ON DEVICE: staging them over the dev tunnel
+    # (~3 MB/s) would dwarf the measurement
+    key = jax.random.key(0)
+    packed = jax.jit(lambda k: jax.random.bits(
+        k, (nch, s, n // 4), jnp.uint8))(key)
+    nchf = 2  # f32 operand is 16x the packed bytes: halve the chunks
+    xf = jax.jit(lambda k: jax.random.normal(
+        k, (nchf, s, n), jnp.float32))(key)
+    np.asarray(packed.ravel()[:1]); np.asarray(xf.ravel()[:1])
 
     def scan_over(fn, init):
         @jax.jit
@@ -134,7 +138,7 @@ def main():
               f"full-equiv {gram_ops/t/1e12:6.1f}")
 
     # E/F: block-triangular covariance
-    cov_full_ops = 2.0 * nch * n * n * s
+    cov_full_ops = 2.0 * nchf * n * n * s
     for nblk in (8, 4):
         nbl = nblk * (nblk + 1) // 2
 
