@@ -122,11 +122,146 @@ def ibd_king(data, sample_id=None, snp_id=None, autosome_only=True,
                             maybe_packed(kinship, use_matrix))
 
 
+def _make_tile_hits():
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnums=(5, 6))
+    def tile_hits(counters, fam_rows, fam_cols, cutoff, row_off,
+                  diag: bool, cap: int):
+        """Device cutoff filter + compaction for ONE (G x G) counter tile:
+        same admit-only f32 pre-tests as the strip kernel; returns
+        (count, ii, jj, 5 gathered integer counters) with only ~cap
+        entries crossing the host boundary. row_off = global row - col
+        index offset (diagonal tiles keep the strict lower triangle)."""
+        vv, hh, dd, hv, vh = counters
+        homo = vv + hh - hv - vh
+        ibs0_i = (homo - dd) // 2
+        ibs2_i = (homo + dd) // 2 + hh
+        ibs1_i = vv - ibs0_i - ibs2_i
+        ss = ibs1_i + 4 * ibs0_i
+        ss_f = ss.astype(jnp.float32)
+        mn = jnp.minimum(hv, vh)
+        thr = 2.0 - 4.0 * cutoff
+        mn_f = mn.astype(jnp.float32)
+        hit_btw = (mn > 0) & \
+            (ss_f <= thr * mn_f + 4e-6 * abs(thr) * mn_f + 1.0)
+        same = (fam_rows[:, None] == fam_cols[None, :]) & \
+            (fam_rows[:, None] >= 0)
+        tot = hv + vh
+        thr2 = 1.0 - 2.0 * cutoff
+        tot_f = tot.astype(jnp.float32)
+        hit_win = (tot > 0) & \
+            (ss_f <= thr2 * tot_f + 4e-6 * abs(thr2) * tot_f + 1.0)
+        hit = jnp.where(same, hit_win, hit_btw)
+        if diag:
+            g = vv.shape[0]
+            hit = hit & (row_off + jnp.arange(g)[:, None]
+                         > jnp.arange(g)[None, :])
+        cnt = hit.sum(dtype=jnp.int32)
+        flat = hit.ravel()
+        (idx,) = jnp.nonzero(flat, size=cap, fill_value=0)
+        g2 = vv.shape[1]
+        ii = (idx // g2).astype(jnp.int32)
+        jj = (idx - (idx // g2) * g2).astype(jnp.int32)
+        vals = tuple(c[ii, jj] for c in (ss, hv, vh, ibs0_i, vv))
+        return cnt, ii, jj, vals
+
+    return tile_hits
+
+
+_TILE_HITS = None
+
+
+def _king_screen_tiles(ws, fam, kinship_cutoff, hit_cap, group, chunk,
+                       verbose, source=None):
+    """Super-tile KING screen: the bounded-traffic route for selections
+    past the HBM slab-staging budget (the strip engine re-streams the
+    dataset once per strip). Per tile, ONLY compacted hits cross the
+    host boundary; a tile with more candidates than the cap retries with
+    a doubled cap (no dense fallback table)."""
+    import jax.numpy as jnp
+
+    from ..ops.pairwise import auto_chunk
+    from ..ops.tiles import (StoreSlabSource, _basis_tile_scan, _tile_walk,
+                             auto_tile_group)
+
+    global _TILE_HITS
+    if _TILE_HITS is None:
+        _TILE_HITS = _make_tile_hits()
+    n = ws.n_samp
+    sid = np.asarray(ws.sample_id, object)
+    if source is None:
+        if group is None:
+            group = auto_tile_group(ws.n_snp, bytes_per_cell=20)
+        if chunk is None:
+            chunk = auto_chunk(group, ws.n_snp)
+        source = StoreSlabSource(ws, group, chunk)
+    group = source.group
+    fam_pad = np.full(source.n_groups * group, -1, np.int32)
+    fam_pad[:n] = fam
+    fam_d = jnp.asarray(fam_pad)
+
+    id1, id2, ibs0_v, kin_v = [], [], [], []
+    for i, j, r0, c0, nr, nc, payload in _tile_walk(source, n):
+        slab_i, slab_j = payload
+        counters = _basis_tile_scan(slab_i, slab_j)
+        slab_i = slab_j = payload = None
+        fr = fam_d[i * group:(i + 1) * group]
+        fc = fam_d[j * group:(j + 1) * group]
+        cap = max(int(hit_cap), 1)
+        while True:
+            cnt, di, dj, dvals = _TILE_HITS(
+                counters, fr, fc, float(kinship_cutoff), r0 - c0,
+                i == j, cap)
+            cnt = int(cnt)
+            if cnt <= cap:
+                break
+            cap = 1 << (cnt - 1).bit_length()  # retry, compacted again
+        counters = None
+        if verbose:
+            print(f"KING screen tile ({i},{j}): {cnt} candidates")
+        if cnt == 0:
+            continue
+        ii = np.asarray(di)[:cnt]
+        jj = np.asarray(dj)[:cnt]
+        ss, hv_, vh_, ib0, nv = (np.asarray(v, np.float64)[:cnt]
+                                 for v in dvals)
+        keep_valid = (ii < nr) & (jj < nc)  # padding rows never hit, but
+        ii, jj = ii[keep_valid], jj[keep_valid]
+        ss, hv_, vh_, ib0, nv = (a[keep_valid]
+                                 for a in (ss, hv_, vh_, ib0, nv))
+        gi = ii + r0
+        gj = jj + c0
+        same = (fam[gi] == fam[gj]) & (fam[gj] >= 0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            kin = np.where(same, 0.5 - ss / (2.0 * (hv_ + vh_)),
+                           0.5 - ss / (4.0 * np.minimum(hv_, vh_)))
+        keep = np.nan_to_num(kin, nan=-np.inf) >= kinship_cutoff
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ibs0f = np.where(nv > 0, ib0 / nv, np.nan)
+        # ID1 = smaller global index (tiles have gi > gj on the diagonal,
+        # gi < gj off it — normalize to the selection convention)
+        lo = np.minimum(gi, gj)[keep]
+        hi = np.maximum(gi, gj)[keep]
+        id1.append(sid[lo])
+        id2.append(sid[hi])
+        kin_v.append(kin[keep])
+        ibs0_v.append(ibs0f[keep])
+    return {"ID1": np.concatenate(id1) if id1 else np.array([], object),
+            "ID2": np.concatenate(id2) if id2 else np.array([], object),
+            "IBS0": np.concatenate(ibs0_v) if ibs0_v else np.array([]),
+            "kinship": np.concatenate(kin_v) if kin_v else np.array([])}
+
+
 def king_ibd_selection(data, kinship_cutoff, sample_id=None, snp_id=None,
                        autosome_only=True, remove_monosnp=True,
                        maf=math.nan, missing_rate=0.01, family_id=None,
                        sample_block=None, chunk=None, verbose=False,
-                       hit_cap: int = 65536, mesh=None):
+                       hit_cap: int = 65536, mesh=None, tiles=None,
+                       tile_group=None):
     """Streaming KING-robust relatedness screening for cohorts whose n x n
     kinship matrix does not fit anywhere: equivalent to
     ibd_selection(ibd_king(data, type="KING-robust", family_id=...),
@@ -164,6 +299,12 @@ def king_ibd_selection(data, kinship_cutoff, sample_id=None, snp_id=None,
     sid = np.asarray(ws.sample_id, object)
     n = ws.n_samp
     fam = _resolve_family(family_id, sample_id, ws)
+    if mesh is None and tiles is not False \
+            and (tiles or ws.n_snp * (-(-n // 4)) > 2e9):
+        # bounded-traffic super-tile route (the strip engine re-streams
+        # the dataset once per strip past the slab-staging budget)
+        return _king_screen_tiles(ws, fam, kinship_cutoff, hit_cap,
+                                  tile_group, chunk, verbose)
     ndev, shard_carry, wrap = _mesh_row_tools(mesh)
     sample_block, n_pad, chunk, chunks = _row_tile_setup(
         ws, sample_block, chunk, 128 * ndev, bytes_per_cell=20)

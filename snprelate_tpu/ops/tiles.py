@@ -242,27 +242,17 @@ def _stats_pass(source, fdt):
             jnp.asarray(poly), int(poly.sum()))
 
 
-def gcta_grm_tiles(source, n_samp: int, method: str = "GCTA",
-                   checkpoint=None, verbose: bool = False,
-                   out_dtype=np.float64):
-    """Super-tile GRM: yields (r0, c0, nr, nc, grm_tile) over the upper
-    tile triangle (r0 <= c0). method 'GCTA' applies the per-pair
-    missing denominator (genPCA.cpp:1202-1236); 'Eigenstrat' yields the
-    raw covariance tiles (caller applies the (n-1)/trace scale, which
-    needs the full diagonal). Tiles are final (independent of each
-    other), so the grid checkpointer resumes at any completed subset."""
-    gcta = method == "GCTA"
-    fdt = _default_float_dtype()
+def _tile_walk(source, n_samp: int, saved_fn=None):
+    """Upper-tile-triangle walk with the serpentine one-slab column cache
+    and the two-slab memory discipline (peak HBM = exactly TWO slabs +
+    workspace: every stale reference is dropped BEFORE a new slab loads —
+    a transient third slab OOMs a 16 GB chip at the auto group size).
+
+    Yields (i, j, r0, c0, nr, nc, payload) where payload is
+    ``saved_fn(i, j)``'s non-None result (checkpoint hit, slabs NOT
+    loaded) or the (slab_i, slab_j) device pair to compute from."""
     group = source.group
     k = source.n_groups
-    avg, scale, poly, _nloc = _stats_pass(source, fdt)
-    tck = TileGridCheckpointer(
-        checkpoint, meta=(71 if gcta else 72, source.n_snp, n_samp,
-                          group, source.chunk))
-
-    # Peak HBM = exactly TWO slabs + scan workspace: every stale slab
-    # reference is dropped BEFORE a new slab loads (a transient third
-    # slab OOMs a 16 GB chip at the auto group size).
     cache = {}  # at most one entry: column-slab cache {index: slab}
     for i in range(k):
         slab_i = None  # loaded lazily: a fully-checkpointed row skips it
@@ -273,9 +263,9 @@ def gcta_grm_tiles(source, n_samp: int, method: str = "GCTA",
             r0, c0 = i * group, j * group
             nr = min(group, n_samp - r0)
             nc = min(group, n_samp - c0)
-            saved = tck.load(i, j)
+            saved = saved_fn(i, j) if saved_fn else None
             if saved is not None:
-                yield r0, c0, nr, nc, saved["grm"]
+                yield i, j, r0, c0, nr, nc, saved
                 continue
             if slab_i is None:
                 slab_i = cache.pop(i) if i in cache else source.slab(i)
@@ -287,17 +277,43 @@ def gcta_grm_tiles(source, n_samp: int, method: str = "GCTA",
                 cache.clear()  # drop the old column slab BEFORE loading
                 slab_j = source.slab(j)
                 cache[j] = slab_j
-            out = _gcta_tile_scan(slab_i, slab_j, avg, scale, poly,
-                                  r0, c0, gcta)
+            yield i, j, r0, c0, nr, nc, (slab_i, slab_j)
             slab_j = None
-            tile = np.asarray(out)[:nr, :nc].astype(out_dtype)
-            out = None
-            tck.save(i, j, grm=tile)
-            if verbose:
-                print(f"GRM tile ({i},{j}) rows {r0}..{r0 + nr} x "
-                      f"cols {c0}..{c0 + nc}")
-            yield r0, c0, nr, nc, tile
         slab_i = None
+
+
+def gcta_grm_tiles(source, n_samp: int, method: str = "GCTA",
+                   checkpoint=None, verbose: bool = False,
+                   out_dtype=np.float64):
+    """Super-tile GRM: yields (r0, c0, nr, nc, grm_tile) over the upper
+    tile triangle (r0 <= c0). method 'GCTA' applies the per-pair
+    missing denominator (genPCA.cpp:1202-1236); 'Eigenstrat' yields the
+    raw covariance tiles (caller applies the (n-1)/trace scale, which
+    needs the full diagonal). Tiles are final (independent of each
+    other), so the grid checkpointer resumes at any completed subset."""
+    gcta = method == "GCTA"
+    fdt = _default_float_dtype()
+    avg, scale, poly, _nloc = _stats_pass(source, fdt)
+    tck = TileGridCheckpointer(
+        checkpoint, meta=(71 if gcta else 72, source.n_snp, n_samp,
+                          source.group, source.chunk))
+
+    for i, j, r0, c0, nr, nc, payload in _tile_walk(
+            source, n_samp, saved_fn=tck.load):
+        if isinstance(payload, dict):
+            yield r0, c0, nr, nc, payload["grm"]
+            continue
+        slab_i, slab_j = payload
+        out = _gcta_tile_scan(slab_i, slab_j, avg, scale, poly,
+                              r0, c0, gcta)
+        slab_i = slab_j = payload = None
+        tile = np.asarray(out)[:nr, :nc].astype(out_dtype)
+        out = None
+        tck.save(i, j, grm=tile)
+        if verbose:
+            print(f"GRM tile ({i},{j}) rows {r0}..{r0 + nr} x "
+                  f"cols {c0}..{c0 + nc}")
+        yield r0, c0, nr, nc, tile
 
 
 @jax.jit
@@ -341,38 +357,21 @@ def basis_count_tiles(source, n_samp: int, checkpoint=None,
     k = source.n_groups
     tck = TileGridCheckpointer(
         checkpoint, meta=(75, source.n_snp, n_samp, group, source.chunk))
-    cache = {}  # at most one column slab (see gcta_grm_tiles HBM note)
-    for i in range(k):
-        slab_i = None
-        cols = range(i, k) if i % 2 == 0 else range(k - 1, i - 1, -1)
-        for j in cols:
-            r0, c0 = i * group, j * group
-            nr = min(group, n_samp - r0)
-            nc = min(group, n_samp - c0)
-            saved = tck.load(i, j)
-            if saved is not None:
-                yield r0, c0, nr, nc, saved["b"]
-                continue
-            if slab_i is None:
-                slab_i = cache.pop(i) if i in cache else source.slab(i)
-            if j == i:
-                slab_j = slab_i
-            elif j in cache:
-                slab_j = cache[j]
-            else:
-                cache.clear()  # drop the old column slab BEFORE loading
-                slab_j = source.slab(j)
-                cache[j] = slab_j
-            out = _basis_tile_scan(slab_i, slab_j)
-            slab_j = None
-            b = np.stack([np.asarray(a)[:nr, :nc] for a in out]) \
-                .astype(np.int64)
-            out = None
-            tck.save(i, j, b=b)
-            if verbose:
-                print(f"count tile ({i},{j})")
-            yield r0, c0, nr, nc, b
-        slab_i = None
+    for i, j, r0, c0, nr, nc, payload in _tile_walk(
+            source, n_samp, saved_fn=tck.load):
+        if isinstance(payload, dict):
+            yield r0, c0, nr, nc, payload["b"]
+            continue
+        slab_i, slab_j = payload
+        out = _basis_tile_scan(slab_i, slab_j)
+        slab_i = slab_j = payload = None
+        b = np.stack([np.asarray(a)[:nr, :nc] for a in out]) \
+            .astype(np.int64)
+        out = None
+        tck.save(i, j, b=b)
+        if verbose:
+            print(f"count tile ({i},{j})")
+        yield r0, c0, nr, nc, b
 
 
 def pair_counts_tiled(ws, group: int, chunk=None, checkpoint=None,

@@ -343,6 +343,45 @@ def test_grm_super_tiles_checkpoint(big_data, tmp_path):
     np.testing.assert_allclose(mat, full.grm, rtol=1e-9, atol=1e-12)
 
 
+def test_king_screen_super_tiles(big_data):
+    """Tile-route KING screen (king_ibd_selection(tiles=True)) == the
+    strip route, with family semantics and a tiny hit_cap exercising the
+    compacted-retry path."""
+    import snprelate_tpu as sr
+    from snprelate_tpu.io.store import create_geno
+
+    _data, g0 = big_data
+    g = g0.copy()
+    n_snp, n = g.shape
+    rng = np.random.default_rng(2)
+    for a, b in ((3, 4), (600, 1800), (1025, 1026)):
+        m = rng.random(n_snp) < 0.85
+        g[m, b] = g[m, a]
+    data = create_geno(
+        g, sample_id=[f"s{i}" for i in range(n)], snp_id=np.arange(n_snp),
+        snp_position=np.arange(n_snp) * 50,
+        snp_chromosome=np.ones(n_snp, np.int32))
+    fam = [f"F{i // 16}" if i % 7 else "" for i in range(n)]
+    kw = dict(autosome_only=False, remove_monosnp=False,
+              missing_rate=np.nan, kinship_cutoff=0.05, family_id=fam)
+
+    base = sr.king_ibd_selection(data, sample_block=512, **kw)
+    assert len(base["ID1"]) >= 3
+
+    def key(d):
+        return sorted(zip(d["ID1"].tolist(), d["ID2"].tolist(),
+                          np.round(d["kinship"], 12).tolist(),
+                          np.round(d["IBS0"], 12).tolist()))
+
+    tiled = sr.king_ibd_selection(data, tiles=True, tile_group=512,
+                                  chunk=128, **kw)
+    assert key(tiled) == key(base)
+    # hit_cap=1 forces the doubled-cap retry on every non-empty tile
+    tiny = sr.king_ibd_selection(data, tiles=True, tile_group=512,
+                                 chunk=128, hit_cap=1, **kw)
+    assert key(tiny) == key(base)
+
+
 def test_pair_counts_super_tiles_bit_exact(big_data):
     """Integer basis super tiles (pair_counts_tiled) == full engine,
     bit-exact, including the off-diagonal hv/vh transpose mirroring."""

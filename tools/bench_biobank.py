@@ -203,6 +203,15 @@ def run(args):
     }
     print(json.dumps({"phase": "grm", **results["grm"]}), flush=True)
 
+    if args.skip_pca:
+        results["total_wall_s"] = round(grm_s, 1)
+        out = args.out or "BIOBANK.json"
+        with open(out, "w") as f:
+            json.dump(results, f, indent=1)
+        print(json.dumps({"phase": "total", "wall_s": results
+                          ["total_wall_s"], "artifact": out}), flush=True)
+        return results
+
     # ---- phase: randomized PCA to top-32 PCs
     t0 = time.time()
     pca = randomized_pca_slabs(src, n, eigen_cnt=args.pcs,
@@ -288,6 +297,7 @@ if __name__ == "__main__":
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--out", default=None)
     ap.add_argument("--verbose", action="store_true")
+    ap.add_argument("--skip-pca", action="store_true")
     ap.add_argument("--selftest-resume", action="store_true")
     args = ap.parse_args()
     if args.group is None:
