@@ -1012,6 +1012,12 @@ def king_homo_counts(ws, chunk=None, pad_to: int = 128,
     if sample_block is None and (mesh is not None
                                  or 24.0 * n_pad * n_pad > 6e9):
         sample_block = 4096
+    if sample_block and mesh is None \
+            and ws.n_snp * (-(-ws.n_samp // 4)) > 2e9:
+        # bounded-traffic super-tile route (see pair_counts)
+        from .tiles import king_homo_parts_tiled
+
+        return king_homo_parts_tiled(ws, chunk=chunk, verbose=verbose)
     if sample_block:
         n = ws.n_samp
         B = np.empty((5, n, n), np.int64)
@@ -1080,6 +1086,12 @@ def eigmix_parts(ws, chunk=None, pad_to: int = 128,
     if sample_block is None and (mesh is not None
                                  or 5.0 * n_pad * n_pad > 6e9):
         sample_block = 4096
+    if sample_block and mesh is None \
+            and ws.n_snp * (-(-ws.n_samp // 4)) > 2e9:
+        # bounded-traffic super-tile route (see pair_counts)
+        from .tiles import eigmix_parts_tiled
+
+        return eigmix_parts_tiled(ws, chunk=chunk, verbose=verbose)
     if sample_block:
         n = ws.n_samp
         num = np.empty((n, n))

@@ -36,7 +36,7 @@ import numpy as np
 from jax import lax
 
 from .decode import decode2bit
-from .pairwise import _default_float_dtype, norm_precision
+from .pairwise import MM_PRECISION, _default_float_dtype, norm_precision
 
 
 @dataclass
@@ -398,6 +398,168 @@ def pair_counts_tiled(ws, group: int, chunk=None, checkpoint=None,
             B[3, c0:c0 + nc, r0:r0 + nr] = b[4].T
             B[4, c0:c0 + nc, r0:r0 + nr] = b[3].T
     return PairCounts(*B)
+
+
+@functools.partial(jax.jit, static_argnums=(4,))
+def _eigmix_tile_scan(slab_i, slab_j, avg, d_w, diag: bool):
+    """EIGMIX parts for one tile (genEIGMIX.cpp:43-157): centered
+    (unscaled) covariance + d-weighted validity gram, with the per-sample
+    het counts reduced on DIAGONAL tiles (every group has one, so the
+    full het vector assembles with no extra slab loads). avg/d_w are
+    (n_chunks, chunk) pass-1 stats over ALL samples (d = 4p(1-p))."""
+    fdt = avg.dtype
+    g = slab_i.shape[2] * 4
+
+    def step(carry, xs):
+        pk_i, pk_j, av, dw = xs
+        cov, wvg, het = carry
+
+        def cent(pk):
+            geno = decode2bit(pk)
+            valid = geno < 3
+            x = jnp.where(valid, geno.astype(fdt), av[:, None]) \
+                - av[:, None]
+            return x, valid, geno
+
+        xi, vi, gi = cent(pk_i)
+        xj, vj, _ = cent(pk_j)
+        cov = cov + jnp.matmul(xi.T, xj, preferred_element_type=fdt,
+                               precision=MM_PRECISION)
+        wvi = vi.astype(fdt) * dw[:, None]
+        wvg = wvg + jnp.matmul(wvi.T, vj.astype(fdt),
+                               preferred_element_type=fdt,
+                               precision=MM_PRECISION)
+        if diag:
+            het = het + (gi == 1).sum(axis=0, dtype=jnp.int32)
+        return (cov, wvg, het), None
+
+    carry = (jnp.zeros((g, g), fdt), jnp.zeros((g, g), fdt),
+             jnp.zeros((g,), jnp.int32))
+    return lax.scan(step, carry, (slab_i, slab_j, avg, d_w))[0]
+
+
+def eigmix_parts_tiled(ws, group=None, chunk=None, verbose=False,
+                       meter=None, source=None):
+    """Assembled EIGMIX parts (num, wvg, het) from super tiles — the
+    bounded-traffic analog of ops.pairwise.eigmix_rows."""
+    from .pairwise import auto_chunk
+
+    n = ws.n_samp if ws is not None else source.n_samp
+    if source is None:
+        if group is None:
+            group = auto_tile_group(ws.n_snp)
+        group = -(-group // 128) * 128
+        if chunk is None:
+            chunk = auto_chunk(group, ws.n_snp)
+        source = StoreSlabSource(ws, group, chunk, meter=meter)
+    group = source.group
+    fdt = _default_float_dtype()
+    avg, _scale, _poly, _nl = _stats_pass(source, fdt)
+    af = 0.5 * np.asarray(avg, np.float64)
+    d_w = jnp.asarray(4.0 * af * (1.0 - af),
+                      np.float64 if fdt == jnp.float64 else np.float32)
+    num = np.empty((n, n))
+    wvg = np.empty((n, n))
+    het = np.empty(n, np.int64)
+    for i, j, r0, c0, nr, nc, payload in _tile_walk(source, n):
+        slab_i, slab_j = payload
+        cov_t, wvg_t, het_t = _eigmix_tile_scan(slab_i, slab_j, avg, d_w,
+                                                i == j)
+        slab_i = slab_j = payload = None
+        num[r0:r0 + nr, c0:c0 + nc] = np.asarray(cov_t)[:nr, :nc]
+        wvg[r0:r0 + nr, c0:c0 + nc] = np.asarray(wvg_t)[:nr, :nc]
+        if i != j:
+            num[c0:c0 + nc, r0:r0 + nr] = num[r0:r0 + nr, c0:c0 + nc].T
+            wvg[c0:c0 + nc, r0:r0 + nr] = wvg[r0:r0 + nr, c0:c0 + nc].T
+        else:
+            het[r0:r0 + nr] = np.asarray(het_t)[:nr]
+        if verbose:
+            print(f"EIGMIX tile ({i},{j})")
+    return num, wvg, het
+
+
+@jax.jit
+def _king_homo_tile_scan(slab_i, slab_j, w):
+    """KING-homo parts for one tile (genKING.cpp:58-266): the 5 integer
+    basis counters plus the p(1-p)- and (p(1-p))^2-weighted validity
+    grams. w = (n_chunks, chunk) per-SNP p(1-p) from pass-1 stats."""
+    from .decode import genotype_basis
+    from .pairwise import _plane_mm_dtype
+
+    fdt = w.dtype
+    g = slab_i.shape[2] * 4
+    mm_dt = _plane_mm_dtype()
+
+    def step(carry, xs):
+        pk_i, pk_j, ww = xs
+        grams, waf, waf2 = carry
+        gi = decode2bit(pk_i)
+        gj = decode2bit(pk_j)
+        bi = genotype_basis(gi).astype(mm_dt)
+        bj = genotype_basis(gj).astype(mm_dt)
+
+        def mm(x, y):
+            return lax.dot_general(x, y, (((0,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.int32)
+
+        grams = (grams[0] + mm(bi[0], bj[0]), grams[1] + mm(bi[1], bj[1]),
+                 grams[2] + mm(bi[2], bj[2]), grams[3] + mm(bi[1], bj[0]),
+                 grams[4] + mm(bi[0], bj[1]))
+        vi = (gi < 3).astype(fdt)
+        vj = (gj < 3).astype(fdt)
+        waf = waf + jnp.matmul((vi * ww[:, None]).T, vj,
+                               preferred_element_type=fdt,
+                               precision=MM_PRECISION)
+        waf2 = waf2 + jnp.matmul((vi * (ww * ww)[:, None]).T, vj,
+                                 preferred_element_type=fdt,
+                                 precision=MM_PRECISION)
+        return (grams, waf, waf2), None
+
+    carry = (tuple(jnp.zeros((g, g), jnp.int32) for _ in range(5)),
+             jnp.zeros((g, g), fdt), jnp.zeros((g, g), fdt))
+    return lax.scan(step, carry, (slab_i, slab_j, w))[0]
+
+
+def king_homo_parts_tiled(ws, group=None, chunk=None, verbose=False,
+                          meter=None, source=None):
+    """Assembled KING-homo parts (PairCounts, waf, waf2) from super
+    tiles — the bounded-traffic analog of king_homo_rows."""
+    from .pairwise import PairCounts, auto_chunk
+
+    n = ws.n_samp if ws is not None else source.n_samp
+    if source is None:
+        if group is None:
+            group = auto_tile_group(ws.n_snp, bytes_per_cell=36)
+        group = -(-group // 128) * 128
+        if chunk is None:
+            chunk = auto_chunk(group, ws.n_snp)
+        source = StoreSlabSource(ws, group, chunk, meter=meter)
+    fdt = _default_float_dtype()
+    avg, _scale, _poly, _nl = _stats_pass(source, fdt)
+    p = 0.5 * np.asarray(avg, np.float64)
+    w = jnp.asarray(p * (1.0 - p),
+                    np.float64 if fdt == jnp.float64 else np.float32)
+    B = np.empty((5, n, n), np.int64)
+    waf = np.empty((n, n))
+    waf2 = np.empty((n, n))
+    for i, j, r0, c0, nr, nc, payload in _tile_walk(source, n):
+        slab_i, slab_j = payload
+        grams, w1, w2 = _king_homo_tile_scan(slab_i, slab_j, w)
+        slab_i = slab_j = payload = None
+        b = np.stack([np.asarray(a)[:nr, :nc] for a in grams])
+        B[:, r0:r0 + nr, c0:c0 + nc] = b
+        waf[r0:r0 + nr, c0:c0 + nc] = np.asarray(w1)[:nr, :nc]
+        waf2[r0:r0 + nr, c0:c0 + nc] = np.asarray(w2)[:nr, :nc]
+        if i != j:
+            for sym in (0, 1, 2):
+                B[sym, c0:c0 + nc, r0:r0 + nr] = b[sym].T
+            B[3, c0:c0 + nc, r0:r0 + nr] = b[4].T
+            B[4, c0:c0 + nc, r0:r0 + nr] = b[3].T
+            waf[c0:c0 + nc, r0:r0 + nr] = waf[r0:r0 + nr, c0:c0 + nc].T
+            waf2[c0:c0 + nc, r0:r0 + nr] = waf2[r0:r0 + nr, c0:c0 + nc].T
+        if verbose:
+            print(f"KING-homo tile ({i},{j})")
+    return PairCounts(*B), waf, waf2
 
 
 def auto_tile_group(n_snp: int, slab_budget: float = 6.5e9,

@@ -396,6 +396,32 @@ def test_pair_counts_super_tiles_bit_exact(big_data):
                                   np.stack(full.base()))
 
 
+def test_eigmix_king_homo_super_tiles(big_data):
+    """EIGMIX and KING-homo super-tile engines == the full in-HBM parts
+    (counts bit-exact; float grams to f64 tolerance)."""
+    from snprelate_tpu.ops.pairwise import eigmix_parts, king_homo_counts
+    from snprelate_tpu.ops.tiles import (StoreSlabSource,
+                                         eigmix_parts_tiled,
+                                         king_homo_parts_tiled)
+
+    data, _g = big_data
+    ws = _workspace(data)
+    src = StoreSlabSource(ws, group=512, chunk=128)
+
+    num0, wvg0, het0 = eigmix_parts(ws)
+    num1, wvg1, het1 = eigmix_parts_tiled(ws, source=src)
+    np.testing.assert_allclose(num1, num0, rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(wvg1, wvg0, rtol=1e-10, atol=1e-12)
+    np.testing.assert_array_equal(het1, het0)
+
+    c0, waf0, waf20 = king_homo_counts(ws)
+    src2 = StoreSlabSource(ws, group=512, chunk=128)
+    c1, waf1, waf21 = king_homo_parts_tiled(ws, source=src2)
+    np.testing.assert_array_equal(np.stack(c1.base()), np.stack(c0.base()))
+    np.testing.assert_allclose(waf1, waf0, rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(waf21, waf20, rtol=1e-10, atol=1e-12)
+
+
 def test_randomized_pca_slabs_equals_plain(big_data):
     """Slab-wise randomized PCA (the biobank path) == the plain
     randomized PCA on the same data and seed: identical subspace math,
