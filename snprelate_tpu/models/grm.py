@@ -139,7 +139,19 @@ def grm(data, sample_id=None, snp_id=None, autosome_only=True,
                                  verbose=verbose)
         mat *= (n - 1) / float(np.trace(mat))
     elif method == "Corr":
-        mat = _gcta(ws, chunk, mesh, checkpoint, verbose)
+        if sample_block is not None:
+            # large-N: reuse whichever GCTA path applies (row strips or
+            # super tiles), then rescale (genPCA.cpp:1658-1686)
+            base = grm(data, sample_id=sample_id, snp_id=snp_id,
+                       autosome_only=autosome_only,
+                       remove_monosnp=remove_monosnp, maf=maf,
+                       missing_rate=missing_rate, method="GCTA",
+                       mesh=mesh, verbose=verbose, chunk=chunk,
+                       checkpoint=checkpoint, sample_block=sample_block,
+                       tiles=tiles, tile_group=tile_group)
+            mat = base.grm
+        else:
+            mat = _gcta(ws, chunk, mesh, checkpoint, verbose)
         d = np.sqrt(np.diag(mat).copy())
         mat = mat / np.outer(d, d)
         np.fill_diagonal(mat, 1.0)
