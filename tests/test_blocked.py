@@ -396,6 +396,29 @@ def test_pair_counts_super_tiles_bit_exact(big_data):
                                   np.stack(full.base()))
 
 
+def test_super_tiles_odd_sample_count(big_data):
+    """Tile engines with n not divisible by the group OR by 4: last-byte
+    and last-group padding must contribute nothing."""
+    import snprelate_tpu as sr
+    from snprelate_tpu.workspace import init_workspace
+    from snprelate_tpu.ops.pairwise import pair_counts
+    from snprelate_tpu.ops.tiles import grm_tiled, pair_counts_tiled
+
+    data, _g = big_data
+    sid = list(data.sample_id[:1021])  # odd, non-multiple of 4
+    ws, _ = init_workspace(data, sample_id=sid, autosome_only=False,
+                           remove_monosnp=False, missing_rate=np.nan)
+    full = pair_counts(ws)
+    tiled = pair_counts_tiled(ws, group=256, chunk=128)
+    np.testing.assert_array_equal(np.stack(tiled.base()),
+                                  np.stack(full.base()))
+    g_full = sr.grm(data, sample_id=sid, method="GCTA",
+                    autosome_only=False, remove_monosnp=False,
+                    missing_rate=np.nan)
+    g_tile = grm_tiled(ws, group=256, chunk=128)
+    np.testing.assert_allclose(g_tile, g_full.grm, rtol=1e-9, atol=1e-12)
+
+
 def test_eigmix_king_homo_super_tiles(big_data):
     """EIGMIX and KING-homo super-tile engines == the full in-HBM parts
     (counts bit-exact; float grams to f64 tolerance)."""
