@@ -157,35 +157,49 @@ def sliding_window(data, fun, winsize=100000, shift=10000, unit="basepair",
     res = {}
     from .ld import pd_unique
 
+    def num_win(start: int, end: int) -> int:
+        """SlidingNumWin (genSlideWin.cpp:77-84): windows from start by
+        shift while start <= end - winsize, plus one — always >= 1, and
+        EMPTY windows are enumerated (n = 0, val = NaN)."""
+        cnt = 0
+        end -= winsize
+        while start <= end:
+            cnt += 1
+            start += shift
+        return cnt + 1
+
     for ch in pd_unique(chrom[in_ws]):
         mask = in_ws & (chrom == ch)
         idx = np.flatnonzero(mask)
         pos = position[idx].astype(np.int64)
         order = np.argsort(pos, kind="stable")
         idx, pos = idx[order], pos[order]
-        starts, counts, vals = [], [], []
+        starts, counts, vals, posmean = [], [], [], []
         if unit == "basepair":
             w0 = int(pos.min()) if winstart is None else int(winstart)
-            while w0 <= pos.max():
-                inwin = (pos >= w0) & (pos < w0 + winsize)
-                if inwin.any():
-                    starts.append(w0)
-                    counts.append(int(inwin.sum()))
-                    vals.append(call(ws.sample_id, data.snp_id[idx[inwin]]))
-                w0 += shift
+            nwin = num_win(w0, int(pos.max()))
         elif unit == "locus":
-            i0 = 0
-            while i0 < len(idx):
-                sel = idx[i0 : i0 + winsize]
-                if len(sel):
-                    starts.append(i0)
-                    counts.append(len(sel))
-                    vals.append(call(ws.sample_id, data.snp_id[sel]))
-                i0 += shift
+            w0 = 0 if winstart is None else int(winstart) - 1
+            nwin = num_win(w0, len(idx) - 1)
         else:
             raise ValueError("unit should be basepair or locus")
+        for _ in range(nwin):
+            if unit == "basepair":
+                inwin = (pos >= w0) & (pos < w0 + winsize)
+                sel = idx[inwin]
+                ppos = pos[inwin]
+            else:
+                sel = idx[max(w0, 0) : w0 + winsize]
+                ppos = pos[max(w0, 0) : w0 + winsize]
+            starts.append(w0)
+            counts.append(len(sel))
+            posmean.append(float(ppos.mean()) if len(sel) else math.nan)
+            vals.append(call(ws.sample_id, data.snp_id[sel])
+                        if len(sel) else math.nan)
+            w0 += shift
         res[f"chr{ch}"] = {"start": np.asarray(starts),
-                           "n": np.asarray(counts), "val": vals}
+                           "n": np.asarray(counts),
+                           "pos.mean": np.asarray(posmean), "val": vals}
     return res
 
 

@@ -479,3 +479,122 @@ def test_ld_pair_measures_golden(hapmap):
             else:
                 np.testing.assert_allclose(got, want, rtol=1e-10,
                                            err_msg=f"{method} {i},{j}")
+
+
+# ---------------------------------------------------------------------------
+# Sliding windows — literal transcription of the gnrSlidingWindow loop
+# (genSlideWin.cpp:77-84 SlidingNumWin, :224-266 window masks)
+
+
+def _slide_ref(pos, winsize, shift, unit, winstart=None):
+    """Per-chromosome window enumeration exactly as the C driver: fixed
+    window count incl. empty windows, [x, x+winsize) membership
+    (basepair) or index ranges (locus), per-window pos means."""
+    pos = np.sort(np.asarray(pos, np.int64))
+
+    def num_win(start, end):
+        cnt = 0
+        end -= winsize
+        while start <= end:
+            cnt += 1
+            start += shift
+        return cnt + 1
+
+    if unit == "basepair":
+        x = int(pos.min()) if winstart is None else int(winstart)
+        n = num_win(x, int(pos.max()))
+    else:
+        x = 0 if winstart is None else int(winstart) - 1
+        n = num_win(x, len(pos) - 1)
+    wins = []
+    for _ in range(n):
+        if unit == "basepair":
+            k = (pos >= x) & (pos < x + winsize)
+            ppos = pos[k]
+        else:
+            ppos = pos[max(x, 0): x + winsize]
+        wins.append((x, len(ppos),
+                     float(ppos.mean()) if len(ppos) else np.nan))
+        x += shift
+    return wins
+
+
+def test_sliding_window_golden(hapmap):
+    from snprelate_tpu import sliding_window
+    from snprelate_tpu.workspace import init_workspace
+
+    sid = hapmap.sample_id[:25]
+    snp_sel = hapmap.snp_id[:3000]
+    for unit, winsize, shift in (("basepair", 2_000_000, 1_000_000),
+                                 ("locus", 400, 150),
+                                 ("basepair", 10**9, 10**8)):  # > span
+        res = sliding_window(hapmap, "snpgdsSNPRateFreq", winsize=winsize,
+                             shift=shift, unit=unit, sample_id=sid,
+                             snp_id=snp_sel)
+        ws, _ = init_workspace(hapmap, sample_id=sid, snp_id=snp_sel,
+                               autosome_only=False, remove_monosnp=True,
+                               missing_rate=math.nan)
+        chrom = np.asarray(hapmap.snp_chromosome)
+        posall = np.asarray(hapmap.snp_position)
+        in_ws = np.zeros(hapmap.n_snp, bool)
+        in_ws[ws.snp_idx] = True
+        for key, r in res.items():
+            ch = int(key[3:])
+            pos = posall[in_ws & (chrom == ch)]
+            ref = _slide_ref(pos, winsize, shift, unit)
+            assert len(r["start"]) == len(ref), (key, unit)
+            for w, (x, cnt, pm) in enumerate(ref):
+                assert r["start"][w] == x
+                assert r["n"][w] == cnt, (key, w)
+                if cnt:
+                    np.testing.assert_allclose(r["pos.mean"][w], pm,
+                                               rtol=1e-12)
+                else:
+                    assert np.isnan(r["pos.mean"][w])
+                    assert isinstance(r["val"][w], float) \
+                        and np.isnan(r["val"][w])
+
+
+# ---------------------------------------------------------------------------
+# AdmixProp — independent affine-coordinates derivation (R/PCA.R:347-425)
+
+
+def test_admix_prop_golden(hapmap):
+    """admix_prop solves E_i = sum_g p_ig * m_g with sum_g p_ig = 1 where
+    m_g are the group-mean eigenvector points. Check against an
+    independent per-sample least-squares solve of that affine system,
+    plus the vertex identity (a group's mean point maps to the unit
+    vector of its own group)."""
+    import snprelate_tpu as sr
+
+    p = sr.pca(hapmap, eigen_cnt=8)
+    pops = np.asarray(hapmap.sample_annot["pop.group"], object)
+    sid = np.asarray(hapmap.sample_id, object)
+    groups = {g: sid[pops == g][:40].tolist()
+              for g in ("CEU", "YRI", "HCB")}
+    prop = sr.admix_prop(p, groups)
+    assert prop.shape == (len(sid), 3)
+    np.testing.assert_allclose(prop.sum(1), 1.0, rtol=1e-10)
+
+    # independent solve: affine coordinates via lstsq per sample
+    E = p.eigenvect[:, :2]
+    pos = {s: i for i, s in enumerate(sid.tolist())}
+    verts = np.stack([E[[pos[s] for s in ids]].mean(0)
+                      for ids in groups.values()])  # (3, 2)
+    A = np.vstack([verts.T, np.ones(3)])  # (3, 3): affine system
+    for i in range(0, len(sid), 17):
+        b = np.concatenate([E[i], [1.0]])
+        ref = np.linalg.solve(A, b)
+        np.testing.assert_allclose(prop[i], ref, rtol=1e-8, atol=1e-10)
+
+    # vertex identity: the mean point of each group -> its unit vector
+    for gi, ids in enumerate(groups.values()):
+        mean_prop = prop[[pos[s] for s in ids]].mean(0)
+        unit = np.zeros(3)
+        unit[gi] = 1.0
+        np.testing.assert_allclose(mean_prop, unit, atol=1e-8)
+
+    # bound=True clips and renormalizes
+    pb = sr.admix_prop(p, groups, bound=True)
+    assert (pb >= 0).all() and (pb <= 1).all()
+    np.testing.assert_allclose(pb.sum(1), 1.0, rtol=1e-10)

@@ -50,8 +50,8 @@ def main(args):
         def slab(self, j):
             if j == self.twin[1]:
                 # same genotypes as group 0; final-group sample padding
-                # still applies through the parent mask
-                real_j = self.__dict__.get("_redirect", self.twin[0])
+                # still applies below
+                real_j = self.twin[0]
                 shift = 0.05 if super().pop_label(real_j) else -0.05
                 out = self._gen(real_j, shift)
                 valid = self.n_samp - j * self.group
