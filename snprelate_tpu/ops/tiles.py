@@ -298,22 +298,37 @@ def gcta_grm_tiles(source, n_samp: int, method: str = "GCTA",
         checkpoint, meta=(71 if gcta else 72, source.n_snp, n_samp,
                           source.group, source.chunk))
 
+    def flush(pending):
+        pi, pj, pr0, pc0, pnr, pnc, dev = pending
+        tile = np.asarray(dev)[:pnr, :pnc].astype(out_dtype)
+        tck.save(pi, pj, grm=tile)
+        if verbose:
+            print(f"GRM tile ({pi},{pj}) rows {pr0}..{pr0 + pnr} x "
+                  f"cols {pc0}..{pc0 + pnc}")
+        return pr0, pc0, pnr, pnc, tile
+
+    # double-buffered D2H: the previous tile materializes while the next
+    # tile's scan (and slab generation) is already queued on the device —
+    # transfer and compute overlap (one extra device tile resident)
+    pending = None
     for i, j, r0, c0, nr, nc, payload in _tile_walk(
             source, n_samp, saved_fn=tck.load):
         if isinstance(payload, dict):
+            if pending is not None:
+                yield flush(pending)
+                pending = None
             yield r0, c0, nr, nc, payload["grm"]
             continue
         slab_i, slab_j = payload
         out = _gcta_tile_scan(slab_i, slab_j, avg, scale, poly,
                               r0, c0, gcta)
         slab_i = slab_j = payload = None
-        tile = np.asarray(out)[:nr, :nc].astype(out_dtype)
+        if pending is not None:
+            yield flush(pending)
+        pending = (i, j, r0, c0, nr, nc, out)
         out = None
-        tck.save(i, j, grm=tile)
-        if verbose:
-            print(f"GRM tile ({i},{j}) rows {r0}..{r0 + nr} x "
-                  f"cols {c0}..{c0 + nc}")
-        yield r0, c0, nr, nc, tile
+    if pending is not None:
+        yield flush(pending)
 
 
 @jax.jit

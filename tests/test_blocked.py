@@ -310,7 +310,10 @@ def test_grm_super_tiles_checkpoint(big_data, tmp_path):
     finally:
         T._gcta_tile_scan = orig
 
-    # resume: only the remaining tiles are computed
+    # resume: only the remaining tiles are computed. The double-buffered
+    # D2H pipeline lags saves by ONE tile, so a crash during scan 4 has
+    # durably saved tiles 1-2 (tile 3 was still pending) — at most one
+    # completed tile is recomputed on resume.
     calls2 = {"n": 0}
 
     def count(*a, **k):
@@ -324,7 +327,7 @@ def test_grm_super_tiles_checkpoint(big_data, tmp_path):
         T._gcta_tile_scan = orig
     k = -(-ws.n_samp // 512)
     total_tiles = k * (k + 1) // 2
-    assert calls2["n"] == total_tiles - 3
+    assert calls2["n"] == total_tiles - 2
     np.testing.assert_allclose(mat, full.grm, rtol=1e-9, atol=1e-12)
 
     # different chunk => stale tiles discarded, full recompute
