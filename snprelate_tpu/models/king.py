@@ -229,7 +229,9 @@ def _king_screen_tiles(ws, fam, kinship_cutoff, hit_cap, group, chunk,
         jj = np.asarray(dj)[:cnt]
         ss, hv_, vh_, ib0, nv = (np.asarray(v, np.float64)[:cnt]
                                  for v in dvals)
-        keep_valid = (ii < nr) & (jj < nc)  # padding rows never hit, but
+        # padding rows/cols decode all-missing and can never hit; the
+        # bound check is belt-and-braces for the compaction fill values
+        keep_valid = (ii < nr) & (jj < nc)
         ii, jj = ii[keep_valid], jj[keep_valid]
         ss, hv_, vh_, ib0, nv = (a[keep_valid]
                                  for a in (ss, hv_, vh_, ib0, nv))
