@@ -613,3 +613,19 @@ def test_pair_counts_mesh_checkpoint(hapmap, tmp_path):
         np.testing.assert_array_equal(g, w)
     import glob
     assert glob.glob(ckpt + ".tile*")  # checkpoint was honored, not dropped
+
+
+def test_count_estimators_sample_block_passthrough(big_data):
+    """ibs/ibs_num/diss/ibd_mom accept sample_block= (the tutorial's
+    large-N form) and match the default path exactly."""
+    import snprelate_tpu as sr
+
+    data, _g = big_data
+    kw = dict(autosome_only=False, remove_monosnp=False,
+              missing_rate=np.nan)
+    for fn, field in [(sr.ibs, "ibs"), (sr.ibs_num, "ibs2"),
+                      (sr.ibd_mom, "k0"), (sr.diss, "diss")]:
+        a = getattr(fn(data, **kw), field)
+        b = getattr(fn(data, sample_block=512, **kw), field)
+        np.testing.assert_allclose(b, a, rtol=1e-12, atol=1e-14,
+                                   err_msg=fn.__name__)
