@@ -187,26 +187,34 @@ def test_pair_score_all_tables_golden(hapmap):
                    "GVH.major.only", "GVH.minor.only"):
         for dosage in ((True, False) if not method.startswith("GVH.")
                        else (True,)):
+            import warnings as _w
+
             ref = _pair_score_loop(geno, c1, c2, method, dosage)
             got = pair_score(hapmap, s1, s2, snp_id=snp_sel, method=method,
                              dosage=dosage, type="matrix")["score"]
             np.testing.assert_array_equal(got, ref.T, err_msg=method)
-            # per.pair stats vs dense nan-stats on the same scores
-            pp = pair_score(hapmap, s1, s2, snp_id=snp_sel, method=method,
-                            dosage=dosage, type="per.pair")["score"]
-            np.testing.assert_allclose(
-                pp["Avg"], np.nanmean(ref, axis=0), rtol=1e-12)
-            np.testing.assert_allclose(
-                pp["SD"], np.nanstd(ref, axis=0, ddof=1), rtol=1e-12)
-            np.testing.assert_array_equal(
-                pp["Num"], np.isfinite(ref).sum(0))
-            # per.snp stats
-            ps = pair_score(hapmap, s1, s2, snp_id=snp_sel, method=method,
-                            dosage=dosage, type="per.snp")["score"]
-            np.testing.assert_allclose(
-                ps[0], np.nanmean(ref, axis=1), rtol=1e-12)
-            np.testing.assert_allclose(
-                ps[1], np.nanstd(ref, axis=1, ddof=1), rtol=1e-12)
+            with _w.catch_warnings():
+                # all-NaN slices in the *.only tables legitimately give
+                # NaN reference stats
+                _w.simplefilter("ignore", RuntimeWarning)
+                # per.pair stats vs dense nan-stats on the same scores
+                pp = pair_score(hapmap, s1, s2, snp_id=snp_sel,
+                                method=method, dosage=dosage,
+                                type="per.pair")["score"]
+                np.testing.assert_allclose(
+                    pp["Avg"], np.nanmean(ref, axis=0), rtol=1e-12)
+                np.testing.assert_allclose(
+                    pp["SD"], np.nanstd(ref, axis=0, ddof=1), rtol=1e-12)
+                np.testing.assert_array_equal(
+                    pp["Num"], np.isfinite(ref).sum(0))
+                # per.snp stats
+                ps = pair_score(hapmap, s1, s2, snp_id=snp_sel,
+                                method=method, dosage=dosage,
+                                type="per.snp")["score"]
+                np.testing.assert_allclose(
+                    ps[0], np.nanmean(ref, axis=1), rtol=1e-12)
+                np.testing.assert_allclose(
+                    ps[1], np.nanstd(ref, axis=1, ddof=1), rtol=1e-12)
 
 
 # ---------------------------------------------------------------------------
@@ -441,8 +449,9 @@ def _ld_scalar(g1, g2, method):
                 nB_B += 1
     from snprelate_tpu.ops.ld import em_haplo
 
-    pA_A, pA_B, pB_A, pB_B = (float(np.asarray(x)) for x in em_haplo(
-        [nA_A], [nA_B], [nB_A], [nB_B], [nDH2]))
+    pA_A, pA_B, pB_A, pB_B = (float(np.asarray(x).ravel()[0])
+                              for x in em_haplo([nA_A], [nA_B], [nB_A],
+                                                [nB_B], [nDH2]))
     pA = pA_A + pA_B
     pB = pB_A + pB_B
     p_A = pA_A + pB_A
