@@ -78,17 +78,21 @@ def grm(data, sample_id=None, snp_id=None, autosome_only=True,
         method = "EIGMIX"
     if sample_block is None and _auto_row_tiling(n, method, mesh):
         sample_block = 4096
-    if sample_block is not None and method in ("GCTA", "Eigenstrat") \
-            and mesh is None and tiles is not False \
-            and (tiles or ws.n_snp * (-(-n // 4)) > 2e9):
+    tile_capable = (sample_block is not None
+                    and method in ("GCTA", "Eigenstrat"))
+    auto_tiles = (mesh is None and tiles is not False
+                  and ws.n_snp * (-(-n // 4)) > 2e9)
+    if tile_capable and (tiles or auto_tiles):
         # super-tile path (ops/tiles.py): bounded host->device traffic
         # when the packed selection exceeds the 2 GB HBM staging budget
-        # (the row-strip engine would re-stream the dataset per strip)
+        # (the row-strip engine would re-stream the dataset per strip).
+        # mesh= column-shards each tile scan over every device.
         from ..ops.tiles import auto_tile_group, grm_tiled
 
         group = tile_group or auto_tile_group(ws.n_snp)
         mat = grm_tiled(ws, group, method=method, chunk=chunk,
-                        checkpoint=checkpoint, verbose=verbose)
+                        checkpoint=checkpoint, verbose=verbose,
+                        mesh=mesh)
     elif sample_block is not None and method in ("GCTA", "Eigenstrat"):
         # row-tiled large-N path; checkpoint= saves the completed GRM rows
         # after every tile and a rerun resumes at the first missing tile

@@ -119,16 +119,17 @@ def _slab_stats(slab):
     return gsum, gnum
 
 
-@functools.partial(jax.jit, static_argnums=(7,))
-def _gcta_tile_scan(slab_i, slab_j, avg, scale, poly, r0_i, r0_j,
-                    gcta: bool):
+@functools.partial(jax.jit, donate_argnums=0, static_argnums=(8,))
+def _gcta_tile_scan_c(carry, slab_i, slab_j, avg, scale, poly, r0_i,
+                      r0_j, gcta: bool):
     """One (group x group) tile over every SNP chunk: normalized
     covariance (+ polymorphic-validity gram for GCTA). avg/scale/poly are
     (n_chunks, chunk) per-SNP normalization constants computed over ALL
-    samples (pass 1). r0_* unused except to keep the signature future-
-    proof for masked diagonals."""
+    samples (pass 1). The carry is created by the caller so a mesh run
+    can column-shard it (the slab_j columns carry the sharding through
+    the matmuls with zero collectives). r0_* unused except to keep the
+    signature future-proof for masked diagonals."""
     fdt = avg.dtype
-    g = slab_i.shape[2] * 4
 
     def step(carry, xs):
         pk_i, pk_j, av, sc, po = xs
@@ -156,10 +157,6 @@ def _gcta_tile_scan(slab_i, slab_j, avg, scale, poly, r0_i, r0_j,
                                precision=norm_precision())
         return cov, None
 
-    if gcta:
-        carry = (jnp.zeros((g, g), fdt), jnp.zeros((g, g), jnp.int32))
-    else:
-        carry = jnp.zeros((g, g), fdt)
     carry, _ = lax.scan(step, carry, (slab_i, slab_j, avg, scale, poly))
     if gcta:
         # per-pair missing denominator applied ON DEVICE
@@ -168,6 +165,41 @@ def _gcta_tile_scan(slab_i, slab_j, avg, scale, poly, r0_i, r0_j,
         cov, vgr = carry
         return cov / (2.0 * vgr.astype(fdt))
     return carry
+
+
+def _mesh_tile_shardings(mesh):
+    """(slab columns, tile columns, replicated) NamedShardings for the
+    column-sharded tile scan: slab_j's sample-byte axis and the tile's
+    column axis split over EVERY mesh device; slab_i and the per-SNP
+    stats replicate. Each device then contracts its own column shard
+    locally — the tile analog of the row-strip column sharding — and
+    group sizes scale with per-device HBM times the device count."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    ax = tuple(mesh.axis_names)
+    return (NamedSharding(mesh, P(None, None, ax)),
+            NamedSharding(mesh, P(None, ax)),
+            NamedSharding(mesh, P()))
+
+
+def _gcta_tile_scan(slab_i, slab_j, avg, scale, poly, r0_i, r0_j,
+                    gcta: bool, mesh=None):
+    """Carry construction (mesh-placed when given; the caller is
+    responsible for slab placement — see gcta_grm_tiles) around the
+    jitted scan."""
+    g = slab_i.shape[2] * 4
+    fdt = avg.dtype
+    if gcta:
+        carry = (jnp.zeros((g, g), fdt), jnp.zeros((g, g), jnp.int32))
+    else:
+        carry = jnp.zeros((g, g), fdt)
+    if mesh is not None:
+        _c3, col2, rep = _mesh_tile_shardings(mesh)
+        avg, scale, poly = (jax.device_put(a, rep)
+                            for a in (avg, scale, poly))
+        carry = jax.tree.map(lambda a: jax.device_put(a, col2), carry)
+    return _gcta_tile_scan_c(carry, slab_i, slab_j, avg, scale, poly,
+                             r0_i, r0_j, gcta)
 
 
 class TileGridCheckpointer:
@@ -282,21 +314,59 @@ def _tile_walk(source, n_samp: int, saved_fn=None):
         slab_i = None
 
 
+class _PlacedSource:
+    """Slab-source adapter that commits every slab to a sharding at load
+    time (mesh runs: slabs are column-sharded once, not re-placed per
+    tile visit)."""
+
+    def __init__(self, source, sharding):
+        self._source = source
+        self._sharding = sharding
+        for a in ("group", "chunk", "n_chunks", "n_groups", "n_samp",
+                  "n_snp", "meter"):
+            if hasattr(source, a):
+                setattr(self, a, getattr(source, a))
+
+    def slab(self, j: int):
+        return jax.device_put(self._source.slab(j), self._sharding)
+
+    def stats_host(self):
+        return self._source.stats_host()
+
+    def __getattr__(self, name):
+        return getattr(self._source, name)
+
+
 def gcta_grm_tiles(source, n_samp: int, method: str = "GCTA",
                    checkpoint=None, verbose: bool = False,
-                   out_dtype=np.float64):
+                   out_dtype=np.float64, mesh=None):
     """Super-tile GRM: yields (r0, c0, nr, nc, grm_tile) over the upper
     tile triangle (r0 <= c0). method 'GCTA' applies the per-pair
     missing denominator (genPCA.cpp:1202-1236); 'Eigenstrat' yields the
     raw covariance tiles (caller applies the (n-1)/trace scale, which
     needs the full diagonal). Tiles are final (independent of each
-    other), so the grid checkpointer resumes at any completed subset."""
+    other), so the grid checkpointer resumes at any completed subset.
+    mesh= column-shards each tile scan over every mesh device (slabs
+    load column-sharded; the row slab replicates once per tile row)."""
     gcta = method == "GCTA"
     fdt = _default_float_dtype()
+    if mesh is not None:
+        col3, _col2, rep = _mesh_tile_shardings(mesh)
+        source = _PlacedSource(source, col3)
     avg, scale, poly, _nloc = _stats_pass(source, fdt)
     tck = TileGridCheckpointer(
         checkpoint, meta=(71 if gcta else 72, source.n_snp, n_samp,
                           source.group, source.chunk))
+    rep_memo = [None, None]  # (id of the walk's row slab, replicated)
+
+    def row_slab(slab_i):
+        if mesh is None:
+            return slab_i
+        if rep_memo[0] != id(slab_i):
+            # one all-gather per tile row (device-to-device, no host)
+            rep_memo[0] = id(slab_i)
+            rep_memo[1] = jax.device_put(slab_i, rep)
+        return rep_memo[1]
 
     def flush(pending):
         pi, pj, pr0, pc0, pnr, pnc, dev = pending
@@ -320,8 +390,8 @@ def gcta_grm_tiles(source, n_samp: int, method: str = "GCTA",
             yield r0, c0, nr, nc, payload["grm"]
             continue
         slab_i, slab_j = payload
-        out = _gcta_tile_scan(slab_i, slab_j, avg, scale, poly,
-                              r0, c0, gcta)
+        out = _gcta_tile_scan(row_slab(slab_i), slab_j, avg, scale,
+                              poly, r0, c0, gcta, mesh=mesh)
         slab_i = slab_j = payload = None
         if pending is not None:
             yield flush(pending)
@@ -596,7 +666,7 @@ def auto_tile_group(n_snp: int, slab_budget: float = 6.5e9,
 
 def grm_tiled(ws, group: int, method: str = "GCTA", chunk=None,
               checkpoint=None, verbose: bool = False, meter=None,
-              source=None) -> np.ndarray:
+              source=None, mesh=None) -> np.ndarray:
     """Assembled (n x n) GRM from the super-tile engine (both triangles
     mirrored). Used by models.grm for selections past the slab-staging
     budget; also callable directly with a custom ``source``."""
@@ -611,7 +681,7 @@ def grm_tiled(ws, group: int, method: str = "GCTA", chunk=None,
     mat = np.empty((n, n))
     for r0, c0, nr, nc, tile in gcta_grm_tiles(
             source, n, method=method, checkpoint=checkpoint,
-            verbose=verbose):
+            verbose=verbose, mesh=mesh):
         mat[r0:r0 + nr, c0:c0 + nc] = tile
         if r0 != c0:
             mat[c0:c0 + nc, r0:r0 + nr] = tile.T
