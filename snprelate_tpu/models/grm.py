@@ -80,7 +80,7 @@ def grm(data, sample_id=None, snp_id=None, autosome_only=True,
         sample_block = 4096
     tile_capable = (sample_block is not None
                     and method in ("GCTA", "Eigenstrat"))
-    auto_tiles = (mesh is None and tiles is not False
+    auto_tiles = (tiles is not False
                   and ws.n_snp * (-(-n // 4)) > 2e9)
     if tile_capable and (tiles or auto_tiles):
         # super-tile path (ops/tiles.py): bounded host->device traffic

@@ -176,16 +176,20 @@ _TILE_HITS = None
 
 
 def _king_screen_tiles(ws, fam, kinship_cutoff, hit_cap, group, chunk,
-                       verbose, source=None):
+                       verbose, source=None, mesh=None):
     """Super-tile KING screen: the bounded-traffic route for selections
     past the HBM slab-staging budget (the strip engine re-streams the
     dataset once per strip). Per tile, ONLY compacted hits cross the
     host boundary; a tile with more candidates than the cap retries with
-    a doubled cap (no dense fallback table)."""
+    a doubled cap (no dense fallback table). mesh= column-shards each
+    tile scan over every mesh device (the hit compaction gathers the
+    sharded counters on device)."""
     import jax.numpy as jnp
 
     from ..ops.pairwise import auto_chunk
-    from ..ops.tiles import (StoreSlabSource, _basis_tile_scan, _tile_walk,
+    from ..ops.tiles import (StoreSlabSource, _PlacedSource,
+                             _basis_tile_scan_c, _mesh_tile_shardings,
+                             _row_replicator, _tile_carry, _tile_walk,
                              auto_tile_group)
 
     global _TILE_HITS
@@ -200,6 +204,9 @@ def _king_screen_tiles(ws, fam, kinship_cutoff, hit_cap, group, chunk,
             chunk = auto_chunk(group, ws.n_snp)
         source = StoreSlabSource(ws, group, chunk)
     group = source.group
+    if mesh is not None:
+        source = _PlacedSource(source, _mesh_tile_shardings(mesh)[0])
+    row_slab = _row_replicator(mesh)
     fam_pad = np.full(source.n_groups * group, -1, np.int32)
     fam_pad[:n] = fam
     fam_d = jnp.asarray(fam_pad)
@@ -207,7 +214,8 @@ def _king_screen_tiles(ws, fam, kinship_cutoff, hit_cap, group, chunk,
     id1, id2, ibs0_v, kin_v = [], [], [], []
     for i, j, r0, c0, nr, nc, payload in _tile_walk(source, n):
         slab_i, slab_j = payload
-        counters = _basis_tile_scan(slab_i, slab_j)
+        carry = _tile_carry([((group, group), jnp.int32)] * 5, mesh)
+        counters = _basis_tile_scan_c(carry, row_slab(i, slab_i), slab_j)
         slab_i = slab_j = payload = None
         fr = fam_d[i * group:(i + 1) * group]
         fc = fam_d[j * group:(j + 1) * group]
@@ -301,12 +309,12 @@ def king_ibd_selection(data, kinship_cutoff, sample_id=None, snp_id=None,
     sid = np.asarray(ws.sample_id, object)
     n = ws.n_samp
     fam = _resolve_family(family_id, sample_id, ws)
-    if mesh is None and tiles is not False \
-            and (tiles or ws.n_snp * (-(-n // 4)) > 2e9):
+    if tiles is not False and (tiles
+                               or ws.n_snp * (-(-n // 4)) > 2e9):
         # bounded-traffic super-tile route (the strip engine re-streams
         # the dataset once per strip past the slab-staging budget)
         return _king_screen_tiles(ws, fam, kinship_cutoff, hit_cap,
-                                  tile_group, chunk, verbose)
+                                  tile_group, chunk, verbose, mesh=mesh)
     ndev, shard_carry, wrap = _mesh_row_tools(mesh)
     sample_block, n_pad, chunk, chunks = _row_tile_setup(
         ws, sample_block, chunk, 128 * ndev, bytes_per_cell=20)

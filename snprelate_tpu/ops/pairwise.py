@@ -389,16 +389,17 @@ def pair_counts(ws, chunk=None, pad_to: int = 128,
             from ..parallel.mesh import sharded_pair_counts
 
             return sharded_pair_counts(ws, mesh, chunk=chunk)
-    if sample_block and mesh is None \
-            and ws.n_snp * (-(-ws.n_samp // 4)) > 2e9:
+    if sample_block and ws.n_snp * (-(-ws.n_samp // 4)) > 2e9:
         # past the HBM slab-staging budget the row strips would re-stream
         # the dataset once per strip: use the bounded-traffic super-tile
-        # engine instead (ops/tiles.py, bit-exact)
+        # engine instead (ops/tiles.py, bit-exact; mesh= column-shards
+        # each tile scan)
         from .tiles import auto_tile_group, pair_counts_tiled
 
         return pair_counts_tiled(
             ws, auto_tile_group(ws.n_snp, bytes_per_cell=20),
-            chunk=chunk, checkpoint=checkpoint, verbose=verbose)
+            chunk=chunk, checkpoint=checkpoint, verbose=verbose,
+            mesh=mesh)
     if sample_block:
         n = ws.n_samp
         ndev = _mesh_row_tools(mesh)[0]
@@ -1012,12 +1013,12 @@ def king_homo_counts(ws, chunk=None, pad_to: int = 128,
     if sample_block is None and (mesh is not None
                                  or 24.0 * n_pad * n_pad > 6e9):
         sample_block = 4096
-    if sample_block and mesh is None \
-            and ws.n_snp * (-(-ws.n_samp // 4)) > 2e9:
+    if sample_block and ws.n_snp * (-(-ws.n_samp // 4)) > 2e9:
         # bounded-traffic super-tile route (see pair_counts)
         from .tiles import king_homo_parts_tiled
 
-        return king_homo_parts_tiled(ws, chunk=chunk, verbose=verbose)
+        return king_homo_parts_tiled(ws, chunk=chunk, verbose=verbose,
+                                     mesh=mesh)
     if sample_block:
         n = ws.n_samp
         B = np.empty((5, n, n), np.int64)
@@ -1086,12 +1087,12 @@ def eigmix_parts(ws, chunk=None, pad_to: int = 128,
     if sample_block is None and (mesh is not None
                                  or 5.0 * n_pad * n_pad > 6e9):
         sample_block = 4096
-    if sample_block and mesh is None \
-            and ws.n_snp * (-(-ws.n_samp // 4)) > 2e9:
+    if sample_block and ws.n_snp * (-(-ws.n_samp // 4)) > 2e9:
         # bounded-traffic super-tile route (see pair_counts)
         from .tiles import eigmix_parts_tiled
 
-        return eigmix_parts_tiled(ws, chunk=chunk, verbose=verbose)
+        return eigmix_parts_tiled(ws, chunk=chunk, verbose=verbose,
+                                  mesh=mesh)
     if sample_block:
         n = ws.n_samp
         num = np.empty((n, n))

@@ -198,8 +198,16 @@ def _gcta_tile_scan(slab_i, slab_j, avg, scale, poly, r0_i, r0_j,
         avg, scale, poly = (jax.device_put(a, rep)
                             for a in (avg, scale, poly))
         carry = jax.tree.map(lambda a: jax.device_put(a, col2), carry)
-    return _gcta_tile_scan_c(carry, slab_i, slab_j, avg, scale, poly,
-                             r0_i, r0_j, gcta)
+    import warnings
+
+    with warnings.catch_warnings():
+        # GCTA: the donated int32 vgr carry has no matching output (the
+        # per-pair denominator is applied on device and only the f32 GRM
+        # tile returns) — the donation miss is expected, not a leak
+        warnings.filterwarnings(
+            "ignore", message="Some donated buffers were not usable")
+        return _gcta_tile_scan_c(carry, slab_i, slab_j, avg, scale, poly,
+                                 r0_i, r0_j, gcta)
 
 
 class TileGridCheckpointer:
@@ -314,6 +322,25 @@ def _tile_walk(source, n_samp: int, saved_fn=None):
         slab_i = None
 
 
+def _row_replicator(mesh):
+    """Row-slab replication memo for mesh tile runs: one all-gather per
+    tile row (device-to-device, no host). Keyed by the ROW INDEX — an
+    `id(slab)` key would break when CPython reuses a freed slab's id
+    across rows and hand back a stale replicated slab."""
+    if mesh is None:
+        return lambda i, slab: slab
+    rep = _mesh_tile_shardings(mesh)[2]
+    memo = [None, None]  # (row index, replicated slab)
+
+    def row_slab(i, slab):
+        if memo[0] != i:
+            memo[0] = i
+            memo[1] = jax.device_put(slab, rep)
+        return memo[1]
+
+    return row_slab
+
+
 class _PlacedSource:
     """Slab-source adapter that commits every slab to a sharding at load
     time (mesh runs: slabs are column-sharded once, not re-placed per
@@ -351,22 +378,13 @@ def gcta_grm_tiles(source, n_samp: int, method: str = "GCTA",
     gcta = method == "GCTA"
     fdt = _default_float_dtype()
     if mesh is not None:
-        col3, _col2, rep = _mesh_tile_shardings(mesh)
+        col3, _col2, _rep = _mesh_tile_shardings(mesh)
         source = _PlacedSource(source, col3)
     avg, scale, poly, _nloc = _stats_pass(source, fdt)
     tck = TileGridCheckpointer(
         checkpoint, meta=(71 if gcta else 72, source.n_snp, n_samp,
                           source.group, source.chunk))
-    rep_memo = [None, None]  # (id of the walk's row slab, replicated)
-
-    def row_slab(slab_i):
-        if mesh is None:
-            return slab_i
-        if rep_memo[0] != id(slab_i):
-            # one all-gather per tile row (device-to-device, no host)
-            rep_memo[0] = id(slab_i)
-            rep_memo[1] = jax.device_put(slab_i, rep)
-        return rep_memo[1]
+    row_slab = _row_replicator(mesh)
 
     def flush(pending):
         pi, pj, pr0, pc0, pnr, pnc, dev = pending
@@ -390,7 +408,7 @@ def gcta_grm_tiles(source, n_samp: int, method: str = "GCTA",
             yield r0, c0, nr, nc, payload["grm"]
             continue
         slab_i, slab_j = payload
-        out = _gcta_tile_scan(row_slab(slab_i), slab_j, avg, scale,
+        out = _gcta_tile_scan(row_slab(i, slab_i), slab_j, avg, scale,
                               poly, r0, c0, gcta, mesh=mesh)
         slab_i = slab_j = payload = None
         if pending is not None:
@@ -401,17 +419,17 @@ def gcta_grm_tiles(source, n_samp: int, method: str = "GCTA",
         yield flush(pending)
 
 
-@jax.jit
-def _basis_tile_scan(slab_i, slab_j):
+@functools.partial(jax.jit, donate_argnums=0)
+def _basis_tile_scan_c(carry, slab_i, slab_j):
     """Integer reduced-basis grams for one (group x group) tile over every
     SNP chunk: (vv, hh, dd, hv, vh) int32. The transpose identity
     vh = hv^T only holds on the diagonal tile, so both het cross-grams
     are computed (same rule as the row-strip engine,
-    ops/pairwise.py::_basis_strip_update)."""
+    ops/pairwise.py::_basis_strip_update). The carry is built by the
+    caller so a mesh run can column-shard it."""
     from .decode import genotype_basis
     from .pairwise import _plane_mm_dtype
 
-    g = slab_i.shape[2] * 4
     mm_dt = _plane_mm_dtype()
 
     def step(carry, xs):
@@ -428,18 +446,34 @@ def _basis_tile_scan(slab_i, slab_j):
                 dd + mm(bi[2], bj[2]), hv + mm(bi[1], bj[0]),
                 vh + mm(bi[0], bj[1])), None
 
-    carry = tuple(jnp.zeros((g, g), jnp.int32) for _ in range(5))
     return lax.scan(step, carry, (slab_i, slab_j))[0]
 
 
+def _tile_carry(shapes_dtypes, mesh):
+    """Tile-scan carry constructor: (g, g) matrices column-sharded over
+    the mesh (vectors replicated) so the scan's matmul outputs inherit
+    the slab_j column sharding with zero collectives."""
+    arrs = tuple(jnp.zeros(s, d) for s, d in shapes_dtypes)
+    if mesh is None:
+        return arrs
+    _c3, col2, rep = _mesh_tile_shardings(mesh)
+    return tuple(jax.device_put(a, col2 if a.ndim == 2 else rep)
+                 for a in arrs)
+
+
 def basis_count_tiles(source, n_samp: int, checkpoint=None,
-                      verbose: bool = False):
+                      verbose: bool = False, mesh=None):
     """Super-tile integer pairwise counts: yields (r0, c0, nr, nc,
     B (5, nr, nc) int64 PairCounts base blocks) over the upper tile
     triangle — the bounded-traffic analog of basis_gram_rows for count
-    estimators (IBS/KING/MoM/Beta) past the slab-staging budget."""
+    estimators (IBS/KING/MoM/Beta) past the slab-staging budget.
+    mesh= column-shards each tile scan over every mesh device (bit-exact:
+    integer accumulation is order-free)."""
     group = source.group
     k = source.n_groups
+    if mesh is not None:
+        source = _PlacedSource(source, _mesh_tile_shardings(mesh)[0])
+    row_slab = _row_replicator(mesh)
     tck = TileGridCheckpointer(
         checkpoint, meta=(75, source.n_snp, n_samp, group, source.chunk))
     for i, j, r0, c0, nr, nc, payload in _tile_walk(
@@ -448,7 +482,9 @@ def basis_count_tiles(source, n_samp: int, checkpoint=None,
             yield r0, c0, nr, nc, payload["b"]
             continue
         slab_i, slab_j = payload
-        out = _basis_tile_scan(slab_i, slab_j)
+        g = slab_i.shape[2] * 4
+        carry = _tile_carry([((g, g), jnp.int32)] * 5, mesh)
+        out = _basis_tile_scan_c(carry, row_slab(i, slab_i), slab_j)
         slab_i = slab_j = payload = None
         b = np.stack([np.asarray(a)[:nr, :nc] for a in out]) \
             .astype(np.int64)
@@ -460,7 +496,8 @@ def basis_count_tiles(source, n_samp: int, checkpoint=None,
 
 
 def pair_counts_tiled(ws, group: int, chunk=None, checkpoint=None,
-                      verbose: bool = False, meter=None, source=None):
+                      verbose: bool = False, meter=None, source=None,
+                      mesh=None):
     """Assembled PairCounts from the super-tile engine (integer
     bit-exact; both triangles mirrored with the per-block transpose
     rules: vv/hh/dd symmetric, hv(j,i) = vh(i,j)^T)."""
@@ -474,7 +511,7 @@ def pair_counts_tiled(ws, group: int, chunk=None, checkpoint=None,
         source = StoreSlabSource(ws, group, chunk, meter=meter)
     B = np.empty((5, n, n), np.int64)
     for r0, c0, nr, nc, b in basis_count_tiles(
-            source, n, checkpoint=checkpoint, verbose=verbose):
+            source, n, checkpoint=checkpoint, verbose=verbose, mesh=mesh):
         B[:, r0:r0 + nr, c0:c0 + nc] = b
         if r0 != c0:
             # mirror: vv/hh/dd symmetric; hv lower = vh upper transposed
@@ -485,15 +522,15 @@ def pair_counts_tiled(ws, group: int, chunk=None, checkpoint=None,
     return PairCounts(*B)
 
 
-@functools.partial(jax.jit, static_argnums=(4,))
-def _eigmix_tile_scan(slab_i, slab_j, avg, d_w, diag: bool):
+@functools.partial(jax.jit, donate_argnums=0, static_argnums=(5,))
+def _eigmix_tile_scan_c(carry, slab_i, slab_j, avg, d_w, diag: bool):
     """EIGMIX parts for one tile (genEIGMIX.cpp:43-157): centered
     (unscaled) covariance + d-weighted validity gram, with the per-sample
     het counts reduced on DIAGONAL tiles (every group has one, so the
     full het vector assembles with no extra slab loads). avg/d_w are
-    (n_chunks, chunk) pass-1 stats over ALL samples (d = 4p(1-p))."""
+    (n_chunks, chunk) pass-1 stats over ALL samples (d = 4p(1-p)). The
+    carry is built by the caller so a mesh run can column-shard it."""
     fdt = avg.dtype
-    g = slab_i.shape[2] * 4
 
     def step(carry, xs):
         pk_i, pk_j, av, dw = xs
@@ -518,15 +555,16 @@ def _eigmix_tile_scan(slab_i, slab_j, avg, d_w, diag: bool):
             het = het + (gi == 1).sum(axis=0, dtype=jnp.int32)
         return (cov, wvg, het), None
 
-    carry = (jnp.zeros((g, g), fdt), jnp.zeros((g, g), fdt),
-             jnp.zeros((g,), jnp.int32))
     return lax.scan(step, carry, (slab_i, slab_j, avg, d_w))[0]
 
 
 def eigmix_parts_tiled(ws, group=None, chunk=None, verbose=False,
-                       meter=None, source=None):
+                       meter=None, source=None, checkpoint=None,
+                       mesh=None):
     """Assembled EIGMIX parts (num, wvg, het) from super tiles — the
-    bounded-traffic analog of ops.pairwise.eigmix_rows."""
+    bounded-traffic analog of ops.pairwise.eigmix_rows. checkpoint= saves
+    one .npz per completed tile (resume skips them); mesh= column-shards
+    each tile scan over every mesh device."""
     from .pairwise import auto_chunk
 
     n = ws.n_samp if ws is not None else source.n_samp
@@ -538,41 +576,64 @@ def eigmix_parts_tiled(ws, group=None, chunk=None, verbose=False,
             chunk = auto_chunk(group, ws.n_snp)
         source = StoreSlabSource(ws, group, chunk, meter=meter)
     group = source.group
+    if mesh is not None:
+        source = _PlacedSource(source, _mesh_tile_shardings(mesh)[0])
+    row_slab = _row_replicator(mesh)
     fdt = _default_float_dtype()
     avg, _scale, _poly, _nl = _stats_pass(source, fdt)
     af = 0.5 * np.asarray(avg, np.float64)
     d_w = jnp.asarray(4.0 * af * (1.0 - af),
                       np.float64 if fdt == jnp.float64 else np.float32)
+    if mesh is not None:
+        rep = _mesh_tile_shardings(mesh)[2]
+        avg, d_w = (jax.device_put(a, rep) for a in (avg, d_w))
+    tck = TileGridCheckpointer(
+        checkpoint, meta=(76, source.n_snp, n, group, source.chunk))
     num = np.empty((n, n))
     wvg = np.empty((n, n))
     het = np.empty(n, np.int64)
-    for i, j, r0, c0, nr, nc, payload in _tile_walk(source, n):
-        slab_i, slab_j = payload
-        cov_t, wvg_t, het_t = _eigmix_tile_scan(slab_i, slab_j, avg, d_w,
-                                                i == j)
-        slab_i = slab_j = payload = None
-        num[r0:r0 + nr, c0:c0 + nc] = np.asarray(cov_t)[:nr, :nc]
-        wvg[r0:r0 + nr, c0:c0 + nc] = np.asarray(wvg_t)[:nr, :nc]
+    for i, j, r0, c0, nr, nc, payload in _tile_walk(
+            source, n, saved_fn=tck.load):
+        if isinstance(payload, dict):
+            num[r0:r0 + nr, c0:c0 + nc] = payload["num"]
+            wvg[r0:r0 + nr, c0:c0 + nc] = payload["wvg"]
+            if i == j:
+                het[r0:r0 + nr] = payload["het"]
+        else:
+            slab_i, slab_j = payload
+            carry = _tile_carry([((group, group), fdt)] * 2
+                                + [((group,), jnp.int32)], mesh)
+            cov_t, wvg_t, het_t = _eigmix_tile_scan_c(
+                carry, row_slab(i, slab_i), slab_j, avg, d_w, i == j)
+            slab_i = slab_j = payload = None
+            num[r0:r0 + nr, c0:c0 + nc] = np.asarray(cov_t)[:nr, :nc]
+            wvg[r0:r0 + nr, c0:c0 + nc] = np.asarray(wvg_t)[:nr, :nc]
+            if i == j:
+                het[r0:r0 + nr] = np.asarray(het_t)[:nr]
+                tck.save(i, j, num=num[r0:r0 + nr, c0:c0 + nc],
+                         wvg=wvg[r0:r0 + nr, c0:c0 + nc],
+                         het=het[r0:r0 + nr])
+            else:
+                tck.save(i, j, num=num[r0:r0 + nr, c0:c0 + nc],
+                         wvg=wvg[r0:r0 + nr, c0:c0 + nc])
         if i != j:
             num[c0:c0 + nc, r0:r0 + nr] = num[r0:r0 + nr, c0:c0 + nc].T
             wvg[c0:c0 + nc, r0:r0 + nr] = wvg[r0:r0 + nr, c0:c0 + nc].T
-        else:
-            het[r0:r0 + nr] = np.asarray(het_t)[:nr]
         if verbose:
             print(f"EIGMIX tile ({i},{j})")
     return num, wvg, het
 
 
-@jax.jit
-def _king_homo_tile_scan(slab_i, slab_j, w):
+@functools.partial(jax.jit, donate_argnums=0)
+def _king_homo_tile_scan_c(carry, slab_i, slab_j, w):
     """KING-homo parts for one tile (genKING.cpp:58-266): the 5 integer
     basis counters plus the p(1-p)- and (p(1-p))^2-weighted validity
-    grams. w = (n_chunks, chunk) per-SNP p(1-p) from pass-1 stats."""
+    grams. w = (n_chunks, chunk) per-SNP p(1-p) from pass-1 stats. The
+    carry is built by the caller so a mesh run can column-shard it."""
     from .decode import genotype_basis
     from .pairwise import _plane_mm_dtype
 
     fdt = w.dtype
-    g = slab_i.shape[2] * 4
     mm_dt = _plane_mm_dtype()
 
     def step(carry, xs):
@@ -600,15 +661,16 @@ def _king_homo_tile_scan(slab_i, slab_j, w):
                                  precision=MM_PRECISION)
         return (grams, waf, waf2), None
 
-    carry = (tuple(jnp.zeros((g, g), jnp.int32) for _ in range(5)),
-             jnp.zeros((g, g), fdt), jnp.zeros((g, g), fdt))
     return lax.scan(step, carry, (slab_i, slab_j, w))[0]
 
 
 def king_homo_parts_tiled(ws, group=None, chunk=None, verbose=False,
-                          meter=None, source=None):
+                          meter=None, source=None, checkpoint=None,
+                          mesh=None):
     """Assembled KING-homo parts (PairCounts, waf, waf2) from super
-    tiles — the bounded-traffic analog of king_homo_rows."""
+    tiles — the bounded-traffic analog of king_homo_rows. checkpoint=
+    saves one .npz per completed tile; mesh= column-shards each tile
+    scan over every mesh device."""
     from .pairwise import PairCounts, auto_chunk
 
     n = ws.n_samp if ws is not None else source.n_samp
@@ -619,22 +681,42 @@ def king_homo_parts_tiled(ws, group=None, chunk=None, verbose=False,
         if chunk is None:
             chunk = auto_chunk(group, ws.n_snp)
         source = StoreSlabSource(ws, group, chunk, meter=meter)
+    group = source.group
+    if mesh is not None:
+        source = _PlacedSource(source, _mesh_tile_shardings(mesh)[0])
+    row_slab = _row_replicator(mesh)
     fdt = _default_float_dtype()
     avg, _scale, _poly, _nl = _stats_pass(source, fdt)
     p = 0.5 * np.asarray(avg, np.float64)
     w = jnp.asarray(p * (1.0 - p),
                     np.float64 if fdt == jnp.float64 else np.float32)
+    if mesh is not None:
+        w = jax.device_put(w, _mesh_tile_shardings(mesh)[2])
+    tck = TileGridCheckpointer(
+        checkpoint, meta=(77, source.n_snp, n, group, source.chunk))
     B = np.empty((5, n, n), np.int64)
     waf = np.empty((n, n))
     waf2 = np.empty((n, n))
-    for i, j, r0, c0, nr, nc, payload in _tile_walk(source, n):
-        slab_i, slab_j = payload
-        grams, w1, w2 = _king_homo_tile_scan(slab_i, slab_j, w)
-        slab_i = slab_j = payload = None
-        b = np.stack([np.asarray(a)[:nr, :nc] for a in grams])
+    for i, j, r0, c0, nr, nc, payload in _tile_walk(
+            source, n, saved_fn=tck.load):
+        if isinstance(payload, dict):
+            b = payload["b"]
+            w1c, w2c = payload["waf"], payload["waf2"]
+        else:
+            slab_i, slab_j = payload
+            carry = (_tile_carry([((group, group), jnp.int32)] * 5, mesh),
+                     *_tile_carry([((group, group), fdt)] * 2, mesh))
+            grams, w1, w2 = _king_homo_tile_scan_c(
+                carry, row_slab(i, slab_i), slab_j, w)
+            slab_i = slab_j = payload = None
+            b = np.stack([np.asarray(a)[:nr, :nc] for a in grams]) \
+                .astype(np.int64)
+            w1c = np.asarray(w1)[:nr, :nc]
+            w2c = np.asarray(w2)[:nr, :nc]
+            tck.save(i, j, b=b, waf=w1c, waf2=w2c)
         B[:, r0:r0 + nr, c0:c0 + nc] = b
-        waf[r0:r0 + nr, c0:c0 + nc] = np.asarray(w1)[:nr, :nc]
-        waf2[r0:r0 + nr, c0:c0 + nc] = np.asarray(w2)[:nr, :nc]
+        waf[r0:r0 + nr, c0:c0 + nc] = w1c
+        waf2[r0:r0 + nr, c0:c0 + nc] = w2c
         if i != j:
             for sym in (0, 1, 2):
                 B[sym, c0:c0 + nc, r0:r0 + nr] = b[sym].T

@@ -383,6 +383,11 @@ def test_king_screen_super_tiles(big_data):
     tiny = sr.king_ibd_selection(data, tiles=True, tile_group=512,
                                  chunk=128, hit_cap=1, **kw)
     assert key(tiny) == key(base)
+    # mesh= column-shards each tile scan; hits identical
+    from snprelate_tpu.parallel.mesh import make_mesh
+    meshed = sr.king_ibd_selection(data, tiles=True, tile_group=512,
+                                   chunk=128, mesh=make_mesh(4, 2), **kw)
+    assert key(meshed) == key(base)
 
 
 def test_pair_counts_super_tiles_bit_exact(big_data):
@@ -629,3 +634,80 @@ def test_count_estimators_sample_block_passthrough(big_data):
         b = getattr(fn(data, sample_block=512, **kw), field)
         np.testing.assert_allclose(b, a, rtol=1e-12, atol=1e-14,
                                    err_msg=fn.__name__)
+
+
+def test_super_tiles_mesh(big_data):
+    """mesh= on the count/EIGMIX/KING-homo super-tile engines: tile scans
+    column-sharded over the virtual mesh == single-device (counts
+    bit-exact, floats to f64 tolerance)."""
+    from snprelate_tpu.ops.pairwise import eigmix_parts, king_homo_counts, \
+        pair_counts
+    from snprelate_tpu.ops.tiles import (StoreSlabSource,
+                                         eigmix_parts_tiled,
+                                         king_homo_parts_tiled,
+                                         pair_counts_tiled)
+    from snprelate_tpu.parallel.mesh import make_mesh
+
+    data, _g = big_data
+    ws = _workspace(data)
+    mesh = make_mesh(4, 2)
+
+    full = pair_counts(ws)
+    tiled = pair_counts_tiled(ws, group=512, chunk=128, mesh=mesh)
+    np.testing.assert_array_equal(np.stack(tiled.base()),
+                                  np.stack(full.base()))
+
+    num0, wvg0, het0 = eigmix_parts(ws)
+    src = StoreSlabSource(ws, group=512, chunk=128)
+    num1, wvg1, het1 = eigmix_parts_tiled(ws, source=src, mesh=mesh)
+    np.testing.assert_allclose(num1, num0, rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(wvg1, wvg0, rtol=1e-10, atol=1e-12)
+    np.testing.assert_array_equal(het1, het0)
+
+    c0, waf0, waf20 = king_homo_counts(ws)
+    src2 = StoreSlabSource(ws, group=512, chunk=128)
+    c1, waf1, waf21 = king_homo_parts_tiled(ws, source=src2, mesh=mesh)
+    np.testing.assert_array_equal(np.stack(c1.base()), np.stack(c0.base()))
+    np.testing.assert_allclose(waf1, waf0, rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(waf21, waf20, rtol=1e-10, atol=1e-12)
+
+
+def test_eigmix_homo_tiles_checkpoint(big_data, tmp_path):
+    """Grid checkpoints on the EIGMIX / KING-homo tile engines: a
+    completed run leaves per-tile files, and a resume recomputes nothing
+    (scan monkeypatched to raise)."""
+    from snprelate_tpu.ops import tiles as T
+    from snprelate_tpu.ops.pairwise import eigmix_parts, king_homo_counts
+
+    data, _g = big_data
+    ws = _workspace(data)
+    num0, wvg0, het0 = eigmix_parts(ws)
+    c0, waf0, waf20 = king_homo_counts(ws)
+
+    ck_e = str(tmp_path / "eig.ck")
+    ck_k = str(tmp_path / "kh.ck")
+    num1, wvg1, het1 = T.eigmix_parts_tiled(ws, group=512, chunk=128,
+                                            checkpoint=ck_e)
+    c1, waf1, waf21 = T.king_homo_parts_tiled(ws, group=512, chunk=128,
+                                              checkpoint=ck_k)
+    np.testing.assert_allclose(num1, num0, rtol=1e-10, atol=1e-12)
+    np.testing.assert_array_equal(np.stack(c1.base()), np.stack(c0.base()))
+
+    def boom(*a, **k):
+        raise AssertionError("tile recomputed on resume")
+
+    orig_e, orig_k = T._eigmix_tile_scan_c, T._king_homo_tile_scan_c
+    T._eigmix_tile_scan_c = T._king_homo_tile_scan_c = boom
+    try:
+        num2, wvg2, het2 = T.eigmix_parts_tiled(ws, group=512, chunk=128,
+                                                checkpoint=ck_e)
+        c2, waf2, waf22 = T.king_homo_parts_tiled(ws, group=512, chunk=128,
+                                                  checkpoint=ck_k)
+    finally:
+        T._eigmix_tile_scan_c, T._king_homo_tile_scan_c = orig_e, orig_k
+    np.testing.assert_allclose(num2, num0, rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(wvg2, wvg0, rtol=1e-10, atol=1e-12)
+    np.testing.assert_array_equal(het2, het0)
+    np.testing.assert_array_equal(np.stack(c2.base()), np.stack(c0.base()))
+    np.testing.assert_allclose(waf2, waf0, rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(waf22, waf20, rtol=1e-10, atol=1e-12)

@@ -7,9 +7,14 @@ import numpy as np
 def test_snp_rate_freq_vs_dense(hapmap):
     from snprelate_tpu import snp_rate_freq, get_geno
 
+    import warnings
+
     rv = snp_rate_freq(hapmap, sample_id=hapmap.sample_id[:77], with_id=True)
     g = get_geno(hapmap, sample_id=hapmap.sample_id[:77])
-    af = np.nanmean(g, axis=1) / 2
+    with warnings.catch_warnings():
+        # all-missing SNPs: AlleleFreq is NaN by contract on both sides
+        warnings.simplefilter("ignore", RuntimeWarning)
+        af = np.nanmean(g, axis=1) / 2
     np.testing.assert_allclose(rv["AlleleFreq"], af, rtol=1e-12)
     np.testing.assert_allclose(rv["MinorFreq"], np.minimum(af, 1 - af),
                                rtol=1e-12)
