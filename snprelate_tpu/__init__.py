@@ -45,7 +45,7 @@ from .utils.packed import PackedSymmetric
 from .models.ibs import ibs, ibs_num
 from .models.pca import pca
 from .models.grm import grm, merge_grm, save_grm, load_grm
-from .models.king import ibd_king, king_ibd_selection
+from .models.king import ibd_king, king_cross, king_ibd_selection
 from .models.ibd_mom import ibd_mom
 from .models.beta import indiv_beta, indiv_beta_rel
 from .models.eigmix import eigmix

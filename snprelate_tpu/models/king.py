@@ -78,9 +78,10 @@ def _resolve_family(family_id, sample_id, ws) -> np.ndarray:
 def ibd_king(data, sample_id=None, snp_id=None, autosome_only=True,
              remove_monosnp=True, maf=math.nan, missing_rate=0.01,
              type="KING-robust", family_id=None, verbose=False, chunk=None,
-             use_matrix=False, mesh=None):
+             use_matrix=False, mesh=None, sample_block=None):
     """snpgdsIBDKING (R/IBD.R:333). use_matrix packs the symmetric
-    outputs (useMatrix=TRUE analog)."""
+    outputs (useMatrix=TRUE analog). sample_block forces the row-strip
+    large-N engine (auto-enabled past the HBM carry ceiling anyway)."""
     from ..utils.packed import maybe_packed
     ws, _ = init_workspace(data, sample_id, snp_id, autosome_only,
                            remove_monosnp, maf, missing_rate, verbose=verbose)
@@ -88,7 +89,7 @@ def ibd_king(data, sample_id=None, snp_id=None, autosome_only=True,
 
     if type == "KING-homo":
         c, waf, waf2 = king_homo_counts(ws, chunk=chunk, verbose=verbose,
-                                        mesh=mesh)
+                                        mesh=mesh, sample_block=sample_block)
         with np.errstate(divide="ignore", invalid="ignore"):
             theta = 0.5 - c.sum_sq / (8.0 * waf)
             k0 = c.ibs0 / (2.0 * waf2)
@@ -105,7 +106,8 @@ def ibd_king(data, sample_id=None, snp_id=None, autosome_only=True,
         raise ValueError("Invalid 'type'.")
 
     fam = _resolve_family(family_id, sample_id, ws)
-    c = pair_counts(ws, chunk=chunk, verbose=verbose, mesh=mesh)
+    c = pair_counts(ws, chunk=chunk, verbose=verbose, mesh=mesh,
+                    sample_block=sample_block)
     nloci = c.nvalid.astype(np.float64)
     with np.errstate(divide="ignore", invalid="ignore"):
         ibs0 = np.where(nloci > 0, c.ibs0 / nloci, np.nan)
@@ -464,3 +466,37 @@ def king_ibd_selection(data, kinship_cutoff, sample_id=None, snp_id=None,
             "ID2": np.concatenate(id2) if id2 else np.array([], object),
             "IBS0": np.concatenate(ibs0_v) if ibs0_v else np.array([]),
             "kinship": np.concatenate(kin_v) if kin_v else np.array([])}
+
+
+def king_cross(data, query_geno, query_id=None, sample_id=None, snp_id=None,
+               autosome_only=True, remove_monosnp=True, maf=math.nan,
+               missing_rate=0.01, chunk=None, verbose=False):
+    """KING-robust kinship of NEW (query) samples against every cohort
+    sample — the serving path: one pass of rectangular (q x n) integer
+    matmuls (ops.pairwise.cross_pair_counts), O(q x n) memory.
+
+    query_geno: (q, n_selected_snp) dosages 0/1/2, 3=missing, in the
+    cohort's post-filter SNP order (use the snp_id of a prior result, or
+    align with snp_list/get_geno). Estimator: the between-family
+    KING-robust moment formula (genKING.cpp:634-638) applied per
+    rectangular pair; the reference has no cross-cohort form — this
+    generalizes its full-matrix estimator to a query set.
+
+    Returns KINGRobustResult with (q, n) kinship/IBS0; sample_id holds the
+    COHORT ids, afreq the query ids."""
+    from ..ops.pairwise import cross_pair_counts
+
+    ws, _ = init_workspace(data, sample_id, snp_id, autosome_only,
+                           remove_monosnp, maf, missing_rate,
+                           verbose=verbose)
+    c = cross_pair_counts(ws, query_geno, chunk=chunk, verbose=verbose)
+    nloci = c.nvalid.astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ibs0 = np.where(nloci > 0, c.ibs0 / nloci, np.nan)
+        n1 = c.n1_het.astype(np.float64)
+        n2 = c.n2_het.astype(np.float64)
+        kinship = 0.5 - c.sum_sq / (4.0 * np.minimum(n1, n2))
+    kinship[~np.isfinite(kinship)] = np.nan
+    qid = (np.asarray(query_id, dtype=object) if query_id is not None
+           else np.arange(kinship.shape[0]))
+    return KINGRobustResult(ws.sample_id, ws.snp_id, qid, ibs0, kinship)

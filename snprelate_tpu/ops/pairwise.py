@@ -432,6 +432,72 @@ def pair_counts(ws, chunk=None, pad_to: int = 128,
     return PairCounts.from_grams4(carry, ws.n_samp)
 
 
+@functools.partial(jax.jit, donate_argnums=0)
+def _cross_gram_step(carry5, packed, qplanes):
+    """(q x cohort) rectangular 5-gram update for one SNP chunk: the
+    serving-path analog of _basis_strip_update, with the row operand a
+    QUERY basis (3, q, Sc) instead of a strip of the same dataset."""
+    b = genotype_basis(decode2bit(packed))  # (3, Sc, N)
+    mmdt = _plane_mm_dtype()
+    v, h, d = (x.astype(mmdt) for x in b)
+    qv, qh, qd = (x.astype(mmdt) for x in qplanes)
+
+    def mm(x, y):
+        return jnp.matmul(x, y, preferred_element_type=jnp.int32)
+
+    cvv, chh, cdd, chv, cvh = carry5
+    return (cvv + mm(qv, v), chh + mm(qh, h), cdd + mm(qd, d),
+            chv + mm(qh, v), cvh + mm(qv, h))
+
+
+def cross_pair_counts(ws, query_geno, chunk=None, pad_to: int = 128,
+                      verbose: bool = False) -> PairCounts:
+    """Integer pairwise counts for every (query sample x cohort sample)
+    pair — the serving building block: relate NEW samples to a resident
+    cohort in 5 rectangular int matmuls per chunk, O(q x n) memory and
+    O(q x S) extra host->device traffic, never forming anything
+    (n+q)-sized. query_geno: (q, ws.n_snp) dosages 0/1/2 with 3=missing,
+    aligned to the workspace SNP selection (same snp.id order).
+
+    Returns a PairCounts whose matrices are (q, n) rectangles; every
+    counter property (ibs0/ibs2/sum_sq/n1_het/...) works elementwise, with
+    the query sample as the FIRST index (the reference's pairwise counters
+    are symmetric full-matrix only — this rectangular form has no
+    counterpart there; estimator formulas follow genKING.cpp:634-638 /
+    genIBS.cpp:231-243 unchanged)."""
+    q_arr = np.ascontiguousarray(np.asarray(query_geno, np.uint8))
+    if q_arr.ndim != 2 or q_arr.shape[1] != ws.n_snp:
+        raise ValueError(
+            f"query_geno must be (q, {ws.n_snp}); got {q_arr.shape}")
+    nq, S = q_arr.shape
+    n_pad = -(-ws.n_samp // pad_to) * pad_to
+    q_pad = -(-nq // 8) * 8
+    if chunk is None:
+        chunk = auto_chunk(n_pad, ws.n_snp)
+    # host-side query basis, sliced per chunk below (q is small; the
+    # cohort side streams through the same prefetched codec path as every
+    # other engine)
+    qv = (q_arr != 3).astype(np.int8)
+    qh = (q_arr == 1).astype(np.int8)
+    qd = (q_arr == 2).astype(np.int8) - (q_arr == 0).astype(np.int8)
+    qbasis = np.zeros((3, q_pad, S), np.int8)
+    qbasis[0, :nq], qbasis[1, :nq], qbasis[2, :nq] = qv, qh, qd
+
+    carry = tuple(jnp.zeros((q_pad, n_pad), jnp.int32) for _ in range(5))
+    s0 = 0
+    for packed in _stream(ws, chunk, n_pad, verbose=verbose,
+                          label="cross counts: "):
+        sl = qbasis[:, :, s0:s0 + chunk]
+        if sl.shape[2] < chunk:  # final chunk: pad with missing (all-zero)
+            sl = np.concatenate(
+                [sl, np.zeros((3, q_pad, chunk - sl.shape[2]), np.int8)],
+                axis=2)
+        carry = _cross_gram_step(carry, packed, jnp.asarray(sl))
+        s0 += chunk
+    base = [np.asarray(c)[:nq, :ws.n_samp].astype(np.int64) for c in carry]
+    return PairCounts(*base)
+
+
 # ---------------------------------------------------------------------------
 # Floating (normalized dosage) engine
 
