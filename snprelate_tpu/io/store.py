@@ -210,13 +210,17 @@ def open_snp_gds(path: str, readonly: bool = True,
             annot[c.name] = np.asarray(v, dtype=object) if isinstance(v, list) \
                 else np.asarray(v)
 
-    return SNPData(
+    sd = SNPData(
         sample_id=sample_id, snp_id=snp_id, genotype_packed=pack2bit(g),
         n_samp=n_samp,
         snp_position=np.asarray(root.index("snp.position").read()),
         snp_chromosome=chrom,
         snp_allele=_opt("snp.allele"), snp_rs_id=_opt("snp.rs.id"),
         sample_annot=annot, **kw)
+    # the file's storage orientation, for get_geno(snpfirstdim=None)
+    # (snpgdsGetGeno's snpfirstdim=NA semantics, R/AllUtilities.R:1006)
+    sd.source_snpfirstdim = snpfirstdim
+    return sd
 
 
 def example_filename() -> str:

@@ -45,15 +45,18 @@ def eigmix_ibd_matrix(ws, diagadj: bool = True, chunk=None,
 def eigmix(data, sample_id=None, snp_id=None, autosome_only=True,
            remove_monosnp=True, maf=math.nan, missing_rate=0.01,
            eigen_cnt=32, diagadj=True, ibdmat=False, verbose=False,
-           chunk=None) -> EigMixResult:
-    """snpgdsEIGMIX (R/PCA.R:311)."""
+           chunk=None, sample_block=None, mesh=None) -> EigMixResult:
+    """snpgdsEIGMIX (R/PCA.R:311). sample_block= takes the row-tiled /
+    super-tile large-N engine; mesh= shards the accumulation over a
+    jax.sharding.Mesh (both equal the single-device result, tested)."""
     ws, _ = init_workspace(data, sample_id, snp_id, autosome_only,
                            remove_monosnp, maf, missing_rate, verbose=verbose)
     n = ws.n_samp
     if eigen_cnt < 0:
         eigen_cnt = n
     mat = eigmix_ibd_matrix(ws, diagadj=diagadj, chunk=chunk,
-                            verbose=verbose)
+                            verbose=verbose, sample_block=sample_block,
+                            mesh=mesh)
     af, _, _, _ = snp_stats(ws)
 
     eigenval = eigenvect = None

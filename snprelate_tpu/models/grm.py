@@ -174,7 +174,7 @@ def grm(data, sample_id=None, snp_id=None, autosome_only=True,
         res.avg_val = beta_avg
     if out_fn is not None:
         save_grm(res, out_fn, avg_val=getattr(res, "avg_val", None),
-                 prec=out_prec)
+                 prec=out_prec, compress=out_compress)
     if use_matrix:  # useMatrix=TRUE analog (R/IBD.R:546)
         from ..utils.packed import PackedSymmetric
 
@@ -182,11 +182,28 @@ def grm(data, sample_id=None, snp_id=None, autosome_only=True,
     return res
 
 
-def save_grm(res: GRMResult, out_fn: str, avg_val=None, prec="double"):
+def save_grm(res: GRMResult, out_fn: str, avg_val=None, prec="double",
+             compress="LZMA_RA"):
     """snpgdsGRM(out.fn=) protocol (R/IBD.R:570-591): write a
-    SNPRELATE_OUTPUT GDS file with command/sample.id/snp.id/grm(/avg_val)."""
-    from ..io.gds import GDSWriter, _folder_node, _leaf_node, _vstr_data, _zip
+    SNPRELATE_OUTPUT GDS file with command/sample.id/snp.id/grm(/avg_val).
+    compress: "LZMA_RA"/"LZMA" (xz), "ZIP"/"ZIP_RA" (deflate) or "" — the
+    reference's out.compress default is LZMA_RA (R/IBD.R:543)."""
+    from ..io.gds import (GDSWriter, _folder_node, _leaf_node, _vstr_data,
+                          _zip, _zip_ra)
+    import lzma as _lzma
     import struct as _struct
+
+    comp = (compress or "").upper()
+    if comp.startswith("LZMA"):
+        coder, packer = "LZMA", _lzma.compress
+    elif comp.startswith("ZIP_RA"):
+        coder, packer = "ZIP_RA", _zip_ra
+    elif comp.startswith("ZIP"):
+        coder, packer = "ZIP", _zip
+    elif comp == "":
+        coder, packer = "", bytes
+    else:
+        raise ValueError(f"unsupported out_compress {compress!r}")
 
     w = GDSWriter()
     root_id = w.reserve()
@@ -194,9 +211,9 @@ def save_grm(res: GRMResult, out_fn: str, avg_val=None, prec="double"):
 
     def leaf(name, classname, raw, dims):
         node_id = w.reserve()
-        stored = _zip(raw)
+        stored = packer(raw)
         data_id = w.add_block(stored)
-        w.set_block(node_id, _leaf_node(classname, dims, data_id, {}, "ZIP",
+        w.set_block(node_id, _leaf_node(classname, dims, data_id, {}, coder,
                                         len(raw), len(stored)))
         children.append((name, node_id, 0))
 
@@ -243,10 +260,12 @@ def load_grm(fn: str):
     return res, avg_val
 
 
-def merge_grm(filelist, out_fn=None, weight=None, verbose=False):
+def merge_grm(filelist, out_fn=None, out_prec="double",
+              out_compress="LZMA_RA", weight=None, verbose=False):
     """snpgdsMergeGRM (R/IBD.R:624-748): weighted merge of per-SNP-subset
     GRMs; IndivBeta uses the baseline re-centering of gnrGRMMerge
-    (genPCA.cpp:1744-1832)."""
+    (genPCA.cpp:1744-1832). out_prec/out_compress mirror the reference's
+    out.prec ("double"/"single") and out.compress arguments."""
     parts = []
     avg_vals = []
     for fn in filelist:
@@ -297,7 +316,8 @@ def merge_grm(filelist, out_fn=None, weight=None, verbose=False):
         np.fill_diagonal(out, np.diag(out) * 0.5 + 1.0)
         res = GRMResult(sampid, snp_id, method, out, avg_val=avg)
         if out_fn is not None:
-            save_grm(res, out_fn, avg_val=avg)
+            save_grm(res, out_fn, avg_val=avg, prec=out_prec,
+                     compress=out_compress)
             return None
         return res
 
@@ -306,6 +326,6 @@ def merge_grm(filelist, out_fn=None, weight=None, verbose=False):
         out += r.grm * wt
     res = GRMResult(sampid, snp_id, method, out)
     if out_fn is not None:
-        save_grm(res, out_fn)
+        save_grm(res, out_fn, prec=out_prec, compress=out_compress)
         return None
     return res

@@ -52,13 +52,17 @@ def select_snp(data, sample_id=None, snp_id=None, autosome_only=True,
     return ws.snp_id
 
 
-def get_geno(data, sample_id=None, snp_id=None, snpfirstdim=True,
+def get_geno(data, sample_id=None, snp_id=None, snpfirstdim=None,
              with_id=False, verbose=False):
     """snpgdsGetGeno (R/AllUtilities.R:1006): dense genotype matrix with
     NaN... the reference returns NA for missing; here value 3 is replaced by
-    -1 in an int matrix when na_int else float NaN."""
+    -1 in an int matrix when na_int else float NaN. snpfirstdim=None is the
+    reference's snpfirstdim=NA: use the source file's storage orientation
+    (snp-major unless the file was sample.order)."""
     ws, _ = init_workspace(data, sample_id, snp_id, autosome_only=False,
                            remove_monosnp=False)
+    if snpfirstdim is None:
+        snpfirstdim = getattr(data, "source_snpfirstdim", True)
     g = ws.geno().astype(np.float64)
     g[g == 3] = np.nan
     if not snpfirstdim:

@@ -34,7 +34,8 @@ def test_every_public_function(hapmap, tmp_path):
     sr.ibd_selection(mom, kinship_cutoff=0.1)
     mle = sr.ibd_mle(hapmap, sample_id=sid[:8], snp_id=snps[:500])
     sr.ibd_mle_loglik(hapmap, mle, relatedness="unrelated")
-    g = sr.get_geno(hapmap, sample_id=sid[:4], snp_id=snps[:200])
+    g = sr.get_geno(hapmap, sample_id=sid[:4], snp_id=snps[:200],
+                    snpfirstdim=True)
     af = np.nanmean(g, 1) / 2
     sr.pair_ibd(g[:, 0], g[:, 1], af, method="MoM")
     sr.pair_ibd_mle_loglik(g[:, 0], g[:, 1], af, k0=1, k1=0)

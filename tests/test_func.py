@@ -10,7 +10,7 @@ def test_snp_rate_freq_vs_dense(hapmap):
     import warnings
 
     rv = snp_rate_freq(hapmap, sample_id=hapmap.sample_id[:77], with_id=True)
-    g = get_geno(hapmap, sample_id=hapmap.sample_id[:77])
+    g = get_geno(hapmap, sample_id=hapmap.sample_id[:77], snpfirstdim=True)
     with warnings.catch_warnings():
         # all-missing SNPs: AlleleFreq is NaN by contract on both sides
         warnings.simplefilter("ignore", RuntimeWarning)
@@ -26,7 +26,7 @@ def test_samp_miss_rate(hapmap):
     from snprelate_tpu import samp_miss_rate, get_geno
 
     mr = samp_miss_rate(hapmap)
-    g = get_geno(hapmap)
+    g = get_geno(hapmap, snpfirstdim=True)
     np.testing.assert_allclose(mr, np.isnan(g).mean(axis=0), rtol=1e-12)
 
 
