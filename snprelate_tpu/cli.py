@@ -1,0 +1,355 @@
+"""Command-line interface: `python -m snprelate_tpu <command> ...`.
+
+Production front-end over the library API (the reference is R-only; a CLI
+is the natural deployment surface for a framework run on TPU hosts and in
+batch schedulers). Every command reads SNP GDS / SeqArray GDS files
+(io/store.py) and writes plain text, CSV, .npz or GDS artifacts.
+
+Commands:
+  summary       dataset description (snpgdsSummary analog)
+  freq          per-SNP allele frequency / MAF / missing rate
+  hwe           exact Hardy-Weinberg p-values
+  pca           exact or randomized PCA -> eigenval/eigenvec files
+  grm           genetic relationship matrix -> SNPRELATE_OUTPUT GDS
+  merge-grm     weighted merge of per-subset GRM files
+  ibs           IBS matrix -> .npz
+  king          KING kinship matrix -> .npz (+ optional pair table)
+  king-screen   streaming biobank relatedness screen -> pair CSV
+  prune         LD pruning -> kept snp.id list
+  vcf2gds / bed2gds / ped2gds / gen2gds / gds2bed / gds2ped / gds2eigen
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import sys
+
+import numpy as np
+
+
+def _add_filter_args(p: argparse.ArgumentParser, missing_rate=0.01):
+    p.add_argument("--maf", type=float, default=math.nan,
+                   help="minor-allele-frequency filter (default: off)")
+    p.add_argument("--missing-rate", type=float, default=missing_rate,
+                   help=f"missing-rate filter (default {missing_rate})")
+    p.add_argument("--no-autosome-only", dest="autosome_only",
+                   action="store_false",
+                   help="keep non-autosomal SNPs (default: autosomes only)")
+    p.add_argument("--keep-monosnp", dest="remove_monosnp",
+                   action="store_false",
+                   help="keep monomorphic SNPs")
+    p.add_argument("--sample-id-file", metavar="FILE",
+                   help="text file with one sample.id per line")
+    p.add_argument("--snp-id-file", metavar="FILE",
+                   help="text file with one snp.id per line")
+    p.add_argument("--quiet", action="store_true")
+
+
+def _ids(path, like=None):
+    if path is None:
+        return None
+    raw = [ln.strip() for ln in open(path) if ln.strip()]
+    arr = np.asarray(like) if like is not None else None
+    if arr is not None and arr.size and np.issubdtype(arr.dtype,
+                                                     np.integer):
+        return [int(x) for x in raw]
+    if arr is None or not arr.size:  # no reference dtype: autodetect
+        if raw and all(x.lstrip("-").isdigit() for x in raw):
+            return [int(x) for x in raw]
+    return raw
+
+
+def _filters(data, a):
+    return dict(sample_id=_ids(a.sample_id_file, data.sample_id),
+                snp_id=_ids(a.snp_id_file, data.snp_id),
+                autosome_only=a.autosome_only,
+                remove_monosnp=a.remove_monosnp, maf=a.maf,
+                missing_rate=a.missing_rate, verbose=not a.quiet)
+
+
+def _open(path):
+    from .io.store import open_snp_gds
+
+    return open_snp_gds(path)
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="snprelate-tpu", description=__doc__,
+                                 formatter_class=argparse.RawDescriptionHelpFormatter)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("summary", help="dataset description")
+    p.add_argument("gds")
+
+    p = sub.add_parser("freq", help="per-SNP AF/MAF/missing rate CSV")
+    p.add_argument("gds")
+    p.add_argument("--out", help="output CSV (default stdout)")
+
+    p = sub.add_parser("hwe", help="exact HWE p-values CSV")
+    p.add_argument("gds")
+    p.add_argument("--out", help="output CSV (default stdout)")
+
+    p = sub.add_parser("pca", help="PCA -> <prefix>.eigenval.txt + "
+                       "<prefix>.eigenvec.csv")
+    p.add_argument("gds")
+    p.add_argument("--out", required=True, metavar="PREFIX")
+    p.add_argument("--eigen-cnt", type=int, default=32)
+    p.add_argument("--algorithm", choices=["exact", "randomized"],
+                   default="exact")
+    p.add_argument("--seed", type=int, default=0,
+                   help="randomized-algorithm seed")
+    p.add_argument("--checkpoint", metavar="DIR",
+                   help="crash-resume checkpoint directory")
+    _add_filter_args(p)
+
+    p = sub.add_parser("grm", help="GRM -> SNPRELATE_OUTPUT GDS")
+    p.add_argument("gds")
+    p.add_argument("--out", required=True, metavar="FILE.gds")
+    p.add_argument("--method", default="GCTA",
+                   choices=["GCTA", "Eigenstrat", "EIGMIX", "Weighted",
+                            "Corr", "IndivBeta"])
+    p.add_argument("--prec", default="double", choices=["double", "single"])
+    p.add_argument("--compress", default="LZMA_RA")
+    p.add_argument("--sample-block", type=int,
+                   help="row-tile size for large cohorts (auto if omitted)")
+    p.add_argument("--checkpoint", metavar="DIR")
+    _add_filter_args(p)
+
+    p = sub.add_parser("merge-grm", help="merge per-subset GRM GDS files")
+    p.add_argument("files", nargs="+")
+    p.add_argument("--out", required=True, metavar="FILE.gds")
+    p.add_argument("--prec", default="double", choices=["double", "single"])
+
+    p = sub.add_parser("ibs", help="IBS matrix -> .npz")
+    p.add_argument("gds")
+    p.add_argument("--out", required=True, metavar="FILE.npz")
+    _add_filter_args(p)
+
+    p = sub.add_parser("king", help="KING kinship -> .npz (+ pair table)")
+    p.add_argument("gds")
+    p.add_argument("--out", required=True, metavar="FILE.npz")
+    p.add_argument("--type", default="KING-robust",
+                   choices=["KING-robust", "KING-homo"])
+    p.add_argument("--cutoff", type=float,
+                   help="also write <out>.pairs.csv of pairs above this "
+                        "kinship")
+    _add_filter_args(p)
+
+    p = sub.add_parser("king-screen",
+                       help="streaming relatedness screen (never "
+                            "materializes the kinship matrix)")
+    p.add_argument("gds")
+    p.add_argument("--out", required=True, metavar="FILE.csv")
+    p.add_argument("--cutoff", type=float, required=True,
+                   help="kinship cutoff, e.g. 0.0884 (3rd degree)")
+    _add_filter_args(p)
+
+    p = sub.add_parser("prune", help="LD pruning -> kept snp.id list")
+    p.add_argument("gds")
+    p.add_argument("--out", required=True, metavar="FILE.txt")
+    p.add_argument("--ld-threshold", type=float, default=0.2)
+    p.add_argument("--method", default="composite",
+                   choices=["composite", "r", "dprime", "corr"])
+    p.add_argument("--slide-max-bp", type=int, default=500000)
+    p.add_argument("--seed", type=int, default=None)
+    _add_filter_args(p, missing_rate=0.01)
+
+    p = sub.add_parser("serve", help="long-lived inference service "
+                       "(PCA projection + KING matching vs the resident "
+                       "cohort)")
+    p.add_argument("gds")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8799)
+    p.add_argument("--eigen-cnt", type=int, default=16)
+    _add_filter_args(p)
+
+    for name, help_ in [("vcf2gds", "VCF -> SNP GDS"),
+                        ("bed2gds", "PLINK BED -> SNP GDS"),
+                        ("ped2gds", "PLINK PED -> SNP GDS"),
+                        ("gen2gds", "Oxford GEN -> SNP GDS"),
+                        ("gds2bed", "SNP GDS -> PLINK BED"),
+                        ("gds2ped", "SNP GDS -> PLINK PED"),
+                        ("gds2eigen", "SNP GDS -> EIGENSTRAT")]:
+        p = sub.add_parser(name, help=help_)
+        p.add_argument("src", nargs="+" if name == "ped2gds" else None)
+        p.add_argument("dst")
+        p.add_argument("--quiet", action="store_true")
+
+    a = ap.parse_args(argv)
+    out = run(a)
+    if out:
+        print(out)
+    return 0
+
+
+def run(a) -> str:
+    cmd = a.cmd
+    if cmd == "summary":
+        from .models.stats import summary
+
+        info = summary(_open(a.gds), show=True)
+        return "\n".join(f"{k}: {v}" for k, v in info.items())
+
+    if cmd == "freq":
+        from .models.stats import snp_rate_freq
+
+        data = _open(a.gds)
+        rv = snp_rate_freq(data, with_id=True)
+        rows = ["snp.id,allele.freq,minor.freq,missing.rate"]
+        rows += [f"{i},{af:.10g},{mf:.10g},{mr:.10g}" for i, af, mf, mr in
+                 zip(rv["snp.id"], rv["AlleleFreq"], rv["MinorFreq"],
+                     rv["MissingRate"])]
+        return _emit(rows, a.out)
+
+    if cmd == "hwe":
+        from .models.hwe import hwe
+
+        data = _open(a.gds)
+        pv = hwe(data, with_id=True)
+        rows = ["snp.id,hwe.p"]
+        rows += [f"{i},{p:.10g}" for i, p in zip(pv["snp.id"], pv["pvalue"])]
+        return _emit(rows, a.out)
+
+    if cmd == "pca":
+        from .models.pca import pca
+
+        data = _open(a.gds)
+        r = pca(data, eigen_cnt=a.eigen_cnt, algorithm=a.algorithm,
+                seed=a.seed, checkpoint=a.checkpoint, **_filters(data, a))
+        np.savetxt(a.out + ".eigenval.txt", r.eigenval[:a.eigen_cnt])
+        with open(a.out + ".eigenvec.csv", "w") as f:
+            f.write("sample.id," + ",".join(
+                f"PC{i+1}" for i in range(r.eigenvect.shape[1])) + "\n")
+            for s, row in zip(r.sample_id, r.eigenvect):
+                f.write(str(s) + "," + ",".join(f"{v:.10g}" for v in row)
+                        + "\n")
+        return (f"PCA ({a.algorithm}): wrote {a.out}.eigenval.txt and "
+                f"{a.out}.eigenvec.csv ({len(r.sample_id)} samples x "
+                f"{r.eigenvect.shape[1]} PCs)")
+
+    if cmd == "grm":
+        from .models.grm import grm
+
+        data = _open(a.gds)
+        grm(data, method=a.method, out_fn=a.out, out_prec=a.prec,
+            out_compress=a.compress, sample_block=a.sample_block,
+            checkpoint=a.checkpoint, **_filters(data, a))
+        return f"GRM ({a.method}): wrote {a.out}"
+
+    if cmd == "merge-grm":
+        from .models.grm import merge_grm
+
+        merge_grm(list(a.files), out_fn=a.out, out_prec=a.prec)
+        return f"merged {len(a.files)} GRM files -> {a.out}"
+
+    if cmd == "ibs":
+        from .models.ibs import ibs
+
+        data = _open(a.gds)
+        r = ibs(data, **_filters(data, a))
+        np.savez_compressed(a.out, sample_id=np.asarray(r.sample_id, str),
+                            ibs=r.ibs)
+        return f"IBS: wrote {a.out} ({len(r.sample_id)} samples)"
+
+    if cmd == "king":
+        from .models.king import ibd_king
+        from .models.ibd_mle import ibd_selection
+
+        data = _open(a.gds)
+        r = ibd_king(data, type=a.type, **_filters(data, a))
+        np.savez_compressed(a.out, sample_id=np.asarray(r.sample_id, str),
+                            kinship=r.kinship)
+        msg = f"KING ({a.type}): wrote {a.out}"
+        if a.cutoff is not None:
+            tab = ibd_selection(r, kinship_cutoff=a.cutoff)
+            pfn = a.out + ".pairs.csv"
+            _write_pairs(pfn, tab)
+            msg += f" + {pfn} ({len(tab['ID1'])} pairs)"
+        return msg
+
+    if cmd == "king-screen":
+        from .models.king import king_ibd_selection
+
+        data = _open(a.gds)
+        tab = king_ibd_selection(data, kinship_cutoff=a.cutoff,
+                                 **_filters(data, a))
+        _write_pairs(a.out, tab)
+        return (f"screen (cutoff {a.cutoff}): {len(tab['ID1'])} pairs "
+                f"-> {a.out}")
+
+    if cmd == "prune":
+        from .models.ld import ld_pruning
+
+        data = _open(a.gds)
+        kw = _filters(data, a)
+        kw["maf"] = a.maf if not math.isnan(a.maf) else 0.005
+        kept = ld_pruning(data, method=a.method, ld_threshold=a.ld_threshold,
+                          slide_max_bp=a.slide_max_bp, seed=a.seed, **kw)
+        ids = [str(s) for chrom in kept.values() for s in chrom]
+        with open(a.out, "w") as f:
+            f.write("\n".join(ids) + "\n")
+        return f"LD pruning: kept {len(ids)} SNPs -> {a.out}"
+
+    if cmd == "serve":
+        from .serve import serve
+
+        serve(a.gds, host=a.host, port=a.port, eigen_cnt=a.eigen_cnt,
+              verbose=not a.quiet, maf=a.maf, missing_rate=a.missing_rate,
+              autosome_only=a.autosome_only,
+              remove_monosnp=a.remove_monosnp,
+              sample_id=_ids(a.sample_id_file),
+              snp_id=_ids(a.snp_id_file))
+        return ""  # serve_forever does not return
+
+    # converters
+    from .io import convert as cv
+    from .io.gds import write_snp_gds
+
+    quiet = getattr(a, "quiet", True)
+    if cmd == "vcf2gds":
+        write_snp_gds(cv.vcf_to_snpdata(a.src, verbose=not quiet), a.dst)
+    elif cmd == "bed2gds":
+        base = a.src[:-4] if a.src.endswith(".bed") else a.src
+        write_snp_gds(cv.bed_to_snpdata(base + ".bed", base + ".fam",
+                                        base + ".bim", verbose=not quiet),
+                      a.dst)
+    elif cmd == "ped2gds":
+        srcs = a.src if isinstance(a.src, list) else [a.src]
+        base = srcs[0][:-4] if srcs[0].endswith(".ped") else srcs[0]
+        write_snp_gds(cv.ped_to_snpdata(base + ".ped", base + ".map",
+                                        verbose=not quiet), a.dst)
+    elif cmd == "gen2gds":
+        write_snp_gds(cv.gen_to_snpdata(a.src, verbose=not quiet), a.dst)
+    elif cmd == "gds2bed":
+        cv.snpdata_to_bed(_open(a.src), a.dst, verbose=not quiet)
+    elif cmd == "gds2ped":
+        cv.snpdata_to_ped(_open(a.src), a.dst, verbose=not quiet)
+    elif cmd == "gds2eigen":
+        cv.snpdata_to_eigen(_open(a.src), a.dst, verbose=not quiet)
+    else:  # pragma: no cover
+        raise SystemExit(f"unknown command {cmd}")
+    return f"{cmd}: wrote {a.dst}"
+
+
+def _emit(rows, out):
+    text = "\n".join(rows)
+    if out:
+        with open(out, "w") as f:
+            f.write(text + "\n")
+        return f"wrote {out} ({len(rows) - 1} rows)"
+    return text
+
+
+def _write_pairs(path, tab):
+    keys = [k for k in ("ID1", "ID2", "kinship", "IBS0", "nsnp", "k0", "k1")
+            if k in tab]
+    n = len(tab[keys[0]])
+    with open(path, "w") as f:
+        f.write(",".join(keys) + "\n")
+        for i in range(n):
+            f.write(",".join(str(tab[k][i]) for k in keys) + "\n")
+
+
+if __name__ == "__main__":  # pragma: no cover
+    sys.exit(main())

@@ -1,0 +1,108 @@
+"""CLI smoke + correctness tests (`python -m snprelate_tpu ...`).
+
+Runs main() in-process (conftest already pins the CPU backend); each
+command's artifact is checked against the library API result.
+"""
+
+import numpy as np
+import pytest
+
+from snprelate_tpu.cli import main
+from snprelate_tpu.io.store import example_filename
+
+GDS = example_filename()
+
+
+def test_cli_summary(capsys):
+    assert main(["summary", GDS]) == 0
+    out = capsys.readouterr().out
+    assert "n.samp" in out and "n.snp" in out
+
+
+def test_cli_freq_matches_api(tmp_path):
+    from snprelate_tpu import snp_rate_freq, open_snp_gds
+
+    out = tmp_path / "freq.csv"
+    main(["freq", GDS, "--out", str(out)])
+    lines = out.read_text().strip().splitlines()
+    data = open_snp_gds(GDS)
+    rv = snp_rate_freq(data, with_id=True)
+    assert len(lines) - 1 == len(rv["snp.id"])
+    first = lines[1].split(",")
+    assert first[0] == str(rv["snp.id"][0])
+    np.testing.assert_allclose(float(first[1]), rv["AlleleFreq"][0],
+                               rtol=1e-9)
+
+
+def test_cli_pca(tmp_path):
+    from snprelate_tpu import pca, open_snp_gds
+
+    ids = tmp_path / "samples.txt"
+    data = open_snp_gds(GDS)
+    keep = [str(s) for s in data.sample_id[:40]]
+    ids.write_text("\n".join(keep) + "\n")
+    prefix = str(tmp_path / "p")
+    main(["pca", GDS, "--out", prefix, "--eigen-cnt", "4",
+          "--sample-id-file", str(ids), "--quiet"])
+    vec = np.loadtxt(prefix + ".eigenvec.csv", delimiter=",", skiprows=1,
+                     usecols=range(1, 5))
+    val = np.loadtxt(prefix + ".eigenval.txt")
+    r = pca(data, sample_id=keep, eigen_cnt=4)
+    np.testing.assert_allclose(val, r.eigenval[:4], rtol=1e-8)
+    # eigenvector sign is arbitrary per component
+    np.testing.assert_allclose(np.abs(vec), np.abs(r.eigenvect), atol=1e-8)
+
+
+def test_cli_grm_merge_king_prune(tmp_path):
+    from snprelate_tpu.models.grm import load_grm
+    from snprelate_tpu import grm, open_snp_gds
+
+    data = open_snp_gds(GDS)
+    keep = [str(s) for s in data.sample_id[:25]]
+    ids = tmp_path / "s.txt"
+    ids.write_text("\n".join(keep) + "\n")
+
+    gfn = str(tmp_path / "g.gds")
+    main(["grm", GDS, "--out", gfn, "--sample-id-file", str(ids),
+          "--prec", "single", "--quiet"])
+    back, _ = load_grm(gfn)
+    ref = grm(data, sample_id=keep)
+    np.testing.assert_allclose(back.grm, ref.grm, rtol=1e-6, atol=1e-6)
+
+    merged = str(tmp_path / "m.gds")
+    main(["merge-grm", gfn, "--out", merged])
+    mm, _ = load_grm(merged)
+    np.testing.assert_allclose(mm.grm, back.grm, rtol=1e-6, atol=1e-6)
+
+    kfn = str(tmp_path / "king.npz")
+    main(["king", GDS, "--out", kfn, "--cutoff", "0.2",
+          "--sample-id-file", str(ids), "--quiet"])
+    z = np.load(kfn)
+    assert z["kinship"].shape == (25, 25)
+    pairs = (tmp_path / "king.npz.pairs.csv").read_text().splitlines()
+    assert pairs[0].startswith("ID1,ID2")
+
+    sfn = str(tmp_path / "screen.csv")
+    main(["king-screen", GDS, "--out", sfn, "--cutoff", "0.2",
+          "--sample-id-file", str(ids), "--quiet"])
+    screen = (tmp_path / "screen.csv").read_text().splitlines()
+    # same pair set as the full-matrix route (order may differ)
+    assert len(screen) == len(pairs)
+
+    pfn = str(tmp_path / "kept.txt")
+    main(["prune", GDS, "--out", pfn, "--seed", "7",
+          "--sample-id-file", str(ids), "--quiet"])
+    kept = pfn and open(pfn).read().split()
+    assert 100 < len(kept) < data.n_snp
+
+
+def test_cli_converters(tmp_path):
+    from snprelate_tpu import open_snp_gds
+
+    bed = str(tmp_path / "x")
+    main(["gds2bed", GDS, bed, "--quiet"])
+    out = str(tmp_path / "x.gds")
+    main(["bed2gds", bed + ".bed", out, "--quiet"])
+    data = open_snp_gds(out)
+    orig = open_snp_gds(GDS)
+    assert data.n_samp == orig.n_samp and data.n_snp == orig.n_snp
