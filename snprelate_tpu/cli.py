@@ -12,9 +12,15 @@ Commands:
   pca           exact or randomized PCA -> eigenval/eigenvec files
   grm           genetic relationship matrix -> SNPRELATE_OUTPUT GDS
   merge-grm     weighted merge of per-subset GRM files
+  eigmix        EIGMIX eigenanalysis (+ optional IBD matrix)
   ibs           IBS matrix -> .npz
+  diss          individual dissimilarity matrix -> .npz
   king          KING kinship matrix -> .npz (+ optional pair table)
   king-screen   streaming biobank relatedness screen -> pair CSV
+  ibd-mom       PLINK method-of-moments IBD -> .npz (+ pair table)
+  indiv-beta    Weir-Goudet individual beta -> .npz
+  fst           Weir&Cockerham / Weir&Hill Fst between populations
+  ld-mat        full or banded LD matrix -> .npz
   prune         LD pruning -> kept snp.id list
   vcf2gds / bed2gds / ped2gds / gen2gds / gds2bed / gds2ped / gds2eigen
 """
@@ -121,7 +127,22 @@ def main(argv=None) -> int:
     p.add_argument("--out", required=True, metavar="FILE.gds")
     p.add_argument("--prec", default="double", choices=["double", "single"])
 
+    p = sub.add_parser("eigmix", help="EIGMIX -> <prefix>.eigenval.txt + "
+                       "<prefix>.eigenvec.csv (+ --ibdmat FILE.npz)")
+    p.add_argument("gds")
+    p.add_argument("--out", required=True, metavar="PREFIX")
+    p.add_argument("--eigen-cnt", type=int, default=32)
+    p.add_argument("--no-diagadj", dest="diagadj", action="store_false")
+    p.add_argument("--ibdmat", metavar="FILE.npz",
+                   help="also write the EIGMIX IBD matrix")
+    _add_filter_args(p)
+
     p = sub.add_parser("ibs", help="IBS matrix -> .npz")
+    p.add_argument("gds")
+    p.add_argument("--out", required=True, metavar="FILE.npz")
+    _add_filter_args(p)
+
+    p = sub.add_parser("diss", help="dissimilarity matrix -> .npz")
     p.add_argument("gds")
     p.add_argument("--out", required=True, metavar="FILE.npz")
     _add_filter_args(p)
@@ -144,6 +165,46 @@ def main(argv=None) -> int:
     p.add_argument("--cutoff", type=float, required=True,
                    help="kinship cutoff, e.g. 0.0884 (3rd degree)")
     _add_filter_args(p)
+
+    p = sub.add_parser("ibd-mom", help="PLINK MoM IBD (k0/k1/kinship) -> "
+                       ".npz (+ pair table above --cutoff)")
+    p.add_argument("gds")
+    p.add_argument("--out", required=True, metavar="FILE.npz")
+    p.add_argument("--cutoff", type=float,
+                   help="also write <out>.pairs.csv above this kinship")
+    _add_filter_args(p)
+
+    p = sub.add_parser("indiv-beta", help="Weir-Goudet individual beta -> "
+                       ".npz")
+    p.add_argument("gds")
+    p.add_argument("--out", required=True, metavar="FILE.npz")
+    p.add_argument("--no-inbreeding", dest="inbreeding",
+                   action="store_false",
+                   help="plain-beta diagonal instead of the inbreeding "
+                        "form (reference default is inbreeding=TRUE)")
+    _add_filter_args(p)
+
+    p = sub.add_parser("fst", help="population differentiation (Fst)")
+    p.add_argument("gds")
+    p.add_argument("--pop-file", required=True, metavar="FILE",
+                   help="one population label per line, aligned to the "
+                        "sample order (or to --sample-id-file)")
+    p.add_argument("--method", default="W&C84",
+                   choices=["W&C84", "W&H02"])
+    p.add_argument("--out", metavar="FILE.csv",
+                   help="per-SNP Fst CSV (default: print summary only)")
+    _add_filter_args(p)
+
+    p = sub.add_parser("ld-mat", help="full or banded LD matrix -> .npz")
+    p.add_argument("gds")
+    p.add_argument("--out", required=True, metavar="FILE.npz")
+    p.add_argument("--slide", type=int, default=250,
+                   help="band width in SNPs; <=0 = full matrix")
+    p.add_argument("--method", default="composite",
+                   choices=["composite", "r", "dprime", "corr", "cov"])
+    p.add_argument("--sample-id-file", metavar="FILE")
+    p.add_argument("--snp-id-file", metavar="FILE")
+    p.add_argument("--quiet", action="store_true")
 
     p = sub.add_parser("prune", help="LD pruning -> kept snp.id list")
     p.add_argument("gds")
@@ -251,6 +312,93 @@ def run(a) -> str:
         np.savez_compressed(a.out, sample_id=np.asarray(r.sample_id, str),
                             ibs=r.ibs)
         return f"IBS: wrote {a.out} ({len(r.sample_id)} samples)"
+
+    if cmd == "eigmix":
+        from .models.eigmix import eigmix
+
+        data = _open(a.gds)
+        r = eigmix(data, eigen_cnt=a.eigen_cnt, diagadj=a.diagadj,
+                   ibdmat=a.ibdmat is not None, **_filters(data, a))
+        np.savetxt(a.out + ".eigenval.txt", r.eigenval[:a.eigen_cnt])
+        with open(a.out + ".eigenvec.csv", "w") as f:
+            f.write("sample.id," + ",".join(
+                f"EV{i+1}" for i in range(r.eigenvect.shape[1])) + "\n")
+            for s, row in zip(r.sample_id, r.eigenvect):
+                f.write(str(s) + "," + ",".join(f"{v:.10g}" for v in row)
+                        + "\n")
+        msg = (f"EIGMIX: wrote {a.out}.eigenval.txt and {a.out}.eigenvec.csv"
+               f" ({len(r.sample_id)} samples)")
+        if a.ibdmat:
+            np.savez_compressed(a.ibdmat,
+                                sample_id=np.asarray(r.sample_id, str),
+                                ibd=r.ibd)
+            msg += f" + {a.ibdmat}"
+        return msg
+
+    if cmd == "diss":
+        from .models.diss import diss
+
+        data = _open(a.gds)
+        r = diss(data, **_filters(data, a))
+        np.savez_compressed(a.out, sample_id=np.asarray(r.sample_id, str),
+                            diss=r.diss)
+        return f"dissimilarity: wrote {a.out} ({len(r.sample_id)} samples)"
+
+    if cmd == "ibd-mom":
+        from .models.ibd_mom import ibd_mom
+        from .models.ibd_mle import ibd_selection
+
+        data = _open(a.gds)
+        r = ibd_mom(data, kinship=True, **_filters(data, a))
+        np.savez_compressed(a.out, sample_id=np.asarray(r.sample_id, str),
+                            k0=r.k0, k1=r.k1, kinship=r.kinship)
+        msg = f"IBD MoM: wrote {a.out}"
+        if a.cutoff is not None:
+            tab = ibd_selection(r, kinship_cutoff=a.cutoff)
+            pfn = a.out + ".pairs.csv"
+            _write_pairs(pfn, tab)
+            msg += f" + {pfn} ({len(tab['ID1'])} pairs)"
+        return msg
+
+    if cmd == "indiv-beta":
+        from .models.beta import indiv_beta
+
+        data = _open(a.gds)
+        r = indiv_beta(data, inbreeding=a.inbreeding, **_filters(data, a))
+        np.savez_compressed(a.out, sample_id=np.asarray(r.sample_id, str),
+                            beta=r.beta, inbreeding=bool(r.inbreeding),
+                            avg_val=r.avg_val)
+        return f"IndivBeta: wrote {a.out} ({len(r.sample_id)} samples)"
+
+    if cmd == "fst":
+        from .models.fst import fst
+
+        data = _open(a.gds)
+        kw = _filters(data, a)
+        pops = [ln.strip() for ln in open(a.pop_file) if ln.strip()]
+        r = fst(data, population=pops, method=a.method, with_id=True, **kw)
+        summary_ = (f"Fst ({a.method}): Fst={r.Fst:.10g} "
+                    f"MeanFst={r.MeanFst:.10g} "
+                    f"({len(r.pop_levels)} populations)")
+        if a.out:
+            rows = ["snp.id,fst"]
+            rows += [f"{i},{v:.10g}" for i, v in zip(r.snp_id, r.FstSNP)]
+            _emit(rows, a.out)
+            summary_ += f"; per-SNP Fst -> {a.out}"
+        return summary_
+
+    if cmd == "ld-mat":
+        from .models.ld import ld_mat
+
+        data = _open(a.gds)
+        r = ld_mat(data, slide=a.slide, method=a.method,
+                   sample_id=_ids(a.sample_id_file, data.sample_id),
+                   snp_id=_ids(a.snp_id_file, data.snp_id),
+                   verbose=not a.quiet)
+        np.savez_compressed(a.out, snp_id=np.asarray(r.snp_id, str),
+                            ld=r.LD, slide=r.slide)
+        return (f"LD matrix ({a.method}, slide={r.slide}): wrote {a.out} "
+                f"shape {r.LD.shape}")
 
     if cmd == "king":
         from .models.king import ibd_king

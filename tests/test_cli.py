@@ -96,6 +96,73 @@ def test_cli_grm_merge_king_prune(tmp_path):
     assert 100 < len(kept) < data.n_snp
 
 
+def test_cli_estimator_family(tmp_path, capsys):
+    """eigmix/diss/ibd-mom/indiv-beta/fst/ld-mat artifacts == API results."""
+    from snprelate_tpu import (open_snp_gds, eigmix, diss, ibd_mom,
+                               indiv_beta, fst, ld_mat)
+
+    data = open_snp_gds(GDS)
+    keep = [str(s) for s in data.sample_id[:30]]
+    ids = tmp_path / "s.txt"
+    ids.write_text("\n".join(keep) + "\n")
+    common = ["--sample-id-file", str(ids), "--quiet"]
+
+    prefix = str(tmp_path / "em")
+    ibd_npz = str(tmp_path / "em_ibd.npz")
+    main(["eigmix", GDS, "--out", prefix, "--eigen-cnt", "4",
+          "--ibdmat", ibd_npz] + common)
+    r = eigmix(data, sample_id=keep, eigen_cnt=4, ibdmat=True)
+    val = np.loadtxt(prefix + ".eigenval.txt")
+    np.testing.assert_allclose(val, r.eigenval[:4], rtol=1e-8)
+    np.testing.assert_allclose(np.load(ibd_npz)["ibd"], r.ibd, rtol=1e-10)
+
+    dfn = str(tmp_path / "d.npz")
+    main(["diss", GDS, "--out", dfn] + common)
+    np.testing.assert_allclose(np.load(dfn)["diss"],
+                               diss(data, sample_id=keep).diss, rtol=1e-12)
+
+    mfn = str(tmp_path / "mom.npz")
+    main(["ibd-mom", GDS, "--out", mfn, "--cutoff", "0.25"] + common)
+    z = np.load(mfn)
+    rm = ibd_mom(data, sample_id=keep, kinship=True)
+    np.testing.assert_allclose(z["k0"], rm.k0, rtol=1e-12, equal_nan=True)
+    np.testing.assert_allclose(z["kinship"], rm.kinship, rtol=1e-12,
+                               equal_nan=True)
+    assert (tmp_path / "mom.npz.pairs.csv").exists()
+
+    bfn = str(tmp_path / "b.npz")
+    main(["indiv-beta", GDS, "--out", bfn] + common)
+    rb = indiv_beta(data, sample_id=keep)
+    np.testing.assert_allclose(np.load(bfn)["beta"], rb.beta, rtol=1e-12)
+
+    pops = tmp_path / "pops.txt"
+    pops.write_text("\n".join(["A" if i % 2 else "B"
+                               for i in range(len(keep))]) + "\n")
+    ffn = str(tmp_path / "fst.csv")
+    capsys.readouterr()
+    assert main(["fst", GDS, "--pop-file", str(pops), "--out", ffn]
+                + common) == 0
+    printed = capsys.readouterr().out
+    rf = fst(data, sample_id=keep,
+             population=["A" if i % 2 else "B" for i in range(len(keep))],
+             with_id=True)
+    assert f"Fst={rf.Fst:.10g}" in printed
+    per_snp = np.loadtxt(ffn, delimiter=",", skiprows=1, usecols=1)
+    np.testing.assert_allclose(per_snp, rf.FstSNP, rtol=1e-9,
+                               equal_nan=True)
+
+    lfn = str(tmp_path / "ld.npz")
+    sids = tmp_path / "snps.txt"
+    sids.write_text("\n".join(str(s) for s in data.snp_id[:300]) + "\n")
+    main(["ld-mat", GDS, "--out", lfn, "--slide", "25",
+          "--sample-id-file", str(ids), "--snp-id-file", str(sids),
+          "--quiet"])
+    rl = ld_mat(data, sample_id=keep, snp_id=list(data.snp_id[:300]),
+                slide=25)
+    np.testing.assert_allclose(np.load(lfn)["ld"], rl.LD, rtol=1e-10,
+                               equal_nan=True)
+
+
 def test_cli_converters(tmp_path):
     from snprelate_tpu import open_snp_gds
 

@@ -99,6 +99,22 @@ def main():
           f"(full-path {len(sel['ID1'])}, identical={same})")
     ok &= same
 
+    # serving path: the rectangular cross engine must be integer-exact vs
+    # the symmetric engine on the MXU (query rows = first 6 cohort rows)
+    from snprelate_tpu import get_geno, king_cross
+    sid = hap.sample_id[:40].tolist()
+    qg = get_geno(hap, sample_id=sid[:6], snpfirstdim=False)
+    qg = np.where(np.isnan(qg), 3, qg).astype(np.uint8)
+    kx = king_cross(hap, qg, sample_id=sid, autosome_only=False,
+                    remove_monosnp=False, missing_rate=np.nan)
+    ksym = ibd_king(hap, sample_id=sid, autosome_only=False,
+                    remove_monosnp=False, missing_rate=np.nan)
+    off = ~np.eye(40, dtype=bool)[:6]  # self-pairs: symmetric diag is NaN
+    err = np.nanmax(np.abs(np.where(off, kx.kinship - ksym.kinship[:6], 0)))
+    print(f"cross-engine kinship vs symmetric max err: {err:.2e} "
+          f"(expect ~0, integer counters)")
+    ok &= err < 1e-12
+
     print("TPU VERIFY:", "PASS" if ok else "FAIL")
     return 0 if ok else 1
 
