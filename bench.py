@@ -15,12 +15,45 @@ Output: one JSON line {"metric", "value", "unit", "vs_baseline"}.
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
 
 
+def _wait_for_backend(max_wait=1500, probe_timeout=240):
+    """Device discovery on the axon tunnel can hang indefinitely after a
+    killed TPU process. Probe it in a child process (killable on exact
+    PID) until it answers or `max_wait` passes, so the driver's bench run
+    fails fast with a message instead of hanging forever."""
+    import subprocess
+
+    deadline = time.time() + max_wait
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            p = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=probe_timeout, capture_output=True)
+            if p.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() >= deadline:
+            return False
+        print(f"bench: backend probe {attempt} failed; retrying "
+              f"({int(deadline - time.time())}s left)", file=sys.stderr)
+        time.sleep(30)
+
+
 def main():
+    if os.environ.get("BENCH_SKIP_PROBE", "0") != "1" and \
+            not _wait_for_backend():
+        print("bench: JAX backend unreachable (axon tunnel wedged); "
+              "no result", file=sys.stderr)
+        return 1
+
     import jax
     import jax.numpy as jnp
     from snprelate_tpu.ops.decode import decode2bit, genotype_basis
@@ -105,7 +138,8 @@ def main():
         "unit": "Tera pair-SNP comparisons/s/chip",
         "vs_baseline": round(vs_baseline, 4),
     }))
+    return 0
 
 
 if __name__ == "__main__":
-    main()
+    raise SystemExit(main())

@@ -18,9 +18,12 @@ Commands:
   king          KING kinship matrix -> .npz (+ optional pair table)
   king-screen   streaming biobank relatedness screen -> pair CSV
   ibd-mom       PLINK method-of-moments IBD -> .npz (+ pair table)
+  ibd-mle       maximum-likelihood IBD (EM / downhill.simplex / Jacquard)
   indiv-beta    Weir-Goudet individual beta -> .npz
+  inbreeding    per-sample inbreeding coefficients -> CSV
   fst           Weir&Cockerham / Weir&Hill Fst between populations
   ld-mat        full or banded LD matrix -> .npz
+  cluster       IBS/diss hierarchical clustering + permutation subgroup cut
   prune         LD pruning -> kept snp.id list
   vcf2gds / bed2gds / ped2gds / gen2gds / gds2bed / gds2ped / gds2eigen
 """
@@ -174,6 +177,26 @@ def main(argv=None) -> int:
                    help="also write <out>.pairs.csv above this kinship")
     _add_filter_args(p)
 
+    p = sub.add_parser("ibd-mle", help="MLE IBD (k0/k1 or Jacquard D1-D8) "
+                       "-> .npz (+ pair table above --cutoff)")
+    p.add_argument("gds")
+    p.add_argument("--out", required=True, metavar="FILE.npz")
+    p.add_argument("--method", default="EM",
+                   choices=["EM", "downhill.simplex", "Jacquard"])
+    p.add_argument("--max-niter", type=int, default=1000)
+    p.add_argument("--cutoff", type=float,
+                   help="also write <out>.pairs.csv above this kinship")
+    _add_filter_args(p)
+
+    p = sub.add_parser("inbreeding", help="per-sample inbreeding "
+                       "coefficients -> CSV")
+    p.add_argument("gds")
+    p.add_argument("--out", help="output CSV (default stdout)")
+    p.add_argument("--method", default="mom.weir",
+                   choices=["mom.weir", "mom.visscher", "mle", "gcta1",
+                            "gcta2", "gcta3"])
+    _add_filter_args(p, missing_rate=math.nan)
+
     p = sub.add_parser("indiv-beta", help="Weir-Goudet individual beta -> "
                        ".npz")
     p.add_argument("gds")
@@ -205,6 +228,19 @@ def main(argv=None) -> int:
     p.add_argument("--sample-id-file", metavar="FILE")
     p.add_argument("--snp-id-file", metavar="FILE")
     p.add_argument("--quiet", action="store_true")
+
+    p = sub.add_parser("cluster", help="hierarchical clustering + "
+                       "permutation-Z subgroup detection -> groups CSV")
+    p.add_argument("gds")
+    p.add_argument("--out", required=True, metavar="FILE.csv",
+                   help="sample.id,group CSV in dendrogram order")
+    p.add_argument("--dist", default="ibs", choices=["ibs", "diss"],
+                   help="dissimilarity source (1-IBS or snpgdsDiss)")
+    p.add_argument("--z-threshold", type=float, default=15.0)
+    p.add_argument("--outlier-n", type=int, default=5)
+    p.add_argument("--n-perm", type=int, default=5000)
+    p.add_argument("--seed", type=int, default=None)
+    _add_filter_args(p)
 
     p = sub.add_parser("prune", help="LD pruning -> kept snp.id list")
     p.add_argument("gds")
@@ -360,6 +396,36 @@ def run(a) -> str:
             msg += f" + {pfn} ({len(tab['ID1'])} pairs)"
         return msg
 
+    if cmd == "ibd-mle":
+        from .models.ibd_mle import ibd_mle, ibd_selection
+
+        data = _open(a.gds)
+        r = ibd_mle(data, method=a.method, max_niter=a.max_niter,
+                    kinship=True, **_filters(data, a))
+        arrs = dict(sample_id=np.asarray(r.sample_id, str),
+                    kinship=r.kinship, afreq=r.afreq)
+        if r.k0 is not None:
+            arrs.update(k0=r.k0, k1=r.k1)
+        if r.D is not None:  # Jacquard D1..D8 matrices
+            arrs.update({k: v for k, v in r.D.items()})
+        np.savez_compressed(a.out, **arrs)
+        msg = f"IBD MLE ({a.method}): wrote {a.out}"
+        if a.cutoff is not None:
+            tab = ibd_selection(r, kinship_cutoff=a.cutoff)
+            pfn = a.out + ".pairs.csv"
+            _write_pairs(pfn, tab)
+            msg += f" + {pfn} ({len(tab['ID1'])} pairs)"
+        return msg
+
+    if cmd == "inbreeding":
+        from .models.inbreeding import ind_inb
+
+        data = _open(a.gds)
+        r = ind_inb(data, method=a.method, **_filters(data, a))
+        rows = ["sample.id,inbreeding"]
+        rows += [f"{s},{v:.10g}" for s, v in zip(r.sample_id, r.inbreeding)]
+        return _emit(rows, a.out)
+
     if cmd == "indiv-beta":
         from .models.beta import indiv_beta
 
@@ -424,6 +490,26 @@ def run(a) -> str:
                                  **_filters(data, a))
         _write_pairs(a.out, tab)
         return (f"screen (cutoff {a.cutoff}): {len(tab['ID1'])} pairs "
+                f"-> {a.out}")
+
+    if cmd == "cluster":
+        from .models.cluster import hcluster, cut_tree
+        from .models.diss import diss as diss_fn
+        from .models.ibs import ibs as ibs_fn
+
+        data = _open(a.gds)
+        src = (ibs_fn if a.dist == "ibs" else diss_fn)(
+            data, **_filters(data, a))
+        hc = hcluster(src)
+        cut = cut_tree(hc, z_threshold=a.z_threshold, outlier_n=a.outlier_n,
+                       n_perm=a.n_perm, seed=a.seed)
+        order = np.asarray(cut.samp_order)
+        with open(a.out, "w") as f:
+            f.write("sample.id,group\n")
+            for i in order:
+                f.write(f"{cut.sample_id[i]},{cut.samp_group[i]}\n")
+        ngrp = len(set(np.asarray(cut.samp_group).tolist()))
+        return (f"cluster ({a.dist}, Z>{a.z_threshold}): {ngrp} groups "
                 f"-> {a.out}")
 
     if cmd == "prune":

@@ -163,6 +163,58 @@ def test_cli_estimator_family(tmp_path, capsys):
                                equal_nan=True)
 
 
+def test_cli_ibd_mle_and_inbreeding(tmp_path, capsys):
+    from snprelate_tpu import open_snp_gds, ibd_mle, ind_inb
+
+    data = open_snp_gds(GDS)
+    keep = [str(s) for s in data.sample_id[:10]]
+    ids = tmp_path / "s.txt"
+    ids.write_text("\n".join(keep) + "\n")
+    sids = tmp_path / "snps.txt"
+    sids.write_text("\n".join(str(s) for s in data.snp_id[:400]) + "\n")
+    common = ["--sample-id-file", str(ids), "--snp-id-file", str(sids),
+              "--quiet"]
+
+    mfn = str(tmp_path / "mle.npz")
+    main(["ibd-mle", GDS, "--out", mfn, "--cutoff", "0.25"] + common)
+    z = np.load(mfn)
+    r = ibd_mle(data, sample_id=keep, snp_id=list(data.snp_id[:400]),
+                kinship=True)
+    np.testing.assert_allclose(z["k0"], r.k0, rtol=1e-10, equal_nan=True)
+    np.testing.assert_allclose(z["kinship"], r.kinship, rtol=1e-10,
+                               equal_nan=True)
+    assert (tmp_path / "mle.npz.pairs.csv").exists()
+
+    ifn = str(tmp_path / "inb.csv")
+    main(["inbreeding", GDS, "--out", ifn, "--method", "mom.visscher"]
+         + common)
+    ri = ind_inb(data, sample_id=keep, snp_id=list(data.snp_id[:400]),
+                 method="mom.visscher")
+    got = np.loadtxt(ifn, delimiter=",", skiprows=1, usecols=1)
+    np.testing.assert_allclose(got, ri.inbreeding, rtol=1e-9)
+
+
+def test_cli_cluster(tmp_path):
+    from snprelate_tpu import open_snp_gds
+    from snprelate_tpu.models.cluster import hcluster, cut_tree
+    from snprelate_tpu.models.ibs import ibs
+
+    data = open_snp_gds(GDS)
+    keep = [str(s) for s in data.sample_id[:30]]
+    ids = tmp_path / "s.txt"
+    ids.write_text("\n".join(keep) + "\n")
+    out = str(tmp_path / "groups.csv")
+    main(["cluster", GDS, "--out", out, "--n-perm", "100", "--seed", "1",
+          "--sample-id-file", str(ids), "--quiet"])
+    rows = open(out).read().strip().splitlines()
+    assert rows[0] == "sample.id,group"
+    assert len(rows) == 31
+    cut = cut_tree(hcluster(ibs(data, sample_id=keep)), n_perm=100, seed=1)
+    got = {r.split(",")[0]: r.split(",")[1] for r in rows[1:]}
+    for i, s in enumerate(cut.sample_id):
+        assert got[str(s)] == str(cut.samp_group[i])
+
+
 def test_cli_converters(tmp_path):
     from snprelate_tpu import open_snp_gds
 
