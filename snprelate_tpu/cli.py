@@ -108,8 +108,10 @@ def main(argv=None) -> int:
                    default="exact")
     p.add_argument("--seed", type=int, default=0,
                    help="randomized-algorithm seed")
-    p.add_argument("--checkpoint", metavar="DIR",
-                   help="crash-resume checkpoint directory")
+    p.add_argument("--checkpoint", metavar="FILE",
+                   help="crash-resume checkpoint file prefix (one file, "
+                        "updated per chunk; <FILE>.tile*.npy per tile on "
+                        "the row-tiled paths)")
     _add_filter_args(p)
 
     p = sub.add_parser("grm", help="GRM -> SNPRELATE_OUTPUT GDS")
@@ -122,7 +124,8 @@ def main(argv=None) -> int:
     p.add_argument("--compress", default="LZMA_RA")
     p.add_argument("--sample-block", type=int,
                    help="row-tile size for large cohorts (auto if omitted)")
-    p.add_argument("--checkpoint", metavar="DIR")
+    p.add_argument("--checkpoint", metavar="FILE",
+                   help="crash-resume checkpoint file prefix")
     _add_filter_args(p)
 
     p = sub.add_parser("merge-grm", help="merge per-subset GRM GDS files")
@@ -472,8 +475,12 @@ def run(a) -> str:
 
         data = _open(a.gds)
         r = ibd_king(data, type=a.type, **_filters(data, a))
-        np.savez_compressed(a.out, sample_id=np.asarray(r.sample_id, str),
-                            kinship=r.kinship)
+        arrs = dict(sample_id=np.asarray(r.sample_id, str))
+        if a.type == "KING-homo":  # homo estimates k0/k1, not kinship
+            arrs.update(k0=r.k0, k1=r.k1)
+        else:
+            arrs.update(kinship=r.kinship, IBS0=r.IBS0)
+        np.savez_compressed(a.out, **arrs)
         msg = f"KING ({a.type}): wrote {a.out}"
         if a.cutoff is not None:
             tab = ibd_selection(r, kinship_cutoff=a.cutoff)
@@ -528,12 +535,13 @@ def run(a) -> str:
     if cmd == "serve":
         from .serve import serve
 
-        serve(a.gds, host=a.host, port=a.port, eigen_cnt=a.eigen_cnt,
+        data = _open(a.gds)
+        serve(data, host=a.host, port=a.port, eigen_cnt=a.eigen_cnt,
               verbose=not a.quiet, maf=a.maf, missing_rate=a.missing_rate,
               autosome_only=a.autosome_only,
               remove_monosnp=a.remove_monosnp,
-              sample_id=_ids(a.sample_id_file),
-              snp_id=_ids(a.snp_id_file))
+              sample_id=_ids(a.sample_id_file, data.sample_id),
+              snp_id=_ids(a.snp_id_file, data.snp_id))
         return ""  # serve_forever does not return
 
     # converters
@@ -551,7 +559,8 @@ def run(a) -> str:
     elif cmd == "ped2gds":
         srcs = a.src if isinstance(a.src, list) else [a.src]
         base = srcs[0][:-4] if srcs[0].endswith(".ped") else srcs[0]
-        write_snp_gds(cv.ped_to_snpdata(base + ".ped", base + ".map",
+        mapfn = srcs[1] if len(srcs) > 1 else base + ".map"
+        write_snp_gds(cv.ped_to_snpdata(base + ".ped", mapfn,
                                         verbose=not quiet), a.dst)
     elif cmd == "gen2gds":
         write_snp_gds(cv.gen_to_snpdata(a.src, verbose=not quiet), a.dst)

@@ -490,6 +490,13 @@ def king_cross(data, query_geno, query_id=None, sample_id=None, snp_id=None,
                            remove_monosnp, maf, missing_rate,
                            verbose=verbose)
     c = cross_pair_counts(ws, query_geno, chunk=chunk, verbose=verbose)
+    return king_cross_from_counts(c, ws.sample_id, ws.snp_id, query_id)
+
+
+def king_cross_from_counts(c, cohort_id, snp_id, query_id=None):
+    """Between-family KING-robust estimator (genKING.cpp:634-638) applied
+    to rectangular (query x cohort) PairCounts — shared by king_cross and
+    the serving path (serve.CohortService reuses staged device chunks)."""
     nloci = c.nvalid.astype(np.float64)
     with np.errstate(divide="ignore", invalid="ignore"):
         ibs0 = np.where(nloci > 0, c.ibs0 / nloci, np.nan)
@@ -499,4 +506,4 @@ def king_cross(data, query_geno, query_id=None, sample_id=None, snp_id=None,
     kinship[~np.isfinite(kinship)] = np.nan
     qid = (np.asarray(query_id, dtype=object) if query_id is not None
            else np.arange(kinship.shape[0]))
-    return KINGRobustResult(ws.sample_id, ws.snp_id, qid, ibs0, kinship)
+    return KINGRobustResult(cohort_id, snp_id, qid, ibs0, kinship)

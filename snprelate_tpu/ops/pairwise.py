@@ -451,7 +451,7 @@ def _cross_gram_step(carry5, packed, qplanes):
 
 
 def cross_pair_counts(ws, query_geno, chunk=None, pad_to: int = 128,
-                      verbose: bool = False) -> PairCounts:
+                      verbose: bool = False, staged=None) -> PairCounts:
     """Integer pairwise counts for every (query sample x cohort sample)
     pair — the serving building block: relate NEW samples to a resident
     cohort in 5 rectangular int matmuls per chunk, O(q x n) memory and
@@ -464,29 +464,41 @@ def cross_pair_counts(ws, query_geno, chunk=None, pad_to: int = 128,
     the query sample as the FIRST index (the reference's pairwise counters
     are symmetric full-matrix only — this rectangular form has no
     counterpart there; estimator formulas follow genKING.cpp:634-638 /
-    genIBS.cpp:231-243 unchanged)."""
-    q_arr = np.ascontiguousarray(np.asarray(query_geno, np.uint8))
+    genIBS.cpp:231-243 unchanged).
+
+    ``staged``: optional callable yielding DEVICE packed cohort chunks
+    (from ``_stage_or_stream`` built with the same chunk/pad_to), letting a
+    long-lived service pay the cohort host->device transfer once."""
+    q_arr = np.asarray(query_geno)
     if q_arr.ndim != 2 or q_arr.shape[1] != ws.n_snp:
         raise ValueError(
             f"query_geno must be (q, {ws.n_snp}); got {q_arr.shape}")
+    if q_arr.dtype.kind == "f":
+        q_arr = np.where(np.isfinite(q_arr), q_arr, 3.0)
+        if not np.array_equal(q_arr, np.round(q_arr)):
+            raise ValueError(
+                "query_geno has fractional dosages; hard-call to 0/1/2 "
+                "(3/NaN = missing) first")
+    q_arr = q_arr.astype(np.int64)
+    # any code outside {0,1,2} (NaN, -1, 255, ...) is missing, the
+    # create_geno convention (io/store.py)
+    q_arr = np.where((q_arr < 0) | (q_arr > 2), 3, q_arr).astype(np.uint8)
     nq, S = q_arr.shape
     n_pad = -(-ws.n_samp // pad_to) * pad_to
     q_pad = -(-nq // 8) * 8
     if chunk is None:
         chunk = auto_chunk(n_pad, ws.n_snp)
-    # host-side query basis, sliced per chunk below (q is small; the
-    # cohort side streams through the same prefetched codec path as every
-    # other engine)
-    qv = (q_arr != 3).astype(np.int8)
-    qh = (q_arr == 1).astype(np.int8)
-    qd = (q_arr == 2).astype(np.int8) - (q_arr == 0).astype(np.int8)
+    # query basis through the SAME [V,H,D] definition as the cohort side
+    # (ops.decode.genotype_basis), transposed to (3, q, S); q is small
+    qb = np.asarray(genotype_basis(jnp.asarray(q_arr.T, jnp.int8)))
     qbasis = np.zeros((3, q_pad, S), np.int8)
-    qbasis[0, :nq], qbasis[1, :nq], qbasis[2, :nq] = qv, qh, qd
+    qbasis[:, :nq, :] = qb.transpose(0, 2, 1)
 
     carry = tuple(jnp.zeros((q_pad, n_pad), jnp.int32) for _ in range(5))
     s0 = 0
-    for packed in _stream(ws, chunk, n_pad, verbose=verbose,
-                          label="cross counts: "):
+    chunks = staged() if staged is not None else _stream(
+        ws, chunk, n_pad, verbose=verbose, label="cross counts: ")
+    for packed in chunks:
         sl = qbasis[:, :, s0:s0 + chunk]
         if sl.shape[2] < chunk:  # final chunk: pad with missing (all-zero)
             sl = np.concatenate(

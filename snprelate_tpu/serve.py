@@ -15,6 +15,10 @@ Endpoints (JSON over HTTP, stdlib-only server):
   POST /project   {"genotypes": [[...], ...]} -> {"coords": [[PC1..PCk]]}
   POST /kinship   {"genotypes": [[...]], "cutoff": 0.0884}
                   -> {"matches": [[{"sample_id", "kinship", "ibs0"}, ...]]}
+  POST /ibs       {"genotypes": [[...]], "top": 10}
+                  -> {"matches": [[{"sample_id", "ibs", "ibs0", "ibs2",
+                     "nvalid"}, ...]]} — top cohort samples by average IBS
+                     (snpgdsIBS semantics, genIBS.cpp:470-475)
 """
 
 from __future__ import annotations
@@ -57,6 +61,17 @@ class CohortService:
         self.freq = snp_rate_freq(self.cohort)["AlleleFreq"]
         self.eigen_cnt = eigen_cnt
         self._lock = threading.Lock()
+        # stage the packed cohort chunks (device-side when they fit HBM)
+        # ONCE, so each /kinship request is pure rectangular matmuls — no
+        # per-request host->device re-streaming of the whole cohort
+        from .ops.pairwise import _stage_or_stream, auto_chunk
+
+        self._ws = init_workspace(self.cohort, autosome_only=False,
+                                  remove_monosnp=False,
+                                  missing_rate=math.nan)[0]
+        n_pad = -(-self._ws.n_samp // 128) * 128
+        self._chunk = auto_chunk(n_pad, self._ws.n_snp)
+        self._staged = _stage_or_stream(self._ws, self._chunk, n_pad)
 
     def _check_query(self, genotypes) -> np.ndarray:
         g = np.asarray(genotypes)
@@ -66,7 +81,11 @@ class CohortService:
             raise ValueError(
                 f"genotypes must be (q, {len(self.snp_id)}) in the /snps "
                 f"order; got {g.shape}")
-        g = np.where(np.isfinite(g.astype(np.float64)), g, 3)
+        g = np.where(np.isfinite(g.astype(np.float64)), g, 3.0)
+        if not np.array_equal(g, np.round(g)):
+            raise ValueError(
+                "genotypes have fractional dosages; hard-call to 0/1/2 "
+                "(3 or NaN = missing) first")
         g = g.astype(np.int64)
         if ((g < 0) | (g > 3)).any():
             raise ValueError("genotype values must be 0/1/2 or 3=missing")
@@ -90,12 +109,15 @@ class CohortService:
 
     def kinship(self, genotypes, cutoff=0.0442):
         """KING-robust matches of each query sample above `cutoff`."""
-        from .models.king import king_cross
+        from .models.king import king_cross_from_counts
+        from .ops.pairwise import cross_pair_counts
 
         g = self._check_query(genotypes)
         with self._lock:
-            r = king_cross(self.cohort, g, autosome_only=False,
-                           remove_monosnp=False, missing_rate=math.nan)
+            c = cross_pair_counts(self._ws, g, chunk=self._chunk,
+                                  staged=self._staged)
+            r = king_cross_from_counts(c, self._ws.sample_id,
+                                       self._ws.snp_id)
         out = []
         for qi in range(g.shape[0]):
             kin = r.kinship[qi]
@@ -104,6 +126,31 @@ class CohortService:
             out.append([{"sample_id": str(r.sample_id[j]),
                          "kinship": float(kin[j]),
                          "ibs0": float(r.IBS0[qi, j])} for j in order])
+        return out
+
+    def ibs(self, genotypes, top=10):
+        """Top `top` cohort samples per query by average IBS
+        (0.5*IBS1 + IBS2)/nvalid — duplicate/identity triage over the same
+        staged cross counts as /kinship."""
+        from .ops.pairwise import cross_pair_counts
+
+        g = self._check_query(genotypes)
+        with self._lock:
+            c = cross_pair_counts(self._ws, g, chunk=self._chunk,
+                                  staged=self._staged)
+        total = c.nvalid.astype(np.float64)
+        with np.errstate(invalid="ignore"):
+            avg = (0.5 * c.ibs1 + c.ibs2) / total
+        top = min(int(top), avg.shape[1])
+        out = []
+        for qi in range(g.shape[0]):
+            row = np.nan_to_num(avg[qi], nan=-np.inf)
+            order = np.argsort(row)[::-1][:top]
+            out.append([{"sample_id": str(self._ws.sample_id[j]),
+                         "ibs": float(avg[qi, j]),
+                         "ibs0": int(c.ibs0[qi, j]),
+                         "ibs2": int(c.ibs2[qi, j]),
+                         "nvalid": int(c.nvalid[qi, j])} for j in order])
         return out
 
     def health(self):
@@ -152,6 +199,10 @@ def _make_handler(svc: CohortService):
                                       cutoff=float(req.get("cutoff",
                                                            0.0442)))
                     self._send({"matches": out})
+                elif self.path == "/ibs":
+                    out = svc.ibs(req["genotypes"],
+                                  top=int(req.get("top", 10)))
+                    self._send({"matches": out})
                 else:
                     self._send({"error": f"unknown path {self.path}"}, 404)
             except (KeyError, ValueError, TypeError) as e:
@@ -166,11 +217,13 @@ def make_server(svc: CohortService, host="127.0.0.1", port=0):
     return ThreadingHTTPServer((host, port), _make_handler(svc))
 
 
-def serve(gds_path, host="127.0.0.1", port=8799, eigen_cnt=16,
+def serve(gds, host="127.0.0.1", port=8799, eigen_cnt=16,
           verbose=True, **filters):
+    """`gds`: a path or an already-open SNPData (the CLI opens it first so
+    sample/snp id files resolve against the file's id dtype)."""
     from .io.store import open_snp_gds
 
-    data = open_snp_gds(gds_path)
+    data = open_snp_gds(gds) if isinstance(gds, str) else gds
     if verbose:
         print(f"loading cohort ({data.n_samp} samples x {data.n_snp} SNPs) "
               f"and fitting {eigen_cnt}-PC loadings ...")

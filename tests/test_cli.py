@@ -82,6 +82,13 @@ def test_cli_grm_merge_king_prune(tmp_path):
     pairs = (tmp_path / "king.npz.pairs.csv").read_text().splitlines()
     assert pairs[0].startswith("ID1,ID2")
 
+    hfn = str(tmp_path / "homo.npz")
+    main(["king", GDS, "--out", hfn, "--type", "KING-homo",
+          "--cutoff", "0.2", "--sample-id-file", str(ids), "--quiet"])
+    hz = np.load(hfn)
+    assert "k0" in hz and "k1" in hz and hz["k0"].shape == (25, 25)
+    assert (tmp_path / "homo.npz.pairs.csv").exists()
+
     sfn = str(tmp_path / "screen.csv")
     main(["king-screen", GDS, "--out", sfn, "--cutoff", "0.2",
           "--sample-id-file", str(ids), "--quiet"])

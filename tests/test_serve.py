@@ -46,6 +46,30 @@ def test_cross_counts_match_full_engine(svc):
             getattr(cross, name), getattr(full, name)[:7], err_msg=name)
 
 
+def test_cross_counts_input_sanitation(svc):
+    """NaN / -1 missing codes map to 3 (create_geno convention); fractional
+    dosages are rejected (silent truncation would skew kinship)."""
+    from snprelate_tpu.ops.pairwise import cross_pair_counts
+    from snprelate_tpu.workspace import init_workspace
+
+    ws, _ = init_workspace(svc.cohort, autosome_only=False,
+                           remove_monosnp=False, missing_rate=math.nan)
+    q = _query_geno(svc, slice(0, 3)).astype(np.float64)
+    qnan = q.copy()
+    qnan[q == 3] = np.nan
+    qneg = q.astype(np.int64)
+    qneg[q == 3] = -1
+    base = cross_pair_counts(ws, q)
+    for variant in (qnan, qneg):
+        c = cross_pair_counts(ws, variant)
+        np.testing.assert_array_equal(c.nvalid, base.nvalid)
+        np.testing.assert_array_equal(c.ibs0, base.ibs0)
+    with pytest.raises(ValueError, match="fractional"):
+        cross_pair_counts(ws, q + np.where(q == 1, 0.5, 0.0))
+    with pytest.raises(ValueError, match="fractional"):
+        svc.kinship(np.where(q == 1, 0.9, q))
+
+
 def test_project_self_consistency(svc):
     coords = svc.project(_query_geno(svc, slice(0, 5)))
     np.testing.assert_allclose(coords, svc.pca.eigenvect[:5], atol=1e-8)
@@ -76,6 +100,23 @@ def test_kinship_matches_full_matrix(svc, hapmap):
         assert got.keys() == expect.keys()
         for k in got:
             assert abs(got[k] - expect[k]) < 1e-12
+
+
+def test_ibs_matches_full_matrix(svc):
+    from snprelate_tpu import ibs
+
+    q = _query_geno(svc, slice(3, 5))
+    out = svc.ibs(q, top=5)
+    full = ibs(svc.cohort, autosome_only=False, remove_monosnp=False,
+               missing_rate=math.nan)
+    for qi, row in enumerate(full.ibs[3:5]):
+        got = {m["sample_id"]: m["ibs"] for m in out[qi]}
+        # the self-duplicate tops the list at IBS 1.0
+        assert out[qi][0]["sample_id"] == str(svc.cohort.sample_id[3 + qi])
+        assert abs(out[qi][0]["ibs"] - 1.0) < 1e-12
+        for sid, v in got.items():
+            j = svc.cohort.sample_id.tolist().index(sid)
+            assert abs(v - row[j]) < 1e-12
 
 
 def test_http_endpoints(svc):
