@@ -176,6 +176,12 @@ def init_workspace(data: SNPData, sample_id=None, snp_id=None,
         if verbose:
             print(f"Excluding {int((~keep).sum())} SNPs (monomorphic: "
                   f"{remove_monosnp}, MAF: {maf}, missing rate: {missing_rate})")
+    # empty working selections fail loudly (SNPRelate.cpp:103-106) instead
+    # of flowing zero-length axes into the engines
+    if ws.n_samp <= 0:
+        raise ValueError("There is no sample!")
+    if ws.n_snp <= 0:
+        raise ValueError("There is no SNP!")
     if verbose:
         print(f"    # of samples: {ws.n_samp}")
         print(f"    # of SNPs: {ws.n_snp}")
