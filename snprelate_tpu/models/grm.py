@@ -59,7 +59,8 @@ def grm(data, sample_id=None, snp_id=None, autosome_only=True,
         method="GCTA", out_fn=None, out_prec="double",
         out_compress="LZMA_RA", mesh=None, verbose=False,
         chunk=None, checkpoint=None, sample_block=None,
-        use_matrix=False, tiles=None, tile_group=None) -> GRMResult:
+        use_matrix=False, tiles=None, tile_group=None,
+        tile_devices=None) -> GRMResult:
     """snpgdsGRM (R/IBD.R:543). With out_fn, also writes the
     SNPRELATE_OUTPUT GDS artifact for snpgdsMergeGRM. With checkpoint=path,
     the accumulators are saved every 64 chunks and a rerun resumes
@@ -69,7 +70,11 @@ def grm(data, sample_id=None, snp_id=None, autosome_only=True,
     Eigenstrat when the n x n accumulators would exceed HBM).
     tiles/tile_group: the super-tile engine (ops/tiles.py) with bounded
     host->device traffic — auto-selected when the packed selection
-    exceeds the HBM slab-staging budget; tiles=True/False forces."""
+    exceeds the HBM slab-staging budget; tiles=True/False forces.
+    tile_devices: schedule WHOLE tiles round-robin over these jax
+    devices (inter-chip tile-grid parallelism, zero collectives — the
+    multi-host partition; mesh= instead column-shards each tile across
+    every device). Implies tiles=True."""
     ws, _ = init_workspace(data, sample_id, snp_id, autosome_only,
                            remove_monosnp, maf, missing_rate, verbose=verbose)
     n = ws.n_samp
@@ -78,6 +83,10 @@ def grm(data, sample_id=None, snp_id=None, autosome_only=True,
         method = "EIGMIX"
     if sample_block is None and _auto_row_tiling(n, method, mesh):
         sample_block = 4096
+    if tile_devices is not None:
+        tiles = True
+        if sample_block is None:
+            sample_block = 4096  # any value: tile_group drives the size
     tile_capable = (sample_block is not None
                     and method in ("GCTA", "Eigenstrat"))
     auto_tiles = (tiles is not False
@@ -92,7 +101,7 @@ def grm(data, sample_id=None, snp_id=None, autosome_only=True,
         group = tile_group or auto_tile_group(ws.n_snp)
         mat = grm_tiled(ws, group, method=method, chunk=chunk,
                         checkpoint=checkpoint, verbose=verbose,
-                        mesh=mesh)
+                        mesh=mesh, devices=tile_devices)
     elif sample_block is not None and method in ("GCTA", "Eigenstrat"):
         # row-tiled large-N path; checkpoint= saves the completed GRM rows
         # after every tile and a rerun resumes at the first missing tile

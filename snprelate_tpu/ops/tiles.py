@@ -183,16 +183,19 @@ def _mesh_tile_shardings(mesh):
 
 
 def _gcta_tile_scan(slab_i, slab_j, avg, scale, poly, r0_i, r0_j,
-                    gcta: bool, mesh=None):
+                    gcta: bool, mesh=None, carry_device=None):
     """Carry construction (mesh-placed when given; the caller is
     responsible for slab placement — see gcta_grm_tiles) around the
-    jitted scan."""
+    jitted scan. carry_device: create the carry directly on that
+    sharding (devices= scheduling — a default-device zeros would ship
+    group^2 buffers chip-to-chip per tile)."""
     g = slab_i.shape[2] * 4
     fdt = avg.dtype
     if gcta:
-        carry = (jnp.zeros((g, g), fdt), jnp.zeros((g, g), jnp.int32))
+        carry = (jnp.zeros((g, g), fdt, device=carry_device),
+                 jnp.zeros((g, g), jnp.int32, device=carry_device))
     else:
-        carry = jnp.zeros((g, g), fdt)
+        carry = jnp.zeros((g, g), fdt, device=carry_device)
     if mesh is not None:
         _c3, col2, rep = _mesh_tile_shardings(mesh)
         avg, scale, poly = (jax.device_put(a, rep)
@@ -282,7 +285,7 @@ def _stats_pass(source, fdt):
             jnp.asarray(poly), int(poly.sum()))
 
 
-def _tile_walk(source, n_samp: int, saved_fn=None):
+def _tile_walk(source, n_samp: int, saved_fn=None, rows=None):
     """Upper-tile-triangle walk with the serpentine one-slab column cache
     and the two-slab memory discipline (peak HBM = exactly TWO slabs +
     workspace: every stale reference is dropped BEFORE a new slab loads —
@@ -290,15 +293,19 @@ def _tile_walk(source, n_samp: int, saved_fn=None):
 
     Yields (i, j, r0, c0, nr, nc, payload) where payload is
     ``saved_fn(i, j)``'s non-None result (checkpoint hit, slabs NOT
-    loaded) or the (slab_i, slab_j) device pair to compute from."""
+    loaded) or the (slab_i, slab_j) device pair to compute from.
+
+    ``rows``: tile-row subset this walk covers (default: all) — the
+    per-device sub-walks of the tile-grid device scheduler each own a
+    strided row set and keep the two-slab discipline independently."""
     group = source.group
     k = source.n_groups
     cache = {}  # at most one entry: column-slab cache {index: slab}
-    for i in range(k):
+    for ri, i in enumerate(range(k) if rows is None else rows):
         slab_i = None  # loaded lazily: a fully-checkpointed row skips it
         # serpentine: odd rows walk J downward so the previous row's last
         # column slab is reused
-        cols = range(i, k) if i % 2 == 0 else range(k - 1, i - 1, -1)
+        cols = range(i, k) if ri % 2 == 0 else range(k - 1, i - 1, -1)
         for j in cols:
             r0, c0 = i * group, j * group
             nr = min(group, n_samp - r0)
@@ -364,9 +371,42 @@ class _PlacedSource:
         return getattr(self._source, name)
 
 
+def _interleave_walks(walks):
+    """Round-robin drain of per-device tile walks: yields (walk_idx,
+    item). Keeps every device fed — while device d's tile computes, the
+    host is already loading + dispatching the other devices' tiles."""
+    live = list(enumerate(walks))
+    while live:
+        nxt = []
+        for d, w in live:
+            item = next(w, None)
+            if item is not None:
+                yield d, item
+                nxt.append((d, w))
+        live = nxt
+
+
+def _device_walks(source, n_samp: int, devices, saved_fn, stats=()):
+    """Per-device placed sources + strided-row sub-walks for the
+    tile-grid device scheduler (whole tiles on whole chips, zero
+    collectives — the multi-host partition of the super-tile engine;
+    `mesh=` instead splits every tile's columns ACROSS chips). Returns
+    (walks, per-device stats tuples)."""
+    from jax.sharding import SingleDeviceSharding
+
+    k = source.n_groups
+    nd = max(1, min(len(devices), k))
+    shards = [SingleDeviceSharding(d) for d in devices[:nd]]
+    walks = [_tile_walk(_PlacedSource(source, s), n_samp,
+                        saved_fn=saved_fn, rows=range(di, k, nd))
+             for di, s in enumerate(shards)]
+    placed = [tuple(jax.device_put(a, s) for a in stats) for s in shards]
+    return walks, placed, shards
+
+
 def gcta_grm_tiles(source, n_samp: int, method: str = "GCTA",
                    checkpoint=None, verbose: bool = False,
-                   out_dtype=np.float64, mesh=None):
+                   out_dtype=np.float64, mesh=None, devices=None):
     """Super-tile GRM: yields (r0, c0, nr, nc, grm_tile) over the upper
     tile triangle (r0 <= c0). method 'GCTA' applies the per-pair
     missing denominator (genPCA.cpp:1202-1236); 'Eigenstrat' yields the
@@ -374,9 +414,15 @@ def gcta_grm_tiles(source, n_samp: int, method: str = "GCTA",
     needs the full diagonal). Tiles are final (independent of each
     other), so the grid checkpointer resumes at any completed subset.
     mesh= column-shards each tile scan over every mesh device (slabs
-    load column-sharded; the row slab replicates once per tile row)."""
+    load column-sharded; the row slab replicates once per tile row).
+    devices= instead schedules WHOLE tiles round-robin over the given
+    jax devices (strided tile rows per device, zero collectives — the
+    multi-host/chip partition; mutually exclusive with mesh)."""
     gcta = method == "GCTA"
     fdt = _default_float_dtype()
+    if mesh is not None and devices is not None:
+        raise ValueError("pass mesh= (intra-tile column sharding) or "
+                         "devices= (whole-tile scheduling), not both")
     if mesh is not None:
         col3, _col2, _rep = _mesh_tile_shardings(mesh)
         source = _PlacedSource(source, col3)
@@ -394,6 +440,34 @@ def gcta_grm_tiles(source, n_samp: int, method: str = "GCTA",
             print(f"GRM tile ({pi},{pj}) rows {pr0}..{pr0 + pnr} x "
                   f"cols {pc0}..{pc0 + pnc}")
         return pr0, pc0, pnr, pnc, tile
+
+    if devices is not None:
+        # tile-grid device scheduling: each device owns strided tile rows
+        # and keeps its own two-slab + one-pending-tile discipline; the
+        # round-robin interleave overlaps every device's compute with the
+        # host-side loads/flushes of the others
+        walks, stats, shards = _device_walks(
+            source, n_samp, devices, tck.load, stats=(avg, scale, poly))
+        pend = {}
+        for di, (i, j, r0, c0, nr, nc, payload) in _interleave_walks(
+                walks):
+            if isinstance(payload, dict):
+                if di in pend:
+                    yield flush(pend.pop(di))
+                yield r0, c0, nr, nc, payload["grm"]
+                continue
+            slab_i, slab_j = payload
+            av, sc, po = stats[di]
+            out = _gcta_tile_scan(slab_i, slab_j, av, sc, po, r0, c0,
+                                  gcta, carry_device=shards[di])
+            slab_i = slab_j = payload = None
+            if di in pend:  # previous tile D2H overlaps this dispatch
+                yield flush(pend.pop(di))
+            pend[di] = (i, j, r0, c0, nr, nc, out)
+            out = None
+        for di in sorted(pend):
+            yield flush(pend.pop(di))
+        return
 
     # double-buffered D2H: the previous tile materializes while the next
     # tile's scan (and slab generation) is already queued on the device —
@@ -462,20 +536,63 @@ def _tile_carry(shapes_dtypes, mesh):
 
 
 def basis_count_tiles(source, n_samp: int, checkpoint=None,
-                      verbose: bool = False, mesh=None):
+                      verbose: bool = False, mesh=None, devices=None):
     """Super-tile integer pairwise counts: yields (r0, c0, nr, nc,
     B (5, nr, nc) int64 PairCounts base blocks) over the upper tile
     triangle — the bounded-traffic analog of basis_gram_rows for count
     estimators (IBS/KING/MoM/Beta) past the slab-staging budget.
     mesh= column-shards each tile scan over every mesh device (bit-exact:
-    integer accumulation is order-free)."""
+    integer accumulation is order-free). devices= schedules whole tiles
+    round-robin over the given jax devices instead (strided tile rows
+    per device; bit-exact either way)."""
     group = source.group
     k = source.n_groups
+    if mesh is not None and devices is not None:
+        raise ValueError("pass mesh= (intra-tile column sharding) or "
+                         "devices= (whole-tile scheduling), not both")
     if mesh is not None:
         source = _PlacedSource(source, _mesh_tile_shardings(mesh)[0])
     row_slab = _row_replicator(mesh)
     tck = TileGridCheckpointer(
         checkpoint, meta=(75, source.n_snp, n_samp, group, source.chunk))
+
+    def finalize(i, j, nr, nc, out):
+        b = np.stack([np.asarray(a)[:nr, :nc] for a in out]) \
+            .astype(np.int64)
+        tck.save(i, j, b=b)
+        if verbose:
+            print(f"count tile ({i},{j})")
+        return b
+
+    def drain(p):
+        pi, pj, pr0, pc0, pnr, pnc, out = p
+        return pr0, pc0, pnr, pnc, finalize(pi, pj, pnr, pnc, out)
+
+    if devices is not None:
+        walks, _, shards = _device_walks(source, n_samp, devices,
+                                         tck.load)
+        pend = {}
+        for di, (i, j, r0, c0, nr, nc, payload) in _interleave_walks(
+                walks):
+            if isinstance(payload, dict):
+                if di in pend:
+                    yield drain(pend.pop(di))
+                yield r0, c0, nr, nc, payload["b"]
+                continue
+            slab_i, slab_j = payload
+            g = slab_i.shape[2] * 4
+            carry = tuple(jnp.zeros((g, g), jnp.int32, device=shards[di])
+                          for _ in range(5))
+            out = _basis_tile_scan_c(carry, slab_i, slab_j)
+            slab_i = slab_j = payload = None
+            if di in pend:  # previous tile D2H overlaps this dispatch
+                yield drain(pend.pop(di))
+            pend[di] = (i, j, r0, c0, nr, nc, out)
+            out = None
+        for di in sorted(pend):
+            yield drain(pend.pop(di))
+        return
+
     for i, j, r0, c0, nr, nc, payload in _tile_walk(
             source, n_samp, saved_fn=tck.load):
         if isinstance(payload, dict):
@@ -497,7 +614,7 @@ def basis_count_tiles(source, n_samp: int, checkpoint=None,
 
 def pair_counts_tiled(ws, group: int, chunk=None, checkpoint=None,
                       verbose: bool = False, meter=None, source=None,
-                      mesh=None):
+                      mesh=None, devices=None):
     """Assembled PairCounts from the super-tile engine (integer
     bit-exact; both triangles mirrored with the per-block transpose
     rules: vv/hh/dd symmetric, hv(j,i) = vh(i,j)^T)."""
@@ -511,7 +628,8 @@ def pair_counts_tiled(ws, group: int, chunk=None, checkpoint=None,
         source = StoreSlabSource(ws, group, chunk, meter=meter)
     B = np.empty((5, n, n), np.int64)
     for r0, c0, nr, nc, b in basis_count_tiles(
-            source, n, checkpoint=checkpoint, verbose=verbose, mesh=mesh):
+            source, n, checkpoint=checkpoint, verbose=verbose, mesh=mesh,
+            devices=devices):
         B[:, r0:r0 + nr, c0:c0 + nc] = b
         if r0 != c0:
             # mirror: vv/hh/dd symmetric; hv lower = vh upper transposed
@@ -748,7 +866,7 @@ def auto_tile_group(n_snp: int, slab_budget: float = 6.5e9,
 
 def grm_tiled(ws, group: int, method: str = "GCTA", chunk=None,
               checkpoint=None, verbose: bool = False, meter=None,
-              source=None, mesh=None) -> np.ndarray:
+              source=None, mesh=None, devices=None) -> np.ndarray:
     """Assembled (n x n) GRM from the super-tile engine (both triangles
     mirrored). Used by models.grm for selections past the slab-staging
     budget; also callable directly with a custom ``source``."""
@@ -763,7 +881,7 @@ def grm_tiled(ws, group: int, method: str = "GCTA", chunk=None,
     mat = np.empty((n, n))
     for r0, c0, nr, nc, tile in gcta_grm_tiles(
             source, n, method=method, checkpoint=checkpoint,
-            verbose=verbose, mesh=mesh):
+            verbose=verbose, mesh=mesh, devices=devices):
         mat[r0:r0 + nr, c0:c0 + nc] = tile
         if r0 != c0:
             mat[c0:c0 + nc, r0:r0 + nr] = tile.T

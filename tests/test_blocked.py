@@ -711,3 +711,62 @@ def test_eigmix_homo_tiles_checkpoint(big_data, tmp_path):
     np.testing.assert_array_equal(np.stack(c2.base()), np.stack(c0.base()))
     np.testing.assert_allclose(waf2, waf0, rtol=1e-10, atol=1e-12)
     np.testing.assert_allclose(waf22, waf20, rtol=1e-10, atol=1e-12)
+
+
+def test_tile_devices_scheduling(big_data, tmp_path):
+    """Tile-grid device scheduling (devices=): whole tiles round-robin
+    over jax devices == the single-device tile engine == the full engine
+    (counts bit-exact, GRM to f64 tolerance); grm(tile_devices=) routes;
+    a run checkpointed single-device resumes under devices= without
+    recomputing saved tiles."""
+    import jax
+    import snprelate_tpu as sr
+    from snprelate_tpu.ops import tiles as T
+    from snprelate_tpu.ops.pairwise import pair_counts
+
+    data, _g = big_data
+    sid = list(data.sample_id[:1021])  # odd n: ragged last group
+    from snprelate_tpu.workspace import init_workspace
+
+    ws, _ = init_workspace(data, sample_id=sid, autosome_only=False,
+                           remove_monosnp=False, missing_rate=np.nan)
+    devs = jax.devices()[:3]
+    assert len(devs) == 3, "conftest provides 8 virtual CPU devices"
+
+    full_c = pair_counts(ws)
+    dev_c = T.pair_counts_tiled(ws, group=256, chunk=128, devices=devs)
+    np.testing.assert_array_equal(np.stack(dev_c.base()),
+                                  np.stack(full_c.base()))
+
+    full = sr.grm(data, sample_id=sid, method="GCTA", autosome_only=False,
+                  remove_monosnp=False, missing_rate=np.nan)
+    dev_m = T.grm_tiled(ws, group=256, chunk=128, devices=devs)
+    np.testing.assert_allclose(dev_m, full.grm, rtol=1e-9, atol=1e-12)
+
+    routed = sr.grm(data, sample_id=sid, method="GCTA",
+                    autosome_only=False, remove_monosnp=False,
+                    missing_rate=np.nan, tile_group=256, chunk=128,
+                    tile_devices=devs)
+    np.testing.assert_allclose(routed.grm, full.grm, rtol=1e-9,
+                               atol=1e-12)
+
+    # checkpoint interop: tiles saved by a single-device run are reused
+    # verbatim by a devices= resume (same meta: tag/n_snp/n/group/chunk)
+    ck = str(tmp_path / "devtiles.ck")
+    base = T.grm_tiled(ws, group=256, chunk=128, checkpoint=ck)
+    orig = T._gcta_tile_scan
+
+    def boom(*a, **k):
+        raise AssertionError("tile recomputed on devices= resume")
+
+    T._gcta_tile_scan = boom
+    try:
+        resumed = T.grm_tiled(ws, group=256, chunk=128, checkpoint=ck,
+                              devices=devs)
+    finally:
+        T._gcta_tile_scan = orig
+    np.testing.assert_allclose(resumed, base, rtol=0, atol=0)
+
+    with pytest.raises(ValueError, match="not both"):
+        next(T.gcta_grm_tiles(T.StoreSlabSource(ws, 256, 128), ws.n_samp,
+                              mesh=object(), devices=devs))
