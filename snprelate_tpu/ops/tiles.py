@@ -676,13 +676,29 @@ def _eigmix_tile_scan_c(carry, slab_i, slab_j, avg, d_w, diag: bool):
     return lax.scan(step, carry, (slab_i, slab_j, avg, d_w))[0]
 
 
+def _keyed_tile_stream(source, n_samp, saved_fn, mesh, devices,
+                       stats=()):
+    """Unified tile iteration for the three scheduling modes: yields
+    (key, walk item). Returns (stream, per-key placed stats, per-key
+    carry shardings) — single-device/mesh use key 0 (carry sharding
+    None: mesh carries are built by _tile_carry instead)."""
+    if devices is not None:
+        walks, placed, shards = _device_walks(source, n_samp, devices,
+                                              saved_fn, stats=stats)
+        return _interleave_walks(walks), placed, shards
+    walk = _tile_walk(source, n_samp, saved_fn=saved_fn)
+    return ((0, item) for item in walk), [tuple(stats)], [None]
+
+
 def eigmix_parts_tiled(ws, group=None, chunk=None, verbose=False,
                        meter=None, source=None, checkpoint=None,
-                       mesh=None):
+                       mesh=None, devices=None):
     """Assembled EIGMIX parts (num, wvg, het) from super tiles — the
     bounded-traffic analog of ops.pairwise.eigmix_rows. checkpoint= saves
     one .npz per completed tile (resume skips them); mesh= column-shards
-    each tile scan over every mesh device."""
+    each tile scan over every mesh device; devices= schedules whole
+    tiles round-robin over the given jax devices. Tiles drain through a
+    one-pending-per-device buffer so D2H overlaps the next dispatch."""
     from .pairwise import auto_chunk
 
     n = ws.n_samp if ws is not None else source.n_samp
@@ -694,6 +710,9 @@ def eigmix_parts_tiled(ws, group=None, chunk=None, verbose=False,
             chunk = auto_chunk(group, ws.n_snp)
         source = StoreSlabSource(ws, group, chunk, meter=meter)
     group = source.group
+    if mesh is not None and devices is not None:
+        raise ValueError("pass mesh= (intra-tile column sharding) or "
+                         "devices= (whole-tile scheduling), not both")
     if mesh is not None:
         source = _PlacedSource(source, _mesh_tile_shardings(mesh)[0])
     row_slab = _row_replicator(mesh)
@@ -710,35 +729,56 @@ def eigmix_parts_tiled(ws, group=None, chunk=None, verbose=False,
     num = np.empty((n, n))
     wvg = np.empty((n, n))
     het = np.empty(n, np.int64)
-    for i, j, r0, c0, nr, nc, payload in _tile_walk(
-            source, n, saved_fn=tck.load):
-        if isinstance(payload, dict):
-            num[r0:r0 + nr, c0:c0 + nc] = payload["num"]
-            wvg[r0:r0 + nr, c0:c0 + nc] = payload["wvg"]
-            if i == j:
-                het[r0:r0 + nr] = payload["het"]
+
+    def write(i, j, r0, c0, nr, nc, num_c, wvg_c, het_c):
+        num[r0:r0 + nr, c0:c0 + nc] = num_c
+        wvg[r0:r0 + nr, c0:c0 + nc] = wvg_c
+        if i == j:
+            het[r0:r0 + nr] = het_c
         else:
-            slab_i, slab_j = payload
-            carry = _tile_carry([((group, group), fdt)] * 2
-                                + [((group,), jnp.int32)], mesh)
-            cov_t, wvg_t, het_t = _eigmix_tile_scan_c(
-                carry, row_slab(i, slab_i), slab_j, avg, d_w, i == j)
-            slab_i = slab_j = payload = None
-            num[r0:r0 + nr, c0:c0 + nc] = np.asarray(cov_t)[:nr, :nc]
-            wvg[r0:r0 + nr, c0:c0 + nc] = np.asarray(wvg_t)[:nr, :nc]
-            if i == j:
-                het[r0:r0 + nr] = np.asarray(het_t)[:nr]
-                tck.save(i, j, num=num[r0:r0 + nr, c0:c0 + nc],
-                         wvg=wvg[r0:r0 + nr, c0:c0 + nc],
-                         het=het[r0:r0 + nr])
-            else:
-                tck.save(i, j, num=num[r0:r0 + nr, c0:c0 + nc],
-                         wvg=wvg[r0:r0 + nr, c0:c0 + nc])
-        if i != j:
-            num[c0:c0 + nc, r0:r0 + nr] = num[r0:r0 + nr, c0:c0 + nc].T
-            wvg[c0:c0 + nc, r0:r0 + nr] = wvg[r0:r0 + nr, c0:c0 + nc].T
+            num[c0:c0 + nc, r0:r0 + nr] = num_c.T
+            wvg[c0:c0 + nc, r0:r0 + nr] = wvg_c.T
         if verbose:
             print(f"EIGMIX tile ({i},{j})")
+
+    def settle(p):
+        i, j, r0, c0, nr, nc, (cov_t, wvg_t, het_t) = p
+        num_c = np.asarray(cov_t)[:nr, :nc]
+        wvg_c = np.asarray(wvg_t)[:nr, :nc]
+        if i == j:
+            het_c = np.asarray(het_t)[:nr]
+            tck.save(i, j, num=num_c, wvg=wvg_c, het=het_c)
+        else:
+            het_c = None
+            tck.save(i, j, num=num_c, wvg=wvg_c)
+        write(i, j, r0, c0, nr, nc, num_c, wvg_c, het_c)
+
+    stream, stats, shards = _keyed_tile_stream(
+        source, n, tck.load, mesh, devices, stats=(avg, d_w))
+    pend = {}
+    for di, (i, j, r0, c0, nr, nc, payload) in stream:
+        if di in pend:
+            settle(pend.pop(di))
+        if isinstance(payload, dict):
+            write(i, j, r0, c0, nr, nc, payload["num"], payload["wvg"],
+                  payload.get("het"))
+            continue
+        slab_i, slab_j = payload
+        av, dw = stats[di]
+        if shards[di] is not None:
+            carry = (jnp.zeros((group, group), fdt, device=shards[di]),
+                     jnp.zeros((group, group), fdt, device=shards[di]),
+                     jnp.zeros((group,), jnp.int32, device=shards[di]))
+        else:
+            carry = _tile_carry([((group, group), fdt)] * 2
+                                + [((group,), jnp.int32)], mesh)
+        outs = _eigmix_tile_scan_c(carry, row_slab(i, slab_i), slab_j,
+                                   av, dw, i == j)
+        slab_i = slab_j = payload = None
+        pend[di] = (i, j, r0, c0, nr, nc, outs)
+        outs = None
+    for di in sorted(pend):
+        settle(pend.pop(di))
     return num, wvg, het
 
 
@@ -784,11 +824,12 @@ def _king_homo_tile_scan_c(carry, slab_i, slab_j, w):
 
 def king_homo_parts_tiled(ws, group=None, chunk=None, verbose=False,
                           meter=None, source=None, checkpoint=None,
-                          mesh=None):
+                          mesh=None, devices=None):
     """Assembled KING-homo parts (PairCounts, waf, waf2) from super
     tiles — the bounded-traffic analog of king_homo_rows. checkpoint=
     saves one .npz per completed tile; mesh= column-shards each tile
-    scan over every mesh device."""
+    scan over every mesh device; devices= schedules whole tiles
+    round-robin over the given jax devices."""
     from .pairwise import PairCounts, auto_chunk
 
     n = ws.n_samp if ws is not None else source.n_samp
@@ -800,6 +841,9 @@ def king_homo_parts_tiled(ws, group=None, chunk=None, verbose=False,
             chunk = auto_chunk(group, ws.n_snp)
         source = StoreSlabSource(ws, group, chunk, meter=meter)
     group = source.group
+    if mesh is not None and devices is not None:
+        raise ValueError("pass mesh= (intra-tile column sharding) or "
+                         "devices= (whole-tile scheduling), not both")
     if mesh is not None:
         source = _PlacedSource(source, _mesh_tile_shardings(mesh)[0])
     row_slab = _row_replicator(mesh)
@@ -815,23 +859,8 @@ def king_homo_parts_tiled(ws, group=None, chunk=None, verbose=False,
     B = np.empty((5, n, n), np.int64)
     waf = np.empty((n, n))
     waf2 = np.empty((n, n))
-    for i, j, r0, c0, nr, nc, payload in _tile_walk(
-            source, n, saved_fn=tck.load):
-        if isinstance(payload, dict):
-            b = payload["b"]
-            w1c, w2c = payload["waf"], payload["waf2"]
-        else:
-            slab_i, slab_j = payload
-            carry = (_tile_carry([((group, group), jnp.int32)] * 5, mesh),
-                     *_tile_carry([((group, group), fdt)] * 2, mesh))
-            grams, w1, w2 = _king_homo_tile_scan_c(
-                carry, row_slab(i, slab_i), slab_j, w)
-            slab_i = slab_j = payload = None
-            b = np.stack([np.asarray(a)[:nr, :nc] for a in grams]) \
-                .astype(np.int64)
-            w1c = np.asarray(w1)[:nr, :nc]
-            w2c = np.asarray(w2)[:nr, :nc]
-            tck.save(i, j, b=b, waf=w1c, waf2=w2c)
+
+    def write(i, j, r0, c0, nr, nc, b, w1c, w2c):
         B[:, r0:r0 + nr, c0:c0 + nc] = b
         waf[r0:r0 + nr, c0:c0 + nc] = w1c
         waf2[r0:r0 + nr, c0:c0 + nc] = w2c
@@ -840,10 +869,47 @@ def king_homo_parts_tiled(ws, group=None, chunk=None, verbose=False,
                 B[sym, c0:c0 + nc, r0:r0 + nr] = b[sym].T
             B[3, c0:c0 + nc, r0:r0 + nr] = b[4].T
             B[4, c0:c0 + nc, r0:r0 + nr] = b[3].T
-            waf[c0:c0 + nc, r0:r0 + nr] = waf[r0:r0 + nr, c0:c0 + nc].T
-            waf2[c0:c0 + nc, r0:r0 + nr] = waf2[r0:r0 + nr, c0:c0 + nc].T
+            waf[c0:c0 + nc, r0:r0 + nr] = w1c.T
+            waf2[c0:c0 + nc, r0:r0 + nr] = w2c.T
         if verbose:
             print(f"KING-homo tile ({i},{j})")
+
+    def settle(pnd):
+        i, j, r0, c0, nr, nc, (grams, w1, w2) = pnd
+        b = np.stack([np.asarray(a)[:nr, :nc] for a in grams]) \
+            .astype(np.int64)
+        w1c = np.asarray(w1)[:nr, :nc]
+        w2c = np.asarray(w2)[:nr, :nc]
+        tck.save(i, j, b=b, waf=w1c, waf2=w2c)
+        write(i, j, r0, c0, nr, nc, b, w1c, w2c)
+
+    stream, stats, shards = _keyed_tile_stream(
+        source, n, tck.load, mesh, devices, stats=(w,))
+    pend = {}
+    for di, (i, j, r0, c0, nr, nc, payload) in stream:
+        if di in pend:
+            settle(pend.pop(di))
+        if isinstance(payload, dict):
+            write(i, j, r0, c0, nr, nc, payload["b"], payload["waf"],
+                  payload["waf2"])
+            continue
+        slab_i, slab_j = payload
+        if shards[di] is not None:
+            carry = (tuple(jnp.zeros((group, group), jnp.int32,
+                                     device=shards[di])
+                           for _ in range(5)),
+                     jnp.zeros((group, group), fdt, device=shards[di]),
+                     jnp.zeros((group, group), fdt, device=shards[di]))
+        else:
+            carry = (_tile_carry([((group, group), jnp.int32)] * 5, mesh),
+                     *_tile_carry([((group, group), fdt)] * 2, mesh))
+        outs = _king_homo_tile_scan_c(carry, row_slab(i, slab_i), slab_j,
+                                      stats[di][0])
+        slab_i = slab_j = payload = None
+        pend[di] = (i, j, r0, c0, nr, nc, outs)
+        outs = None
+    for di in sorted(pend):
+        settle(pend.pop(di))
     return PairCounts(*B), waf, waf2
 
 

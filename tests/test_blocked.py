@@ -770,3 +770,28 @@ def test_tile_devices_scheduling(big_data, tmp_path):
     with pytest.raises(ValueError, match="not both"):
         next(T.gcta_grm_tiles(T.StoreSlabSource(ws, 256, 128), ws.n_samp,
                               mesh=object(), devices=devs))
+
+
+def test_tile_devices_eigmix_king_homo(big_data):
+    """devices= scheduling on the EIGMIX / KING-homo tile engines ==
+    single-device tile engine (counts bit-exact, floats to tolerance)."""
+    import jax
+    from snprelate_tpu.ops import tiles as T
+
+    data, _g = big_data
+    ws = _workspace(data)
+    devs = jax.devices()[:3]
+
+    num0, wvg0, het0 = T.eigmix_parts_tiled(ws, group=512, chunk=128)
+    num1, wvg1, het1 = T.eigmix_parts_tiled(ws, group=512, chunk=128,
+                                            devices=devs)
+    np.testing.assert_allclose(num1, num0, rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(wvg1, wvg0, rtol=1e-10, atol=1e-12)
+    np.testing.assert_array_equal(het1, het0)
+
+    c0, waf0, waf20 = T.king_homo_parts_tiled(ws, group=512, chunk=128)
+    c1, waf1, waf21 = T.king_homo_parts_tiled(ws, group=512, chunk=128,
+                                              devices=devs)
+    np.testing.assert_array_equal(np.stack(c1.base()), np.stack(c0.base()))
+    np.testing.assert_allclose(waf1, waf0, rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(waf21, waf20, rtol=1e-10, atol=1e-12)
