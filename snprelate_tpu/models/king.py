@@ -178,21 +178,24 @@ _TILE_HITS = None
 
 
 def _king_screen_tiles(ws, fam, kinship_cutoff, hit_cap, group, chunk,
-                       verbose, source=None, mesh=None):
+                       verbose, source=None, mesh=None, devices=None):
     """Super-tile KING screen: the bounded-traffic route for selections
     past the HBM slab-staging budget (the strip engine re-streams the
     dataset once per strip). Per tile, ONLY compacted hits cross the
     host boundary; a tile with more candidates than the cap retries with
     a doubled cap (no dense fallback table). mesh= column-shards each
     tile scan over every mesh device (the hit compaction gathers the
-    sharded counters on device)."""
+    sharded counters on device). devices= schedules whole tiles
+    round-robin over the given jax devices — each keeps ONE tile's
+    counters pending for the cap retry, so the auto group size halves
+    (bytes_per_cell doubled) to stay inside HBM."""
     import jax.numpy as jnp
 
     from ..ops.pairwise import auto_chunk
     from ..ops.tiles import (StoreSlabSource, _PlacedSource,
-                             _basis_tile_scan_c, _mesh_tile_shardings,
-                             _row_replicator, _tile_carry, _tile_walk,
-                             auto_tile_group)
+                             _basis_tile_scan_c, _keyed_tile_stream,
+                             _mesh_tile_shardings, _row_replicator,
+                             _tile_carry, auto_tile_group)
 
     global _TILE_HITS
     if _TILE_HITS is None:
@@ -201,11 +204,16 @@ def _king_screen_tiles(ws, fam, kinship_cutoff, hit_cap, group, chunk,
     sid = np.asarray(ws.sample_id, object)
     if source is None:
         if group is None:
-            group = auto_tile_group(ws.n_snp, bytes_per_cell=20)
+            group = auto_tile_group(
+                ws.n_snp,
+                bytes_per_cell=40 if devices is not None else 20)
         if chunk is None:
             chunk = auto_chunk(group, ws.n_snp)
         source = StoreSlabSource(ws, group, chunk)
     group = source.group
+    if mesh is not None and devices is not None:
+        raise ValueError("pass mesh= (intra-tile column sharding) or "
+                         "devices= (whole-tile scheduling), not both")
     if mesh is not None:
         source = _PlacedSource(source, _mesh_tile_shardings(mesh)[0])
     row_slab = _row_replicator(mesh)
@@ -214,27 +222,25 @@ def _king_screen_tiles(ws, fam, kinship_cutoff, hit_cap, group, chunk,
     fam_d = jnp.asarray(fam_pad)
 
     id1, id2, ibs0_v, kin_v = [], [], [], []
-    for i, j, r0, c0, nr, nc, payload in _tile_walk(source, n):
-        slab_i, slab_j = payload
-        carry = _tile_carry([((group, group), jnp.int32)] * 5, mesh)
-        counters = _basis_tile_scan_c(carry, row_slab(i, slab_i), slab_j)
-        slab_i = slab_j = payload = None
-        fr = fam_d[i * group:(i + 1) * group]
-        fc = fam_d[j * group:(j + 1) * group]
-        cap = max(int(hit_cap), 1)
+    stream, stats, shards = _keyed_tile_stream(
+        source, n, None, mesh, devices, stats=(fam_d,))
+    pend = {}
+
+    def settle(p):
+        i, j, r0, c0, nr, nc, counters, fr, fc, cap, hits = p
         while True:
-            cnt, di, dj, dvals = _TILE_HITS(
-                counters, fr, fc, float(kinship_cutoff), r0 - c0,
-                i == j, cap)
+            cnt, di, dj, dvals = hits
             cnt = int(cnt)
             if cnt <= cap:
                 break
             cap = 1 << (cnt - 1).bit_length()  # retry, compacted again
+            hits = _TILE_HITS(counters, fr, fc, float(kinship_cutoff),
+                              r0 - c0, i == j, cap)
         counters = None
         if verbose:
             print(f"KING screen tile ({i},{j}): {cnt} candidates")
         if cnt == 0:
-            continue
+            return
         ii = np.asarray(di)[:cnt]
         jj = np.asarray(dj)[:cnt]
         ss, hv_, vh_, ib0, nv = (np.asarray(v, np.float64)[:cnt]
@@ -262,6 +268,28 @@ def _king_screen_tiles(ws, fam, kinship_cutoff, hit_cap, group, chunk,
         id2.append(sid[hi])
         kin_v.append(kin[keep])
         ibs0_v.append(ibs0f[keep])
+
+    for di, (i, j, r0, c0, nr, nc, payload) in stream:
+        if di in pend:
+            settle(pend.pop(di))
+        slab_i, slab_j = payload
+        if shards[di] is not None:
+            carry = tuple(jnp.zeros((group, group), jnp.int32,
+                                    device=shards[di]) for _ in range(5))
+        else:
+            carry = _tile_carry([((group, group), jnp.int32)] * 5, mesh)
+        counters = _basis_tile_scan_c(carry, row_slab(i, slab_i), slab_j)
+        slab_i = slab_j = payload = None
+        fam_k = stats[di][0]
+        fr = fam_k[i * group:(i + 1) * group]
+        fc = fam_k[j * group:(j + 1) * group]
+        cap = max(int(hit_cap), 1)
+        hits = _TILE_HITS(counters, fr, fc, float(kinship_cutoff),
+                          r0 - c0, i == j, cap)
+        pend[di] = (i, j, r0, c0, nr, nc, counters, fr, fc, cap, hits)
+        counters = hits = None
+    for di in sorted(pend):
+        settle(pend.pop(di))
     return {"ID1": np.concatenate(id1) if id1 else np.array([], object),
             "ID2": np.concatenate(id2) if id2 else np.array([], object),
             "IBS0": np.concatenate(ibs0_v) if ibs0_v else np.array([]),
@@ -273,7 +301,7 @@ def king_ibd_selection(data, kinship_cutoff, sample_id=None, snp_id=None,
                        maf=math.nan, missing_rate=0.01, family_id=None,
                        sample_block=None, chunk=None, verbose=False,
                        hit_cap: int = 65536, mesh=None, tiles=None,
-                       tile_group=None):
+                       tile_group=None, tile_devices=None):
     """Streaming KING-robust relatedness screening for cohorts whose n x n
     kinship matrix does not fit anywhere: equivalent to
     ibd_selection(ibd_king(data, type="KING-robust", family_id=...),
@@ -296,7 +324,11 @@ def king_ibd_selection(data, kinship_cutoff, sample_id=None, snp_id=None,
     ALL mesh devices (the n-sample axis splits across chips), so each
     device contracts its own sample shard against the replicated SNP
     chunk; no collectives run until the compacted hit indices are
-    gathered. Results are identical to the single-device path."""
+    gathered. Results are identical to the single-device path.
+
+    tile_devices: whole (group x group) tiles scheduled round-robin over
+    these jax devices on the super-tile route (implies tiles=True;
+    zero-collective multi-chip partition, results identical)."""
     if not np.isfinite(kinship_cutoff):
         raise ValueError("kinship_cutoff must be finite")
     import jax
@@ -311,12 +343,13 @@ def king_ibd_selection(data, kinship_cutoff, sample_id=None, snp_id=None,
     sid = np.asarray(ws.sample_id, object)
     n = ws.n_samp
     fam = _resolve_family(family_id, sample_id, ws)
-    if tiles is not False and (tiles
+    if tiles is not False and (tiles or tile_devices is not None
                                or ws.n_snp * (-(-n // 4)) > 2e9):
         # bounded-traffic super-tile route (the strip engine re-streams
         # the dataset once per strip past the slab-staging budget)
         return _king_screen_tiles(ws, fam, kinship_cutoff, hit_cap,
-                                  tile_group, chunk, verbose, mesh=mesh)
+                                  tile_group, chunk, verbose, mesh=mesh,
+                                  devices=tile_devices)
     ndev, shard_carry, wrap = _mesh_row_tools(mesh)
     sample_block, n_pad, chunk, chunks = _row_tile_setup(
         ws, sample_block, chunk, 128 * ndev, bytes_per_cell=20)

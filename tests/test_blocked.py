@@ -388,6 +388,13 @@ def test_king_screen_super_tiles(big_data):
     meshed = sr.king_ibd_selection(data, tiles=True, tile_group=512,
                                    chunk=128, mesh=make_mesh(4, 2), **kw)
     assert key(meshed) == key(base)
+    # tile_devices= schedules whole tiles per device; hits identical
+    # (hit_cap=1 also exercises the cap retry against PENDING counters)
+    import jax
+    devd = sr.king_ibd_selection(data, tile_group=512, chunk=128,
+                                 tile_devices=jax.devices()[:3],
+                                 hit_cap=1, **kw)
+    assert key(devd) == key(base)
 
 
 def test_pair_counts_super_tiles_bit_exact(big_data):
