@@ -48,7 +48,8 @@ def indiv_beta(data, sample_id=None, snp_id=None, autosome_only=True,
                remove_monosnp=True, maf=math.nan, missing_rate=0.01,
                method="weighted", inbreeding=True, verbose=False,
                chunk=None, sample_block=None,
-               use_matrix=False, mesh=None) -> IndivBetaResult:
+               use_matrix=False, mesh=None,
+               tile_devices=None) -> IndivBetaResult:
     """snpgdsIndivBeta (R/IBD.R:838). use_matrix packs the symmetric
     beta output (useMatrix=TRUE analog)."""
     if method != "weighted":
@@ -56,7 +57,8 @@ def indiv_beta(data, sample_id=None, snp_id=None, autosome_only=True,
     ws, _ = init_workspace(data, sample_id, snp_id, autosome_only,
                            remove_monosnp, maf, missing_rate, verbose=verbose)
     c = pair_counts(ws, chunk=chunk, verbose=verbose,
-                    sample_block=sample_block, mesh=mesh)
+                    sample_block=sample_block, mesh=mesh,
+                    tile_devices=tile_devices)
     beta, avg = _beta_raw(c, inbreeding)
     out = (beta - avg) / (1.0 - avg)
     from ..utils.packed import maybe_packed

@@ -32,9 +32,10 @@ class EigMixResult:
 
 def eigmix_ibd_matrix(ws, diagadj: bool = True, chunk=None,
                       verbose=False, sample_block=None,
-                      mesh=None) -> np.ndarray:
+                      mesh=None, tile_devices=None) -> np.ndarray:
     num, denom, het = eigmix_parts(ws, chunk=chunk, verbose=verbose,
-                                   sample_block=sample_block, mesh=mesh)
+                                   sample_block=sample_block, mesh=mesh,
+                                   tile_devices=tile_devices)
     if diagadj:
         num = num.copy()
         np.fill_diagonal(num, num.diagonal() - het)
@@ -45,7 +46,8 @@ def eigmix_ibd_matrix(ws, diagadj: bool = True, chunk=None,
 def eigmix(data, sample_id=None, snp_id=None, autosome_only=True,
            remove_monosnp=True, maf=math.nan, missing_rate=0.01,
            eigen_cnt=32, diagadj=True, ibdmat=False, verbose=False,
-           chunk=None, sample_block=None, mesh=None) -> EigMixResult:
+           chunk=None, sample_block=None, mesh=None,
+           tile_devices=None) -> EigMixResult:
     """snpgdsEIGMIX (R/PCA.R:311). sample_block= takes the row-tiled /
     super-tile large-N engine; mesh= shards the accumulation over a
     jax.sharding.Mesh (both equal the single-device result, tested)."""
@@ -56,7 +58,7 @@ def eigmix(data, sample_id=None, snp_id=None, autosome_only=True,
         eigen_cnt = n
     mat = eigmix_ibd_matrix(ws, diagadj=diagadj, chunk=chunk,
                             verbose=verbose, sample_block=sample_block,
-                            mesh=mesh)
+                            mesh=mesh, tile_devices=tile_devices)
     af, _, _, _ = snp_stats(ws)
 
     eigenval = eigenvect = None

@@ -119,7 +119,8 @@ def ibd_mom(data, sample_id=None, snp_id=None, autosome_only=True,
             remove_monosnp=True, maf=math.nan, missing_rate=0.01,
             allele_freq=None, kinship=False, kinship_constraint=False,
             verbose=False, chunk=None, use_matrix=False,
-            mesh=None, sample_block=None) -> IBDMoMResult:
+            mesh=None, sample_block=None,
+            tile_devices=None) -> IBDMoMResult:
     """snpgdsIBDMoM (R/IBD.R:22). use_matrix packs the symmetric outputs
     (useMatrix=TRUE analog)."""
     ws, afreq_used = init_workspace(data, sample_id, snp_id, autosome_only,
@@ -132,7 +133,7 @@ def ibd_mom(data, sample_id=None, snp_id=None, autosome_only=True,
     e, p_used = _epr_ibs_ibd(gsum, num, afreq_used,
                              correct=afreq_used is None)
     c = pair_counts(ws, chunk=chunk, verbose=verbose, mesh=mesh,
-                    sample_block=sample_block)
+                    sample_block=sample_block, tile_devices=tile_devices)
     k0, k1 = _est_plink_kinship(c.ibs0, c.ibs1, c.ibs2, e, kinship_constraint)
     np.fill_diagonal(k0, 0.0)
     np.fill_diagonal(k1, 0.0)

@@ -35,14 +35,16 @@ class IBSNumResult:
 def ibs(data, sample_id=None, snp_id=None, autosome_only=True,
         remove_monosnp=True, maf=math.nan, missing_rate=0.01,
         verbose=False, chunk=None, checkpoint=None,
-        use_matrix=False, mesh=None, sample_block=None) -> IBSResult:
+        use_matrix=False, mesh=None, sample_block=None,
+        tile_devices=None) -> IBSResult:
     """snpgdsIBS (R/IBS.R:22): average IBS
     (0.5*IBS1 + IBS2) / (IBS0+IBS1+IBS2) per pair (genIBS.cpp:470-475).
     use_matrix packs the symmetric output (useMatrix=TRUE analog)."""
     ws, _ = init_workspace(data, sample_id, snp_id, autosome_only,
                            remove_monosnp, maf, missing_rate, verbose=verbose)
     c = pair_counts(ws, chunk=chunk, checkpoint=checkpoint,
-                    verbose=verbose, mesh=mesh, sample_block=sample_block)
+                    verbose=verbose, mesh=mesh, sample_block=sample_block,
+                    tile_devices=tile_devices)
     total = c.nvalid.astype(np.float64)
     with np.errstate(invalid="ignore"):
         avg = (0.5 * c.ibs1 + c.ibs2) / total
@@ -54,10 +56,12 @@ def ibs(data, sample_id=None, snp_id=None, autosome_only=True,
 def ibs_num(data, sample_id=None, snp_id=None, autosome_only=True,
             remove_monosnp=True, maf=math.nan, missing_rate=0.01,
             verbose=False, chunk=None, checkpoint=None,
-            mesh=None, sample_block=None) -> IBSNumResult:
+            mesh=None, sample_block=None,
+            tile_devices=None) -> IBSNumResult:
     """snpgdsIBSNum (R/IBS.R:50): raw IBS0/1/2 counts."""
     ws, _ = init_workspace(data, sample_id, snp_id, autosome_only,
                            remove_monosnp, maf, missing_rate, verbose=verbose)
     c = pair_counts(ws, chunk=chunk, checkpoint=checkpoint,
-                    verbose=verbose, mesh=mesh, sample_block=sample_block)
+                    verbose=verbose, mesh=mesh, sample_block=sample_block,
+                    tile_devices=tile_devices)
     return IBSNumResult(ws.sample_id, ws.snp_id, c.ibs0, c.ibs1, c.ibs2)

@@ -78,7 +78,8 @@ def _resolve_family(family_id, sample_id, ws) -> np.ndarray:
 def ibd_king(data, sample_id=None, snp_id=None, autosome_only=True,
              remove_monosnp=True, maf=math.nan, missing_rate=0.01,
              type="KING-robust", family_id=None, verbose=False, chunk=None,
-             use_matrix=False, mesh=None, sample_block=None):
+             use_matrix=False, mesh=None, sample_block=None,
+             tile_devices=None):
     """snpgdsIBDKING (R/IBD.R:333). use_matrix packs the symmetric
     outputs (useMatrix=TRUE analog). sample_block forces the row-strip
     large-N engine (auto-enabled past the HBM carry ceiling anyway)."""
@@ -89,7 +90,8 @@ def ibd_king(data, sample_id=None, snp_id=None, autosome_only=True,
 
     if type == "KING-homo":
         c, waf, waf2 = king_homo_counts(ws, chunk=chunk, verbose=verbose,
-                                        mesh=mesh, sample_block=sample_block)
+                                        mesh=mesh, sample_block=sample_block,
+                                        tile_devices=tile_devices)
         with np.errstate(divide="ignore", invalid="ignore"):
             theta = 0.5 - c.sum_sq / (8.0 * waf)
             k0 = c.ibs0 / (2.0 * waf2)
@@ -107,7 +109,7 @@ def ibd_king(data, sample_id=None, snp_id=None, autosome_only=True,
 
     fam = _resolve_family(family_id, sample_id, ws)
     c = pair_counts(ws, chunk=chunk, verbose=verbose, mesh=mesh,
-                    sample_block=sample_block)
+                    sample_block=sample_block, tile_devices=tile_devices)
     nloci = c.nvalid.astype(np.float64)
     with np.errstate(divide="ignore", invalid="ignore"):
         ibs0 = np.where(nloci > 0, c.ibs0 / nloci, np.nan)

@@ -358,7 +358,7 @@ class PairCounts:
 def pair_counts(ws, chunk=None, pad_to: int = 128,
                 checkpoint=None, checkpoint_every: int = 64,
                 sample_block=None, verbose: bool = False,
-                mesh=None) -> PairCounts:
+                mesh=None, tile_devices=None) -> PairCounts:
     """Run the integer pairwise engine over a Workspace selection.
 
     Uses the reduced 4-gram basis (``_sym_grams4``). A triangular Pallas
@@ -374,10 +374,21 @@ def pair_counts(ws, chunk=None, pad_to: int = 128,
     chunk-data-parallel sharded engine (``sharded_pair_counts``); with
     sample_block (or past the HBM auto threshold), the row strips are
     column-sharded over every mesh device.
+
+    tile_devices: force the super-tile engine with whole tiles scheduled
+    round-robin over these jax devices (bit-exact; mutually exclusive
+    with mesh=).
     """
     n_pad = -(-ws.n_samp // pad_to) * pad_to
     if chunk is None:
         chunk = auto_chunk(n_pad, ws.n_snp)
+    if tile_devices is not None:
+        from .tiles import auto_tile_group, pair_counts_tiled
+
+        return pair_counts_tiled(
+            ws, auto_tile_group(ws.n_snp, bytes_per_cell=40),
+            chunk=chunk, checkpoint=checkpoint, verbose=verbose,
+            mesh=mesh, devices=tile_devices)
     if sample_block is None and 16.0 * n_pad * n_pad > 6e9:
         sample_block = 4096
     if mesh is not None and not sample_block:
@@ -1082,12 +1093,19 @@ def _king_homo_step(carry, packed, nblk: int):
 
 
 def king_homo_counts(ws, chunk=None, pad_to: int = 128,
-                     verbose: bool = False, sample_block=None, mesh=None):
+                     verbose: bool = False, sample_block=None, mesh=None,
+                     tile_devices=None):
     """Returns (PairCounts, SumAFreq, SumAFreq2) for KING-homo. Past the
     HBM-resident carry ceiling (auto, ~16k samples) assembles from
     row strips (king_homo_rows). mesh= runs the row path with
-    column-sharded strips."""
+    column-sharded strips. tile_devices= forces the super-tile engine
+    with whole tiles scheduled over the given jax devices."""
     n_pad, nblk = _pad_blocks(ws.n_samp, pad_to)
+    if tile_devices is not None:
+        from .tiles import king_homo_parts_tiled
+
+        return king_homo_parts_tiled(ws, chunk=chunk, verbose=verbose,
+                                     mesh=mesh, devices=tile_devices)
     if sample_block is None and (mesh is not None
                                  or 24.0 * n_pad * n_pad > 6e9):
         sample_block = 4096
@@ -1156,12 +1174,19 @@ def _eigmix_step(carry, packed, nblk: int):
 
 
 def eigmix_parts(ws, chunk=None, pad_to: int = 128,
-                 verbose: bool = False, sample_block=None, mesh=None):
+                 verbose: bool = False, sample_block=None, mesh=None,
+                 tile_devices=None):
     """Returns (num=XX^T, denom=(V.d)V^T weighted validity, het per
     sample). Past the HBM-resident carry ceiling (auto, or explicit
     sample_block=) assembles from row strips. mesh= runs the row path
-    with column-sharded strips."""
+    with column-sharded strips. tile_devices= forces the super-tile
+    engine with whole tiles scheduled over the given jax devices."""
     n_pad, nblk = _pad_blocks(ws.n_samp, pad_to)
+    if tile_devices is not None:
+        from .tiles import eigmix_parts_tiled
+
+        return eigmix_parts_tiled(ws, chunk=chunk, verbose=verbose,
+                                  mesh=mesh, devices=tile_devices)
     if sample_block is None and (mesh is not None
                                  or 5.0 * n_pad * n_pad > 6e9):
         sample_block = 4096

@@ -704,7 +704,11 @@ def eigmix_parts_tiled(ws, group=None, chunk=None, verbose=False,
     n = ws.n_samp if ws is not None else source.n_samp
     if source is None:
         if group is None:
-            group = auto_tile_group(ws.n_snp)
+            # devices= keeps one settled tile pending per device: double
+            # the per-cell budget so carry + pending tile both fit
+            group = auto_tile_group(
+                ws.n_snp,
+                bytes_per_cell=16 if devices is not None else 8)
         group = -(-group // 128) * 128
         if chunk is None:
             chunk = auto_chunk(group, ws.n_snp)
@@ -835,7 +839,9 @@ def king_homo_parts_tiled(ws, group=None, chunk=None, verbose=False,
     n = ws.n_samp if ws is not None else source.n_samp
     if source is None:
         if group is None:
-            group = auto_tile_group(ws.n_snp, bytes_per_cell=36)
+            group = auto_tile_group(
+                ws.n_snp,
+                bytes_per_cell=72 if devices is not None else 36)
         group = -(-group // 128) * 128
         if chunk is None:
             chunk = auto_chunk(group, ws.n_snp)

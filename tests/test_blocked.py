@@ -757,6 +757,25 @@ def test_tile_devices_scheduling(big_data, tmp_path):
     np.testing.assert_allclose(routed.grm, full.grm, rtol=1e-9,
                                atol=1e-12)
 
+    # estimator-level exposure: every count estimator forwards
+    # tile_devices to the engine (bit-exact / tolerance vs default route)
+    ek = dict(autosome_only=False, remove_monosnp=False,
+              missing_rate=np.nan)
+    b_num = sr.ibs_num(data, sample_id=sid, **ek)
+    d_num = sr.ibs_num(data, sample_id=sid, chunk=128,
+                       tile_devices=devs, **ek)
+    for f in ("ibs0", "ibs1", "ibs2"):
+        np.testing.assert_array_equal(getattr(d_num, f), getattr(b_num, f))
+    b_kh = sr.ibd_king(data, sample_id=sid, type="KING-homo", **ek)
+    d_kh = sr.ibd_king(data, sample_id=sid, type="KING-homo", chunk=128,
+                       tile_devices=devs, **ek)
+    np.testing.assert_allclose(d_kh.k0, b_kh.k0, rtol=1e-10, atol=1e-12)
+    b_em = sr.eigmix(data, sample_id=sid, eigen_cnt=4, **ek)
+    d_em = sr.eigmix(data, sample_id=sid, eigen_cnt=4, chunk=128,
+                     tile_devices=devs, **ek)
+    np.testing.assert_allclose(d_em.eigenval[:4], b_em.eigenval[:4],
+                               rtol=1e-9)
+
     # checkpoint interop: tiles saved by a single-device run are reused
     # verbatim by a devices= resume (same meta: tag/n_snp/n/group/chunk)
     ck = str(tmp_path / "devtiles.ck")
