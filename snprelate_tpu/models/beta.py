@@ -49,9 +49,10 @@ def indiv_beta(data, sample_id=None, snp_id=None, autosome_only=True,
                method="weighted", inbreeding=True, verbose=False,
                chunk=None, sample_block=None,
                use_matrix=False, mesh=None,
-               tile_devices=None) -> IndivBetaResult:
+               tile_devices=None, with_id=True, num_thread=None) -> IndivBetaResult:
     """snpgdsIndivBeta (R/IBD.R:838). use_matrix packs the symmetric
-    beta output (useMatrix=TRUE analog)."""
+    beta output (useMatrix=TRUE analog); with_id=False drops the id
+    vectors (with.id=FALSE)."""
     if method != "weighted":
         raise ValueError("method must be 'weighted'")
     ws, _ = init_workspace(data, sample_id, snp_id, autosome_only,
@@ -63,14 +64,17 @@ def indiv_beta(data, sample_id=None, snp_id=None, autosome_only=True,
     out = (beta - avg) / (1.0 - avg)
     from ..utils.packed import maybe_packed
 
-    return IndivBetaResult(ws.sample_id, ws.snp_id, inbreeding,
+    return IndivBetaResult(ws.sample_id if with_id else None,
+                           ws.snp_id if with_id else None, inbreeding,
                            maybe_packed(out, use_matrix), avg)
 
 
-def indiv_beta_rel(beta: IndivBetaResult, beta_rel: float):
+def indiv_beta_rel(beta: IndivBetaResult, beta_rel: float, verbose=False):
     """snpgdsIndivBetaRel (R/IBD.R:877-890): re-baseline a beta matrix.
     Accepts packed (use_matrix=True) results and returns the same form
     (the reference operates on dspMatrix too)."""
+    if verbose:
+        print(f"Transform beta estimates with the baseline {beta_rel}")
     packed = hasattr(beta.beta, "full")
     mat = beta.beta.full() if packed else beta.beta.copy()
     if not beta.inbreeding:

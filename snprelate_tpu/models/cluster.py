@@ -425,15 +425,29 @@ def admix_plot(propmat: np.ndarray, group=None, col=None, ax=None,
     return ax
 
 
-def admix_table(propmat: np.ndarray, group, sort_by_group=True):
-    """snpgdsAdmixTable (R/PCA.R:520-556) analog: per-group mean/sd
-    ancestral proportions."""
-    propmat = np.asarray(propmat)
+def admix_table(propmat: np.ndarray, group, sort=False):
+    """snpgdsAdmixTable (R/PCA.R:525-556): one table per ancestral
+    component (propmat column), each a list of per-group rows
+    {group, num, mean, sd, min, max}; sort=True orders rows by mean
+    descending (the reference's data.frame list, as python dicts)."""
+    propmat = np.asarray(propmat, float)
     group = np.asarray(group, object)
-    out = {}
-    for g in sorted(set(group.tolist()), key=str):
-        sub = propmat[group == g]
-        out[g] = {"n": int(sub.shape[0]), "mean": sub.mean(0),
-                  "sd": sub.std(0, ddof=1) if sub.shape[0] > 1
-                  else np.zeros(sub.shape[1])}
-    return out
+    tables = []
+    for i in range(propmat.shape[1]):
+        rows = []
+        for g in sorted(set(group.tolist()), key=str):
+            x = group == g
+            if not x.any():
+                continue
+            y = propmat[x, i]
+            y = y[~np.isnan(y)]  # na.rm=TRUE in the reference's stats
+            rows.append({
+                "group": g, "num": int(x.sum()),
+                "mean": float(y.mean()) if y.size else float("nan"),
+                "sd": float(y.std(ddof=1)) if y.size > 1 else float("nan"),
+                "min": float(y.min()) if y.size else float("nan"),
+                "max": float(y.max()) if y.size else float("nan")})
+        if sort:
+            rows.sort(key=lambda r: -r["mean"])
+        tables.append(rows)
+    return tables

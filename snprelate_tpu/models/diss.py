@@ -29,7 +29,7 @@ class DissResult:
 def diss(data, sample_id=None, snp_id=None, autosome_only=True,
          remove_monosnp=True, maf=math.nan, missing_rate=0.01,
          verbose=False, chunk=None, mesh=None,
-         sample_block=None, tile_devices=None) -> DissResult:
+         sample_block=None, tile_devices=None, num_thread=None) -> DissResult:
     """snpgdsDiss (R/IBD.R:432)."""
     ws, _ = init_workspace(data, sample_id, snp_id, autosome_only,
                            remove_monosnp, maf, missing_rate, verbose=verbose)

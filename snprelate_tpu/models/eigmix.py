@@ -47,7 +47,7 @@ def eigmix(data, sample_id=None, snp_id=None, autosome_only=True,
            remove_monosnp=True, maf=math.nan, missing_rate=0.01,
            eigen_cnt=32, diagadj=True, ibdmat=False, verbose=False,
            chunk=None, sample_block=None, mesh=None,
-           tile_devices=None) -> EigMixResult:
+           tile_devices=None, num_thread=None) -> EigMixResult:
     """snpgdsEIGMIX (R/PCA.R:311). sample_block= takes the row-tiled /
     super-tile large-N engine; mesh= shards the accumulation over a
     jax.sharding.Mesh (both equal the single-device result, tested)."""

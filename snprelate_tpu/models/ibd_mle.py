@@ -815,7 +815,7 @@ def ibd_mle(data, sample_id=None, snp_id=None, autosome_only=True,
             kinship=False, kinship_constraint=False, allele_freq=None,
             method="EM", max_niter=1000, reltol=math.sqrt(np.finfo(float).eps),
             coeff_correct=True, out_num_iter=True, verbose=False,
-            batch=256) -> IBDMLEResult:
+            batch=256, num_thread=None) -> IBDMLEResult:
     """snpgdsIBDMLE (R/IBD.R:79)."""
     ws, af_used = init_workspace(data, sample_id, snp_id, autosome_only,
                                  remove_monosnp, maf, missing_rate,

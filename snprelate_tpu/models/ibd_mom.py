@@ -120,7 +120,7 @@ def ibd_mom(data, sample_id=None, snp_id=None, autosome_only=True,
             allele_freq=None, kinship=False, kinship_constraint=False,
             verbose=False, chunk=None, use_matrix=False,
             mesh=None, sample_block=None,
-            tile_devices=None) -> IBDMoMResult:
+            tile_devices=None, num_thread=None) -> IBDMoMResult:
     """snpgdsIBDMoM (R/IBD.R:22). use_matrix packs the symmetric outputs
     (useMatrix=TRUE analog)."""
     ws, afreq_used = init_workspace(data, sample_id, snp_id, autosome_only,

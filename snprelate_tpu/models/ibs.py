@@ -36,7 +36,7 @@ def ibs(data, sample_id=None, snp_id=None, autosome_only=True,
         remove_monosnp=True, maf=math.nan, missing_rate=0.01,
         verbose=False, chunk=None, checkpoint=None,
         use_matrix=False, mesh=None, sample_block=None,
-        tile_devices=None) -> IBSResult:
+        tile_devices=None, num_thread=None) -> IBSResult:
     """snpgdsIBS (R/IBS.R:22): average IBS
     (0.5*IBS1 + IBS2) / (IBS0+IBS1+IBS2) per pair (genIBS.cpp:470-475).
     use_matrix packs the symmetric output (useMatrix=TRUE analog)."""
@@ -57,7 +57,7 @@ def ibs_num(data, sample_id=None, snp_id=None, autosome_only=True,
             remove_monosnp=True, maf=math.nan, missing_rate=0.01,
             verbose=False, chunk=None, checkpoint=None,
             mesh=None, sample_block=None,
-            tile_devices=None) -> IBSNumResult:
+            tile_devices=None, num_thread=None) -> IBSNumResult:
     """snpgdsIBSNum (R/IBS.R:50): raw IBS0/1/2 counts."""
     ws, _ = init_workspace(data, sample_id, snp_id, autosome_only,
                            remove_monosnp, maf, missing_rate, verbose=verbose)

@@ -79,7 +79,7 @@ def ibd_king(data, sample_id=None, snp_id=None, autosome_only=True,
              remove_monosnp=True, maf=math.nan, missing_rate=0.01,
              type="KING-robust", family_id=None, verbose=False, chunk=None,
              use_matrix=False, mesh=None, sample_block=None,
-             tile_devices=None):
+             tile_devices=None, num_thread=None):
     """snpgdsIBDKING (R/IBD.R:333). use_matrix packs the symmetric
     outputs (useMatrix=TRUE analog). sample_block forces the row-strip
     large-N engine (auto-enabled past the HBM carry ceiling anyway)."""

@@ -46,7 +46,7 @@ class LDMatResult:
 
 def ld_mat(data, sample_id=None, snp_id=None, slide=250,
            method="composite", mat_trim=False, verbose=False,
-           tile=1024) -> LDMatResult:
+           tile=1024, with_id=True, num_thread=None) -> LDMatResult:
     """snpgdsLDMat (R/LD.R:53): full n x n LD matrix (slide <= 0) or a
     banded (slide x n) matrix where LD[k, i] = LD(snp_i, snp_{i+k+1})."""
     if method not in _METHODS:
@@ -76,7 +76,8 @@ def ld_mat(data, sample_id=None, snp_id=None, slide=250,
                 v = tile_vals(geno[i0:i1], geno[j0:j1])
                 out[i0:i1, j0:j1] = v
                 out[j0:j1, i0:i1] = v.T
-        return LDMatResult(ws.sample_id, ws.snp_id, out, slide)
+        return LDMatResult(ws.sample_id if with_id else None,
+                           ws.snp_id if with_id else None, out, slide)
 
     # banded: column i holds LD(i, i+1..i+slide)
     ncol = n_snp - slide if mat_trim else n_snp
@@ -89,7 +90,8 @@ def ld_mat(data, sample_id=None, snp_id=None, slide=250,
             i = i0 + local_i
             kmax = min(slide, n_snp - i - 1)
             out[:kmax, i] = v[local_i, local_i + 1 : local_i + 1 + kmax]
-    return LDMatResult(ws.sample_id, ws.snp_id, out, slide)
+    return LDMatResult(ws.sample_id if with_id else None,
+                       ws.snp_id if with_id else None, out, slide)
 
 
 def _prune_chromosome_banded(geno, pos, start_idx, slide_max_bp,
@@ -247,7 +249,7 @@ def ld_pruning(data, sample_id=None, snp_id=None, autosome_only=True,
                remove_monosnp=True, maf=0.005, missing_rate=0.01,
                method="composite", slide_max_bp=500000, slide_max_n=np.nan,
                ld_threshold=0.2, start_pos="random.f500", seed=None,
-               autosave=None, verbose=False) -> dict:
+               autosave=None, verbose=False, num_thread=None) -> dict:
     """snpgdsLDpruning (R/LD.R:100): returns {chrN: kept snp.id array}.
     With autosave=path, the partial result is pickled after each chromosome
     (the reference's saveRDS autosave, R/LD.R:225-230)."""

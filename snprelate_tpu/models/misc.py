@@ -115,7 +115,8 @@ def pair_score(data, sample1_id, sample2_id, snp_id=None, method="IBS",
 def sliding_window(data, fun, winsize=100000, shift=10000, unit="basepair",
                    winstart=None, sample_id=None, snp_id=None,
                    autosome_only=False, remove_monosnp=True, maf=math.nan,
-                   missing_rate=math.nan, verbose=False, **kw):
+                   missing_rate=math.nan, verbose=False, num_thread=None,
+                   **kw):
     """snpgdsSlidingWindow (R/AllUtilities.R:1998 + genSlideWin.cpp): apply
     `fun` per sliding window, per chromosome. `fun` may be "snpgdsFst",
     "snpgdsSNPRateFreq", or a callable fun(data, sample_id, snp_id, **kw).
@@ -345,11 +346,20 @@ def snp_list_intersect(*snplists, method="position", na_rm=True,
     return rv
 
 
-def create_geno_set(data: SNPData, sample_id=None, snp_id=None) -> SNPData:
-    """snpgdsCreateGenoSet (R/AllUtilities.R:1145): subset copy."""
+def create_geno_set(data, sample_id=None, snp_id=None, dest_fn=None,
+                    snpfirstdim=False, compress=True,
+                    verbose=False) -> SNPData:
+    """snpgdsCreateGenoSet (R/AllUtilities.R:1145): subset copy.
+
+    `data` accepts an SNPData or a GDS path (the reference's src.fn);
+    with dest_fn the subset is also written as a SNP_ARRAY GDS in the
+    requested orientation (the reference's file->file semantics)."""
+    if isinstance(data, (str, bytes)):
+        from ..io.store import open_snp_gds
+        data = open_snp_gds(data)
     ws, _ = init_workspace(data, sample_id, snp_id, autosome_only=False,
-                           remove_monosnp=False)
-    return SNPData(
+                           remove_monosnp=False, verbose=verbose)
+    out = SNPData(
         sample_id=ws.sample_id.copy(), snp_id=ws.snp_id.copy(),
         genotype_packed=pack2bit(ws.geno()), n_samp=ws.n_samp,
         snp_position=np.asarray(data.snp_position)[ws.snp_idx],
@@ -362,14 +372,25 @@ def create_geno_set(data: SNPData, sample_id=None, snp_id=None) -> SNPData:
                       for k, v in data.sample_annot.items()},
         autosome_start=data.autosome_start, autosome_end=data.autosome_end,
         chrom_codes=dict(data.chrom_codes))
+    if dest_fn is not None:
+        from ..io.gds import write_snp_gds
+        write_snp_gds(out, dest_fn, compress=compress,
+                      snpfirstdim=snpfirstdim)
+    return out
 
 
-def combine_geno(datasets: Sequence[SNPData], method="position",
-                 same_strand=False, verbose=False) -> SNPData:
+def combine_geno(datasets, out_fn=None, method="position",
+                 same_strand=False, snpfirstdim=False, compress=True,
+                 verbose=False) -> SNPData:
     """snpgdsCombineGeno (R/AllUtilities.R:1285): merge datasets over the
     intersection of SNPs (matched by position or exact id), concatenating
     samples; alleles are aligned to the first dataset (flip flags from
-    allele_strand)."""
+    allele_strand). Datasets may be SNPData objects or GDS paths (the
+    reference's gds.fn vector); with out_fn the merge is also written as
+    a SNP_ARRAY GDS (the reference's out.fn)."""
+    from ..io.store import open_snp_gds
+    datasets = [open_snp_gds(d) if isinstance(d, (str, bytes)) else d
+                for d in datasets]
     lists = [snp_list(d) for d in datasets]
     rv = snp_list_intersect(*lists, method=method, same_strand=same_strand)
     idx1 = rv["idx1"]
@@ -389,7 +410,7 @@ def combine_geno(datasets: Sequence[SNPData], method="position",
     if len(np.unique(sample_id)) != len(sample_id):
         raise ValueError("Duplicate sample IDs across datasets")
     d0 = datasets[0]
-    return SNPData(
+    out = SNPData(
         sample_id=sample_id, snp_id=d0.snp_id[idx1],
         genotype_packed=pack2bit(geno.astype(np.uint8)),
         n_samp=len(sample_id),
@@ -398,6 +419,11 @@ def combine_geno(datasets: Sequence[SNPData], method="position",
         snp_allele=None if d0.snp_allele is None else d0.snp_allele[idx1],
         autosome_start=d0.autosome_start, autosome_end=d0.autosome_end,
         chrom_codes=dict(d0.chrom_codes))
+    if out_fn is not None:
+        from ..io.gds import write_snp_gds
+        write_snp_gds(out, out_fn, compress=compress,
+                      snpfirstdim=snpfirstdim)
+    return out
 
 
 def snpgds_option(data: Optional[SNPData] = None, autosome_start=1,
@@ -414,8 +440,22 @@ def snpgds_option(data: Optional[SNPData] = None, autosome_start=1,
             "chromosome.code": cc}
 
 
-def transpose(data: SNPData) -> SNPData:
-    """snpgdsTranspose (R/AllUtilities.R:1591) analog. The in-memory store
-    is always snp-major, so this is an identity on SNPData; storage
-    orientation is chosen at GDS write time (write_snp_gds(snpfirstdim=))."""
+def transpose(data, snpfirstdim=True, compress=True, optimize=True,
+              verbose=False):
+    """snpgdsTranspose (R/AllUtilities.R:1591) analog. On a GDS PATH it
+    rewrites the file with the genotype node in the requested orientation
+    (the reference's in-place conversion); on an in-memory SNPData it is
+    an identity — the store is always snp-major and orientation is chosen
+    at GDS write time (write_snp_gds(snpfirstdim=)). `optimize` is
+    accepted for signature parity (cleanup.gds has no analog here: the
+    writer always emits compact fragments)."""
+    if isinstance(data, (str, bytes)):
+        from ..io.gds import write_snp_gds
+        from ..io.store import open_snp_gds
+        d = open_snp_gds(data)
+        if verbose:
+            print(f"Transpose genotype: snpfirstdim={bool(snpfirstdim)}")
+        write_snp_gds(d, data, compress=compress,
+                      snpfirstdim=bool(snpfirstdim))
+        return None
     return data

@@ -42,7 +42,7 @@ def pca(data, sample_id=None, snp_id=None, autosome_only=True,
         algorithm="exact", eigen_cnt=32, bayesian=False, need_genmat=False,
         genmat_only=False, eigen_method="DSPEVX", aux_dim=None, iter_num=10,
         seed=None, mesh=None, verbose=False, chunk=None,
-        checkpoint=None) -> PCAResult:
+        checkpoint=None, num_thread=None) -> PCAResult:
     """snpgdsPCA (R/PCA.R:22-91). With mesh=jax.sharding.Mesh (axes
     'data', 'samp'), the covariance accumulates sharded across devices.
     eigen_method: "DSPEVX" (top eigen_cnt pairs) or "DSPEV" (all pairs) —

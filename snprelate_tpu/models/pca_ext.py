@@ -43,7 +43,8 @@ class EigMixSNPLoadingResult:
 
 
 def pca_corr(pcaobj, data, snp_id=None, eig_which=None, verbose=False,
-             chunk=None, outgds=None, mesh=None) -> PCACorrResult:
+             chunk=None, outgds=None, mesh=None,
+             with_id=True, num_thread=None) -> PCACorrResult:
     """snpgdsPCACorr (R/PCA.R:100): correlation between eigenvectors and
     genotypes over ALL selected SNPs (no freq/chromosome filtering —
     uses .InitFile, not .InitFile2). With outgds=path, writes the
@@ -62,7 +63,8 @@ def pca_corr(pcaobj, data, snp_id=None, eig_which=None, verbose=False,
     corr = snp_pc_corr(ws, np.asarray(e), chunk=chunk, mesh=mesh)
     if outgds is not None:
         _write_corr_gds(outgds, sampid, ws.snp_id, corr)
-    return PCACorrResult(sampid, ws.snp_id, corr)
+    return PCACorrResult(sampid if with_id else None,
+                         ws.snp_id if with_id else None, corr)
 
 
 def _write_corr_gds(path, sample_id, snp_id, corr):
@@ -100,7 +102,7 @@ def _write_corr_gds(path, sample_id, snp_id, corr):
     w.write(path, entry_id=root_id)
 
 
-def pca_snp_loading(pcaobj, data, verbose=False, chunk=None, mesh=None):
+def pca_snp_loading(pcaobj, data, verbose=False, chunk=None, mesh=None, num_thread=None):
     """snpgdsPCASNPLoading (R/PCA.R:185)."""
     ws, _ = init_workspace(data, sample_id=pcaobj.sample_id,
                            snp_id=pcaobj.snp_id, autosome_only=False,
@@ -132,7 +134,7 @@ def pca_snp_loading(pcaobj, data, verbose=False, chunk=None, mesh=None):
 
 
 def pca_samp_loading(loadobj, data, sample_id=None, verbose=False,
-                     chunk=None, mesh=None):
+                     chunk=None, mesh=None, num_thread=None):
     """snpgdsPCASampLoading (R/PCA.R:243): project (new) samples onto the
     SNP loadings."""
     ws, _ = init_workspace(data, sample_id=sample_id, snp_id=loadobj.snp_id,

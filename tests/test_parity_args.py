@@ -93,3 +93,98 @@ def test_eigmix_sample_block_and_mesh(hapmap):
                 ("data", "samp"))
     sh = eigmix(hapmap, sample_id=sid, ibdmat=True, eigen_cnt=0, mesh=mesh)
     np.testing.assert_allclose(sh.ibd, base.ibd, rtol=1e-10, atol=1e-12)
+
+
+def test_with_id_false_drops_ids(hapmap):
+    from snprelate_tpu import grm, indiv_beta, ld_mat, pca, pca_corr
+
+    sid = hapmap.sample_id[:20]
+    r = grm(hapmap, sample_id=sid, with_id=False)
+    assert r.sample_id is None and r.snp_id is None
+    b = indiv_beta(hapmap, sample_id=sid, with_id=False)
+    assert b.sample_id is None and b.snp_id is None
+    m = ld_mat(hapmap, snp_id=hapmap.snp_id[:50], slide=-1, with_id=False)
+    assert m.sample_id is None and m.snp_id is None
+    p = pca(hapmap, sample_id=sid, eigen_cnt=4)
+    c = pca_corr(p, hapmap, snp_id=hapmap.snp_id[:50], with_id=False)
+    assert c.sample_id is None and c.snp_id is None
+
+
+def test_create_geno_set_file_to_file(hapmap, tmp_path):
+    import numpy as np
+    from snprelate_tpu import create_geno_set, open_snp_gds
+    from snprelate_tpu.io.store import example_filename
+
+    dest = str(tmp_path / "subset.gds")
+    sub = create_geno_set(example_filename(),
+                          sample_id=hapmap.sample_id[:12],
+                          snp_id=hapmap.snp_id[:300], dest_fn=dest,
+                          snpfirstdim=True)
+    back = open_snp_gds(dest)
+    np.testing.assert_array_equal(back.sample_id, sub.sample_id)
+    np.testing.assert_array_equal(back.snp_id, sub.snp_id)
+    np.testing.assert_array_equal(back.geno(), sub.geno())
+
+
+def test_combine_geno_out_fn_and_paths(hapmap, tmp_path):
+    import numpy as np
+    from snprelate_tpu import combine_geno, create_geno_set, open_snp_gds
+
+    a = str(tmp_path / "a.gds")
+    b = str(tmp_path / "b.gds")
+    create_geno_set(hapmap, sample_id=hapmap.sample_id[:8],
+                    snp_id=hapmap.snp_id[:200], dest_fn=a)
+    create_geno_set(hapmap, sample_id=hapmap.sample_id[8:16],
+                    snp_id=hapmap.snp_id[:200], dest_fn=b)
+    out = str(tmp_path / "c.gds")
+    merged = combine_geno([a, b], out_fn=out)  # GDS paths in, GDS out
+    back = open_snp_gds(out)
+    assert merged.n_samp == 16
+    np.testing.assert_array_equal(back.geno(), merged.geno())
+
+
+def test_transpose_rewrites_gds_orientation(hapmap, tmp_path):
+    import numpy as np
+    from snprelate_tpu import create_geno_set, open_snp_gds, transpose
+
+    fn = str(tmp_path / "t.gds")
+    sub = create_geno_set(hapmap, sample_id=hapmap.sample_id[:10],
+                          snp_id=hapmap.snp_id[:100], dest_fn=fn)
+    assert open_snp_gds(fn).source_snpfirstdim is False
+    transpose(fn, snpfirstdim=True)
+    back = open_snp_gds(fn)
+    assert back.source_snpfirstdim is True
+    np.testing.assert_array_equal(back.geno(), sub.geno())
+    # in-memory: identity (store is always snp-major)
+    assert transpose(sub) is sub
+
+
+def test_admix_table_reference_shape(hapmap):
+    import math
+    from snprelate_tpu import admix_table
+
+    prop = np.array([[0.9, 0.1], [0.8, 0.2], [0.2, 0.8], [0.1, 0.9]])
+    group = np.array(["a", "a", "b", "b"], object)
+    tables = admix_table(prop, group)
+    assert len(tables) == 2  # one per ancestral component
+    t0 = {r["group"]: r for r in tables[0]}
+    assert t0["a"]["num"] == 2 and math.isclose(t0["a"]["mean"], 0.85)
+    assert math.isclose(t0["b"]["max"], 0.2)
+    srt = admix_table(prop, group, sort=True)
+    means0 = [r["mean"] for r in srt[0]]
+    assert means0 == sorted(means0, reverse=True)
+
+
+def test_num_thread_accepted_everywhere(hapmap):
+    """num.thread is part of every reference estimator signature
+    (R/PCA.R:22, R/IBD.R:543, ...): accepted for drop-in script
+    compatibility, results identical (the determinism contract replaces
+    thread-count invariance, test_rel.R:107-120)."""
+    import snprelate_tpu as sr
+
+    sid = hapmap.sample_id[:20]
+    a = sr.ibs(hapmap, sample_id=sid)
+    b = sr.snpgdsIBS(hapmap, sample_id=sid, num_thread=4)
+    np.testing.assert_array_equal(a.ibs, b.ibs)
+    p = sr.snpgdsPCA(hapmap, sample_id=sid, eigen_cnt=2, num_thread=2)
+    assert p.eigenval.shape[0] >= 2
