@@ -126,6 +126,12 @@ def main(argv=None) -> int:
                    help="row-tile size for large cohorts (auto if omitted)")
     p.add_argument("--checkpoint", metavar="FILE",
                    help="crash-resume checkpoint file prefix")
+    p.add_argument("--tile-rank", metavar="RANK/WORLD",
+                   help="multi-host partition: compute only this rank's "
+                        "share of the super-tile grid into --checkpoint "
+                        "(run once per host with RANK=0..WORLD-1 against "
+                        "a shared directory, then once without "
+                        "--tile-rank to assemble)")
     _add_filter_args(p)
 
     p = sub.add_parser("merge-grm", help="merge per-subset GRM GDS files")
@@ -332,9 +338,19 @@ def run(a) -> str:
         from .models.grm import grm
 
         data = _open(a.gds)
-        grm(data, method=a.method, out_fn=a.out, out_prec=a.prec,
-            out_compress=a.compress, sample_block=a.sample_block,
-            checkpoint=a.checkpoint, **_filters(data, a))
+        tile_rank = None
+        if a.tile_rank:
+            rank, world = (int(x) for x in a.tile_rank.split("/"))
+            tile_rank = (rank, world)
+        r = grm(data, method=a.method,
+                out_fn=None if tile_rank else a.out, out_prec=a.prec,
+                out_compress=a.compress, sample_block=a.sample_block,
+                checkpoint=a.checkpoint, tile_rank=tile_rank,
+                **_filters(data, a))
+        if r is None:
+            return (f"GRM ({a.method}): rank {a.tile_rank} tiles saved to "
+                    f"{a.checkpoint}; assemble with the same command "
+                    f"without --tile-rank")
         return f"GRM ({a.method}): wrote {a.out}"
 
     if cmd == "merge-grm":

@@ -60,7 +60,8 @@ def grm(data, sample_id=None, snp_id=None, autosome_only=True,
         out_compress="LZMA_RA", mesh=None, verbose=False,
         chunk=None, checkpoint=None, sample_block=None,
         use_matrix=False, tiles=None, tile_group=None,
-        tile_devices=None) -> GRMResult:
+        tile_devices=None, tile_rank=None, with_id=True,
+        num_thread=None) -> GRMResult:
     """snpgdsGRM (R/IBD.R:543). With out_fn, also writes the
     SNPRELATE_OUTPUT GDS artifact for snpgdsMergeGRM. With checkpoint=path,
     the accumulators are saved every 64 chunks and a rerun resumes
@@ -74,7 +75,15 @@ def grm(data, sample_id=None, snp_id=None, autosome_only=True,
     tile_devices: schedule WHOLE tiles round-robin over these jax
     devices (inter-chip tile-grid parallelism, zero collectives — the
     multi-host partition; mesh= instead column-shards each tile across
-    every device). Implies tiles=True."""
+    every device). Implies tiles=True.
+    tile_rank=(rank, world): multi-PROCESS/host partition — compute only
+    this rank's weight-balanced tile-row subset into checkpoint=
+    (required) and return None; ranks are fully independent processes
+    (no jax.distributed, no collectives) sharing the checkpoint
+    directory, and a final tile_rank=None run with the same arguments
+    assembles the GRM from the completed tiles without recomputing.
+    Composes with tile_devices=/mesh= within each rank. GCTA/Eigenstrat
+    only (implies tiles=True)."""
     ws, _ = init_workspace(data, sample_id, snp_id, autosome_only,
                            remove_monosnp, maf, missing_rate, verbose=verbose)
     n = ws.n_samp
@@ -83,10 +92,13 @@ def grm(data, sample_id=None, snp_id=None, autosome_only=True,
         method = "EIGMIX"
     if sample_block is None and _auto_row_tiling(n, method, mesh):
         sample_block = 4096
-    if tile_devices is not None:
+    if tile_devices is not None or tile_rank is not None:
         tiles = True
         if sample_block is None:
             sample_block = 4096  # any value: tile_group drives the size
+    if tile_rank is not None and method not in ("GCTA", "Eigenstrat"):
+        raise ValueError("tile_rank= needs the super-tile engine "
+                         "(method GCTA or Eigenstrat)")
     tile_capable = (sample_block is not None
                     and method in ("GCTA", "Eigenstrat"))
     auto_tiles = (tiles is not False
@@ -101,7 +113,10 @@ def grm(data, sample_id=None, snp_id=None, autosome_only=True,
         group = tile_group or auto_tile_group(ws.n_snp)
         mat = grm_tiled(ws, group, method=method, chunk=chunk,
                         checkpoint=checkpoint, verbose=verbose,
-                        mesh=mesh, devices=tile_devices)
+                        mesh=mesh, devices=tile_devices,
+                        tile_rank=tile_rank)
+        if mat is None:  # rank run: tiles are in checkpoint=
+            return None
     elif sample_block is not None and method in ("GCTA", "Eigenstrat"):
         # row-tiled large-N path; checkpoint= saves the completed GRM rows
         # after every tile and a rerun resumes at the first missing tile
@@ -188,6 +203,8 @@ def grm(data, sample_id=None, snp_id=None, autosome_only=True,
         from ..utils.packed import PackedSymmetric
 
         res.grm = PackedSymmetric.from_full(res.grm)
+    if not with_id:  # with.id=FALSE (R/IBD.R:543): drop the id vectors
+        res.sample_id = res.snp_id = None
     return res
 
 

@@ -329,6 +329,26 @@ def _tile_walk(source, n_samp: int, saved_fn=None, rows=None):
         slab_i = None
 
 
+def rank_rows(k: int, rank: int, world: int):
+    """Deterministic weight-balanced tile-ROW partition for multi-host
+    runs (`tile_rank=(rank, world)`): row i of the upper tile triangle
+    owns k - i tiles, so a plain stride over rows is ~25% unbalanced at
+    world=2. Greedy longest-processing-time assignment (rows are already
+    in descending weight order) balances to within one row's weight.
+    Every row appears in exactly one rank's list; the per-rank engines
+    stay zero-collective (ranks share only the checkpoint directory)."""
+    if not (0 <= rank < world):
+        raise ValueError(f"tile_rank {rank} outside world {world}")
+    loads = [0] * world
+    mine = []
+    for i in range(k):
+        r = loads.index(min(loads))
+        loads[r] += k - i
+        if r == rank:
+            mine.append(i)
+    return mine
+
+
 def _row_replicator(mesh):
     """Row-slab replication memo for mesh tile runs: one all-gather per
     tile row (device-to-device, no host). Keyed by the ROW INDEX — an
@@ -386,7 +406,8 @@ def _interleave_walks(walks):
         live = nxt
 
 
-def _device_walks(source, n_samp: int, devices, saved_fn, stats=()):
+def _device_walks(source, n_samp: int, devices, saved_fn, stats=(),
+                  rows=None):
     """Per-device placed sources + strided-row sub-walks for the
     tile-grid device scheduler (whole tiles on whole chips, zero
     collectives — the multi-host partition of the super-tile engine;
@@ -395,10 +416,11 @@ def _device_walks(source, n_samp: int, devices, saved_fn, stats=()):
     from jax.sharding import SingleDeviceSharding
 
     k = source.n_groups
-    nd = max(1, min(len(devices), k))
+    base = list(rows) if rows is not None else list(range(k))
+    nd = max(1, min(len(devices), len(base) or 1))
     shards = [SingleDeviceSharding(d) for d in devices[:nd]]
     walks = [_tile_walk(_PlacedSource(source, s), n_samp,
-                        saved_fn=saved_fn, rows=range(di, k, nd))
+                        saved_fn=saved_fn, rows=base[di::nd])
              for di, s in enumerate(shards)]
     placed = [tuple(jax.device_put(a, s) for a in stats) for s in shards]
     return walks, placed, shards
@@ -406,7 +428,8 @@ def _device_walks(source, n_samp: int, devices, saved_fn, stats=()):
 
 def gcta_grm_tiles(source, n_samp: int, method: str = "GCTA",
                    checkpoint=None, verbose: bool = False,
-                   out_dtype=np.float64, mesh=None, devices=None):
+                   out_dtype=np.float64, mesh=None, devices=None,
+                   rows=None):
     """Super-tile GRM: yields (r0, c0, nr, nc, grm_tile) over the upper
     tile triangle (r0 <= c0). method 'GCTA' applies the per-pair
     missing denominator (genPCA.cpp:1202-1236); 'Eigenstrat' yields the
@@ -447,7 +470,8 @@ def gcta_grm_tiles(source, n_samp: int, method: str = "GCTA",
         # round-robin interleave overlaps every device's compute with the
         # host-side loads/flushes of the others
         walks, stats, shards = _device_walks(
-            source, n_samp, devices, tck.load, stats=(avg, scale, poly))
+            source, n_samp, devices, tck.load, stats=(avg, scale, poly),
+            rows=rows)
         pend = {}
         for di, (i, j, r0, c0, nr, nc, payload) in _interleave_walks(
                 walks):
@@ -474,7 +498,7 @@ def gcta_grm_tiles(source, n_samp: int, method: str = "GCTA",
     # transfer and compute overlap (one extra device tile resident)
     pending = None
     for i, j, r0, c0, nr, nc, payload in _tile_walk(
-            source, n_samp, saved_fn=tck.load):
+            source, n_samp, saved_fn=tck.load, rows=rows):
         if isinstance(payload, dict):
             if pending is not None:
                 yield flush(pending)
@@ -536,7 +560,8 @@ def _tile_carry(shapes_dtypes, mesh):
 
 
 def basis_count_tiles(source, n_samp: int, checkpoint=None,
-                      verbose: bool = False, mesh=None, devices=None):
+                      verbose: bool = False, mesh=None, devices=None,
+                      rows=None):
     """Super-tile integer pairwise counts: yields (r0, c0, nr, nc,
     B (5, nr, nc) int64 PairCounts base blocks) over the upper tile
     triangle — the bounded-traffic analog of basis_gram_rows for count
@@ -570,7 +595,7 @@ def basis_count_tiles(source, n_samp: int, checkpoint=None,
 
     if devices is not None:
         walks, _, shards = _device_walks(source, n_samp, devices,
-                                         tck.load)
+                                         tck.load, rows=rows)
         pend = {}
         for di, (i, j, r0, c0, nr, nc, payload) in _interleave_walks(
                 walks):
@@ -594,7 +619,7 @@ def basis_count_tiles(source, n_samp: int, checkpoint=None,
         return
 
     for i, j, r0, c0, nr, nc, payload in _tile_walk(
-            source, n_samp, saved_fn=tck.load):
+            source, n_samp, saved_fn=tck.load, rows=rows):
         if isinstance(payload, dict):
             yield r0, c0, nr, nc, payload["b"]
             continue
@@ -614,10 +639,12 @@ def basis_count_tiles(source, n_samp: int, checkpoint=None,
 
 def pair_counts_tiled(ws, group: int, chunk=None, checkpoint=None,
                       verbose: bool = False, meter=None, source=None,
-                      mesh=None, devices=None):
+                      mesh=None, devices=None, tile_rank=None):
     """Assembled PairCounts from the super-tile engine (integer
     bit-exact; both triangles mirrored with the per-block transpose
-    rules: vv/hh/dd symmetric, hv(j,i) = vh(i,j)^T)."""
+    rules: vv/hh/dd symmetric, hv(j,i) = vh(i,j)^T). tile_rank=(rank,
+    world): compute only this rank's tile rows into checkpoint= and
+    return None (see grm_tiled)."""
     from .pairwise import PairCounts, auto_chunk
 
     n = ws.n_samp if ws is not None else source.n_samp
@@ -626,10 +653,13 @@ def pair_counts_tiled(ws, group: int, chunk=None, checkpoint=None,
         if chunk is None:
             chunk = auto_chunk(group, ws.n_snp)
         source = StoreSlabSource(ws, group, chunk, meter=meter)
-    B = np.empty((5, n, n), np.int64)
+    rows, partial = _rank_rows_arg(source, tile_rank, checkpoint)
+    B = None if partial else np.empty((5, n, n), np.int64)
     for r0, c0, nr, nc, b in basis_count_tiles(
             source, n, checkpoint=checkpoint, verbose=verbose, mesh=mesh,
-            devices=devices):
+            devices=devices, rows=rows):
+        if partial:
+            continue
         B[:, r0:r0 + nr, c0:c0 + nc] = b
         if r0 != c0:
             # mirror: vv/hh/dd symmetric; hv lower = vh upper transposed
@@ -637,7 +667,7 @@ def pair_counts_tiled(ws, group: int, chunk=None, checkpoint=None,
                 B[sym, c0:c0 + nc, r0:r0 + nr] = b[sym].T
             B[3, c0:c0 + nc, r0:r0 + nr] = b[4].T
             B[4, c0:c0 + nc, r0:r0 + nr] = b[3].T
-    return PairCounts(*B)
+    return None if partial else PairCounts(*B)
 
 
 @functools.partial(jax.jit, donate_argnums=0, static_argnums=(5,))
@@ -677,22 +707,24 @@ def _eigmix_tile_scan_c(carry, slab_i, slab_j, avg, d_w, diag: bool):
 
 
 def _keyed_tile_stream(source, n_samp, saved_fn, mesh, devices,
-                       stats=()):
+                       stats=(), rows=None):
     """Unified tile iteration for the three scheduling modes: yields
     (key, walk item). Returns (stream, per-key placed stats, per-key
     carry shardings) — single-device/mesh use key 0 (carry sharding
-    None: mesh carries are built by _tile_carry instead)."""
+    None: mesh carries are built by _tile_carry instead). rows= limits
+    the walk to a tile-row subset (the tile_rank multi-host partition)."""
     if devices is not None:
         walks, placed, shards = _device_walks(source, n_samp, devices,
-                                              saved_fn, stats=stats)
+                                              saved_fn, stats=stats,
+                                              rows=rows)
         return _interleave_walks(walks), placed, shards
-    walk = _tile_walk(source, n_samp, saved_fn=saved_fn)
+    walk = _tile_walk(source, n_samp, saved_fn=saved_fn, rows=rows)
     return ((0, item) for item in walk), [tuple(stats)], [None]
 
 
 def eigmix_parts_tiled(ws, group=None, chunk=None, verbose=False,
                        meter=None, source=None, checkpoint=None,
-                       mesh=None, devices=None):
+                       mesh=None, devices=None, tile_rank=None):
     """Assembled EIGMIX parts (num, wvg, het) from super tiles — the
     bounded-traffic analog of ops.pairwise.eigmix_rows. checkpoint= saves
     one .npz per completed tile (resume skips them); mesh= column-shards
@@ -730,11 +762,14 @@ def eigmix_parts_tiled(ws, group=None, chunk=None, verbose=False,
         avg, d_w = (jax.device_put(a, rep) for a in (avg, d_w))
     tck = TileGridCheckpointer(
         checkpoint, meta=(76, source.n_snp, n, group, source.chunk))
-    num = np.empty((n, n))
-    wvg = np.empty((n, n))
-    het = np.empty(n, np.int64)
+    rows, partial = _rank_rows_arg(source, tile_rank, checkpoint)
+    num = np.empty((n, n)) if not partial else None
+    wvg = np.empty((n, n)) if not partial else None
+    het = np.empty(n, np.int64) if not partial else None
 
     def write(i, j, r0, c0, nr, nc, num_c, wvg_c, het_c):
+        if partial:
+            return
         num[r0:r0 + nr, c0:c0 + nc] = num_c
         wvg[r0:r0 + nr, c0:c0 + nc] = wvg_c
         if i == j:
@@ -758,7 +793,7 @@ def eigmix_parts_tiled(ws, group=None, chunk=None, verbose=False,
         write(i, j, r0, c0, nr, nc, num_c, wvg_c, het_c)
 
     stream, stats, shards = _keyed_tile_stream(
-        source, n, tck.load, mesh, devices, stats=(avg, d_w))
+        source, n, tck.load, mesh, devices, stats=(avg, d_w), rows=rows)
     pend = {}
     for di, (i, j, r0, c0, nr, nc, payload) in stream:
         if di in pend:
@@ -783,7 +818,7 @@ def eigmix_parts_tiled(ws, group=None, chunk=None, verbose=False,
         outs = None
     for di in sorted(pend):
         settle(pend.pop(di))
-    return num, wvg, het
+    return None if partial else (num, wvg, het)
 
 
 @functools.partial(jax.jit, donate_argnums=0)
@@ -828,7 +863,7 @@ def _king_homo_tile_scan_c(carry, slab_i, slab_j, w):
 
 def king_homo_parts_tiled(ws, group=None, chunk=None, verbose=False,
                           meter=None, source=None, checkpoint=None,
-                          mesh=None, devices=None):
+                          mesh=None, devices=None, tile_rank=None):
     """Assembled KING-homo parts (PairCounts, waf, waf2) from super
     tiles — the bounded-traffic analog of king_homo_rows. checkpoint=
     saves one .npz per completed tile; mesh= column-shards each tile
@@ -862,11 +897,14 @@ def king_homo_parts_tiled(ws, group=None, chunk=None, verbose=False,
         w = jax.device_put(w, _mesh_tile_shardings(mesh)[2])
     tck = TileGridCheckpointer(
         checkpoint, meta=(77, source.n_snp, n, group, source.chunk))
-    B = np.empty((5, n, n), np.int64)
-    waf = np.empty((n, n))
-    waf2 = np.empty((n, n))
+    rows, partial = _rank_rows_arg(source, tile_rank, checkpoint)
+    B = np.empty((5, n, n), np.int64) if not partial else None
+    waf = np.empty((n, n)) if not partial else None
+    waf2 = np.empty((n, n)) if not partial else None
 
     def write(i, j, r0, c0, nr, nc, b, w1c, w2c):
+        if partial:
+            return
         B[:, r0:r0 + nr, c0:c0 + nc] = b
         waf[r0:r0 + nr, c0:c0 + nc] = w1c
         waf2[r0:r0 + nr, c0:c0 + nc] = w2c
@@ -890,7 +928,7 @@ def king_homo_parts_tiled(ws, group=None, chunk=None, verbose=False,
         write(i, j, r0, c0, nr, nc, b, w1c, w2c)
 
     stream, stats, shards = _keyed_tile_stream(
-        source, n, tck.load, mesh, devices, stats=(w,))
+        source, n, tck.load, mesh, devices, stats=(w,), rows=rows)
     pend = {}
     for di, (i, j, r0, c0, nr, nc, payload) in stream:
         if di in pend:
@@ -916,7 +954,7 @@ def king_homo_parts_tiled(ws, group=None, chunk=None, verbose=False,
         outs = None
     for di in sorted(pend):
         settle(pend.pop(di))
-    return PairCounts(*B), waf, waf2
+    return None if partial else (PairCounts(*B), waf, waf2)
 
 
 def auto_tile_group(n_snp: int, slab_budget: float = 6.5e9,
@@ -936,12 +974,34 @@ def auto_tile_group(n_snp: int, slab_budget: float = 6.5e9,
     return max(128, (g // 128) * 128)
 
 
+def _rank_rows_arg(source, tile_rank, checkpoint):
+    """Resolve tile_rank=(rank, world) to a rows= subset. A proper
+    partition (world > 1) requires checkpoint= — the completed tiles ARE
+    the rank's output; the caller assembles by re-running with
+    tile_rank=None over the shared checkpoint directory (which then
+    recomputes nothing)."""
+    if tile_rank is None:
+        return None, False
+    rank, world = tile_rank
+    if world <= 1:
+        return None, False
+    if checkpoint is None:
+        raise ValueError("tile_rank=(rank, world) needs checkpoint=: the "
+                         "per-tile artifacts are how ranks combine")
+    return rank_rows(source.n_groups, rank, world), True
+
+
 def grm_tiled(ws, group: int, method: str = "GCTA", chunk=None,
               checkpoint=None, verbose: bool = False, meter=None,
-              source=None, mesh=None, devices=None) -> np.ndarray:
+              source=None, mesh=None, devices=None, tile_rank=None):
     """Assembled (n x n) GRM from the super-tile engine (both triangles
     mirrored). Used by models.grm for selections past the slab-staging
-    budget; also callable directly with a custom ``source``."""
+    budget; also callable directly with a custom ``source``.
+    tile_rank=(rank, world): compute only this rank's weight-balanced
+    tile-row subset (the zero-collective multi-HOST partition — ranks
+    are independent processes sharing only the checkpoint directory)
+    and return None; after all ranks finish, a tile_rank=None run over
+    the same checkpoint assembles the matrix without recomputation."""
     from .pairwise import auto_chunk
 
     n = ws.n_samp if ws is not None else source.n_samp
@@ -950,13 +1010,18 @@ def grm_tiled(ws, group: int, method: str = "GCTA", chunk=None,
         if chunk is None:
             chunk = auto_chunk(group, ws.n_snp)
         source = StoreSlabSource(ws, group, chunk, meter=meter)
-    mat = np.empty((n, n))
+    rows, partial = _rank_rows_arg(source, tile_rank, checkpoint)
+    mat = None if partial else np.empty((n, n))
     for r0, c0, nr, nc, tile in gcta_grm_tiles(
             source, n, method=method, checkpoint=checkpoint,
-            verbose=verbose, mesh=mesh, devices=devices):
+            verbose=verbose, mesh=mesh, devices=devices, rows=rows):
+        if partial:
+            continue
         mat[r0:r0 + nr, c0:c0 + nc] = tile
         if r0 != c0:
             mat[c0:c0 + nc, r0:r0 + nr] = tile.T
+    if partial:
+        return None
     if method == "Eigenstrat":
         mat *= (n - 1) / float(np.trace(mat))
     return mat

@@ -232,3 +232,24 @@ def test_cli_converters(tmp_path):
     data = open_snp_gds(out)
     orig = open_snp_gds(GDS)
     assert data.n_samp == orig.n_samp and data.n_snp == orig.n_snp
+
+
+def test_cli_grm_tile_rank(tmp_path):
+    import os
+
+    from snprelate_tpu.models.grm import load_grm
+
+    gds = example_filename()
+    ck = str(tmp_path / "grid")
+    out = str(tmp_path / "g.gds")
+    for rank in range(2):
+        main(["grm", gds, "--out", out, "--checkpoint", ck,
+              "--tile-rank", f"{rank}/2", "--sample-block", "128"])
+    assert not os.path.exists(out)  # rank runs write only tiles
+    main(["grm", gds, "--out", out, "--checkpoint", ck,
+          "--sample-block", "128"])
+    back, _ = load_grm(out)
+    from snprelate_tpu import grm as grm_api
+    from snprelate_tpu.io.store import open_snp_gds
+    ref = grm_api(open_snp_gds(gds))
+    np.testing.assert_allclose(back.grm, ref.grm, rtol=1e-12, atol=1e-14)

@@ -1,0 +1,147 @@
+"""tile_rank=(rank, world): the multi-HOST partition of the super-tile
+engines. Ranks are fully independent processes (zero collectives, no
+jax.distributed — the tile grid is embarrassingly parallel) that share
+only the per-tile checkpoint directory; a final tile_rank=None run over
+the same directory assembles the full result without recomputation.
+This is the software side of "tile-grid-across-chips scheduling" that
+real multi-host hardware would drive (STATUS.md); the reference's only
+multi-part analog is the offline snpgdsGRM(out.fn=)/snpgdsMergeGRM file
+protocol (R/IBD.R:624-748), which splits SNPs, not samples."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+
+def test_rank_rows_exact_partition():
+    from snprelate_tpu.ops.tiles import rank_rows
+
+    for k in (1, 2, 3, 5, 8, 13):
+        for world in (1, 2, 3, 4):
+            rows = [rank_rows(k, r, world) for r in range(world)]
+            flat = sorted(sum(rows, []))
+            assert flat == list(range(k))  # exact cover, no overlap
+            loads = [sum(k - i for i in rr) for rr in rows]
+            total = k * (k + 1) // 2
+            assert sum(loads) == total
+            # greedy LPT: no rank exceeds the ideal share by more than
+            # the largest row weight
+            assert max(loads) - min(loads) <= k
+    with pytest.raises(ValueError):
+        rank_rows(4, 2, 2)
+
+
+def test_grm_tile_rank_ranks_then_assemble(hapmap, tmp_path):
+    from snprelate_tpu import grm
+
+    ck = str(tmp_path / "grid")
+    snps = hapmap.snp_id[:2000]
+    base = grm(hapmap, snp_id=snps, method="GCTA",
+               tiles=True, tile_group=128)
+    # two independent rank runs (any order) -> None, tiles on disk
+    for rank in (1, 0):
+        out = grm(hapmap, snp_id=snps, method="GCTA", tiles=True,
+                  tile_group=128, checkpoint=ck, tile_rank=(rank, 2))
+        assert out is None
+    # assembly run: loads every tile, recomputes nothing
+    res = grm(hapmap, snp_id=snps, method="GCTA", tiles=True,
+              tile_group=128, checkpoint=ck)
+    np.testing.assert_array_equal(res.grm, base.grm)
+
+    with pytest.raises(ValueError):  # rank runs need checkpoint=
+        grm(hapmap, snp_id=snps, method="GCTA", tiles=True,
+            tile_group=128, tile_rank=(0, 2))
+    with pytest.raises(ValueError):  # super-tile methods only
+        grm(hapmap, snp_id=snps, method="EIGMIX", checkpoint=ck,
+            tile_rank=(0, 2))
+
+
+def test_count_and_eigmix_tile_rank(hapmap, tmp_path):
+    from snprelate_tpu.ops.tiles import (eigmix_parts_tiled,
+                                         pair_counts_tiled)
+    from snprelate_tpu.workspace import init_workspace
+
+    ws, _ = init_workspace(hapmap, snp_id=hapmap.snp_id[:1500],
+                           autosome_only=False, remove_monosnp=False)
+    ck = str(tmp_path / "counts")
+    base = pair_counts_tiled(ws, 128)
+    for rank in range(3):
+        assert pair_counts_tiled(ws, 128, checkpoint=ck,
+                                 tile_rank=(rank, 3)) is None
+    got = pair_counts_tiled(ws, 128, checkpoint=ck)
+    for f in ("vv", "hh", "dd", "hv", "vh"):  # bit-exact
+        np.testing.assert_array_equal(np.asarray(getattr(base, f)),
+                                      np.asarray(getattr(got, f)))
+
+    ck2 = str(tmp_path / "eig")
+    eb = eigmix_parts_tiled(ws, group=128)
+    for rank in range(2):
+        assert eigmix_parts_tiled(ws, group=128, checkpoint=ck2,
+                                  tile_rank=(rank, 2)) is None
+    eg = eigmix_parts_tiled(ws, group=128, checkpoint=ck2)
+    for a, b in zip(eb, eg):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_king_homo_tile_rank(hapmap, tmp_path):
+    from snprelate_tpu.ops.tiles import king_homo_parts_tiled
+    from snprelate_tpu.workspace import init_workspace
+
+    ws, _ = init_workspace(hapmap, snp_id=hapmap.snp_id[:1500],
+                           autosome_only=False, remove_monosnp=False)
+    ck = str(tmp_path / "kh")
+    base = king_homo_parts_tiled(ws, group=128)
+    for rank in range(2):
+        assert king_homo_parts_tiled(ws, group=128, checkpoint=ck,
+                                     tile_rank=(rank, 2)) is None
+    got = king_homo_parts_tiled(ws, group=128, checkpoint=ck)
+    for f in ("vv", "hh", "dd", "hv", "vh"):
+        np.testing.assert_array_equal(np.asarray(getattr(base[0], f)),
+                                      np.asarray(getattr(got[0], f)))
+    np.testing.assert_array_equal(base[1], got[1])
+    np.testing.assert_array_equal(base[2], got[2])
+
+
+def test_grm_tile_rank_two_os_processes(hapmap, tmp_path):
+    """Two OS processes = two 'hosts', each computing its rank of the
+    tile grid against the same GDS file and checkpoint directory; the
+    parent assembles. No coordination beyond the shared directory."""
+    from snprelate_tpu import grm
+    from snprelate_tpu.io.store import example_filename
+
+    ck = str(tmp_path / "grid")
+    code = (
+        "import sys, jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "jax.config.update('jax_enable_x64', True)\n"
+        "import snprelate_tpu as sr\n"
+        "d = sr.open_snp_gds(sr.example_filename())\n"
+        "out = sr.grm(d, snp_id=d.snp_id[:1200], method='GCTA',\n"
+        "             tiles=True, tile_group=128, checkpoint=sys.argv[1],\n"
+        "             tile_rank=(int(sys.argv[2]), 2))\n"
+        "assert out is None\n"
+    )
+    env = dict(os.environ)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [subprocess.Popen([sys.executable, "-c", code, ck, str(r)],
+                              env=env, stdout=subprocess.PIPE,
+                              stderr=subprocess.STDOUT)
+             for r in range(2)]
+    for p in procs:
+        try:
+            log, _ = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("tile_rank workers timed out")
+        assert p.returncode == 0, log.decode(errors="replace")[-3000:]
+
+    res = grm(hapmap, snp_id=hapmap.snp_id[:1200], method="GCTA",
+              tiles=True, tile_group=128, checkpoint=ck)
+    base = grm(hapmap, snp_id=hapmap.snp_id[:1200], method="GCTA",
+               tiles=True, tile_group=128)
+    np.testing.assert_array_equal(res.grm, base.grm)

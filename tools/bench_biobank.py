@@ -160,6 +160,21 @@ def run(args):
     k = src.n_groups
     n_tiles = k * (k + 1) // 2
 
+    rows = None
+    if args.tile_rank:
+        # multi-host partition: this process computes one rank's
+        # weight-balanced tile-row share into the shared checkpoint
+        # directory (grm(tile_rank=) semantics); run once per host, then
+        # once without --tile-rank to assemble + run PCA
+        from snprelate_tpu.ops.tiles import rank_rows
+
+        if not ck:
+            raise SystemExit("--tile-rank needs --checkpoint")
+        rank, world = (int(x) for x in args.tile_rank.split("/"))
+        rows = rank_rows(k, rank, world)
+        n_tiles = sum(k - i for i in rows)
+        results["tile_rank"] = args.tile_rank
+
     # ---- phase: GRM (GCTA) over super tiles, per-tile checkpoints
     t0 = time.time()
     d2h = 0
@@ -170,7 +185,7 @@ def run(args):
     done_tiles = 0
     for r0, c0, nr, nc, tile in gcta_grm_tiles(
             src, n, method="GCTA", checkpoint=ck, out_dtype=np.float32,
-            verbose=args.verbose):
+            verbose=args.verbose, rows=rows):
         d2h += tile.nbytes
         done_tiles += 1
         if r0 == c0:
@@ -188,7 +203,9 @@ def run(args):
             print(f"  tile {done_tiles}/{n_tiles} at {el:.0f}s",
                   flush=True)
     grm_s = time.time() - t0
-    pair_snp = 0.5 * float(n) * n * s
+    # a rank run covers n_tiles of the k(k+1)/2 grid: credit its share
+    pair_snp = 0.5 * float(n) * n * s \
+        * (n_tiles / (k * (k + 1) // 2))
     results["grm"] = {
         "wall_s": round(grm_s, 1),
         "tera_pair_snp_per_s": round(pair_snp / grm_s / 1e12, 3),
@@ -203,7 +220,7 @@ def run(args):
     }
     print(json.dumps({"phase": "grm", **results["grm"]}), flush=True)
 
-    if args.skip_pca:
+    if args.skip_pca or rows is not None:
         results["total_wall_s"] = round(grm_s, 1)
         out = args.out or "BIOBANK.json"
         with open(out, "w") as f:
@@ -295,6 +312,11 @@ if __name__ == "__main__":
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--source", choices=("gen", "store"), default="gen")
     ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--tile-rank", metavar="RANK/WORLD", default=None,
+                    help="compute only this rank's tile-row share into "
+                         "--checkpoint (one independent process per "
+                         "host); assemble with a final run without this "
+                         "flag")
     ap.add_argument("--out", default=None)
     ap.add_argument("--verbose", action="store_true")
     ap.add_argument("--skip-pca", action="store_true")
