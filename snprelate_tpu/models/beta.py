@@ -48,8 +48,9 @@ def indiv_beta(data, sample_id=None, snp_id=None, autosome_only=True,
                remove_monosnp=True, maf=math.nan, missing_rate=0.01,
                method="weighted", inbreeding=True, verbose=False,
                chunk=None, sample_block=None,
-               use_matrix=False, mesh=None,
-               tile_devices=None, with_id=True, num_thread=None) -> IndivBetaResult:
+               use_matrix=False, mesh=None, tile_devices=None,
+               tile_rank=None, checkpoint=None, with_id=True,
+               num_thread=None) -> IndivBetaResult:
     """snpgdsIndivBeta (R/IBD.R:838). use_matrix packs the symmetric
     beta output (useMatrix=TRUE analog); with_id=False drops the id
     vectors (with.id=FALSE)."""
@@ -59,7 +60,10 @@ def indiv_beta(data, sample_id=None, snp_id=None, autosome_only=True,
                            remove_monosnp, maf, missing_rate, verbose=verbose)
     c = pair_counts(ws, chunk=chunk, verbose=verbose,
                     sample_block=sample_block, mesh=mesh,
-                    tile_devices=tile_devices)
+                    tile_devices=tile_devices, tile_rank=tile_rank,
+                    checkpoint=checkpoint)
+    if c is None:
+        return None
     beta, avg = _beta_raw(c, inbreeding)
     out = (beta - avg) / (1.0 - avg)
     from ..utils.packed import maybe_packed

@@ -29,13 +29,20 @@ class DissResult:
 def diss(data, sample_id=None, snp_id=None, autosome_only=True,
          remove_monosnp=True, maf=math.nan, missing_rate=0.01,
          verbose=False, chunk=None, mesh=None,
-         sample_block=None, tile_devices=None, num_thread=None) -> DissResult:
-    """snpgdsDiss (R/IBD.R:432)."""
+         sample_block=None, tile_devices=None, tile_rank=None,
+         checkpoint=None, num_thread=None) -> DissResult:
+    """snpgdsDiss (R/IBD.R:432). tile_rank=(rank, world): rank run of
+    the multi-host tile partition into checkpoint= (returns None); assemble with
+    tile_rank=(0, 1) over the same checkpoint."""
     ws, _ = init_workspace(data, sample_id, snp_id, autosome_only,
                            remove_monosnp, maf, missing_rate, verbose=verbose)
-    c, waf, _ = king_homo_counts(ws, chunk=chunk, verbose=verbose,
-                                 mesh=mesh, sample_block=sample_block,
-                                 tile_devices=tile_devices)
+    parts = king_homo_counts(ws, chunk=chunk, verbose=verbose,
+                             mesh=mesh, sample_block=sample_block,
+                             tile_devices=tile_devices,
+                             tile_rank=tile_rank, checkpoint=checkpoint)
+    if parts is None:
+        return None
+    c, waf, _ = parts
     # w(a,b) = a(2-b) + (2-a)b over the joint counts reduces to
     # 2*IBS1 + 4*IBS0 + 2*N11 (w is 2 on {01,10,11,12,21}, 4 on {02,20})
     sum_geno = (2 * (c.ibs1 + c.n11) + 4 * c.ibs0).astype(np.float64)

@@ -32,10 +32,15 @@ class EigMixResult:
 
 def eigmix_ibd_matrix(ws, diagadj: bool = True, chunk=None,
                       verbose=False, sample_block=None,
-                      mesh=None, tile_devices=None) -> np.ndarray:
-    num, denom, het = eigmix_parts(ws, chunk=chunk, verbose=verbose,
-                                   sample_block=sample_block, mesh=mesh,
-                                   tile_devices=tile_devices)
+                      mesh=None, tile_devices=None, tile_rank=None,
+                      checkpoint=None) -> np.ndarray:
+    parts = eigmix_parts(ws, chunk=chunk, verbose=verbose,
+                         sample_block=sample_block, mesh=mesh,
+                         tile_devices=tile_devices, tile_rank=tile_rank,
+                         checkpoint=checkpoint)
+    if parts is None:
+        return None
+    num, denom, het = parts
     if diagadj:
         num = num.copy()
         np.fill_diagonal(num, num.diagonal() - het)
@@ -47,10 +52,14 @@ def eigmix(data, sample_id=None, snp_id=None, autosome_only=True,
            remove_monosnp=True, maf=math.nan, missing_rate=0.01,
            eigen_cnt=32, diagadj=True, ibdmat=False, verbose=False,
            chunk=None, sample_block=None, mesh=None,
-           tile_devices=None, num_thread=None) -> EigMixResult:
+           tile_devices=None, tile_rank=None, checkpoint=None,
+           num_thread=None) -> EigMixResult:
     """snpgdsEIGMIX (R/PCA.R:311). sample_block= takes the row-tiled /
     super-tile large-N engine; mesh= shards the accumulation over a
-    jax.sharding.Mesh (both equal the single-device result, tested)."""
+    jax.sharding.Mesh (both equal the single-device result, tested).
+    tile_rank=(rank, world): rank run of the multi-host tile partition
+    into checkpoint= (returns None); assemble with
+    tile_rank=(0, 1) over the same checkpoint."""
     ws, _ = init_workspace(data, sample_id, snp_id, autosome_only,
                            remove_monosnp, maf, missing_rate, verbose=verbose)
     n = ws.n_samp
@@ -58,7 +67,10 @@ def eigmix(data, sample_id=None, snp_id=None, autosome_only=True,
         eigen_cnt = n
     mat = eigmix_ibd_matrix(ws, diagadj=diagadj, chunk=chunk,
                             verbose=verbose, sample_block=sample_block,
-                            mesh=mesh, tile_devices=tile_devices)
+                            mesh=mesh, tile_devices=tile_devices,
+                            tile_rank=tile_rank, checkpoint=checkpoint)
+    if mat is None:
+        return None
     af, _, _, _ = snp_stats(ws)
 
     eigenval = eigenvect = None

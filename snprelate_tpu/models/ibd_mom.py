@@ -119,8 +119,9 @@ def ibd_mom(data, sample_id=None, snp_id=None, autosome_only=True,
             remove_monosnp=True, maf=math.nan, missing_rate=0.01,
             allele_freq=None, kinship=False, kinship_constraint=False,
             verbose=False, chunk=None, use_matrix=False,
-            mesh=None, sample_block=None,
-            tile_devices=None, num_thread=None) -> IBDMoMResult:
+            mesh=None, sample_block=None, tile_devices=None,
+            tile_rank=None, checkpoint=None,
+            num_thread=None) -> IBDMoMResult:
     """snpgdsIBDMoM (R/IBD.R:22). use_matrix packs the symmetric outputs
     (useMatrix=TRUE analog)."""
     ws, afreq_used = init_workspace(data, sample_id, snp_id, autosome_only,
@@ -133,7 +134,10 @@ def ibd_mom(data, sample_id=None, snp_id=None, autosome_only=True,
     e, p_used = _epr_ibs_ibd(gsum, num, afreq_used,
                              correct=afreq_used is None)
     c = pair_counts(ws, chunk=chunk, verbose=verbose, mesh=mesh,
-                    sample_block=sample_block, tile_devices=tile_devices)
+                    sample_block=sample_block, tile_devices=tile_devices,
+                    tile_rank=tile_rank, checkpoint=checkpoint)
+    if c is None:
+        return None
     k0, k1 = _est_plink_kinship(c.ibs0, c.ibs1, c.ibs2, e, kinship_constraint)
     np.fill_diagonal(k0, 0.0)
     np.fill_diagonal(k1, 0.0)

@@ -36,15 +36,20 @@ def ibs(data, sample_id=None, snp_id=None, autosome_only=True,
         remove_monosnp=True, maf=math.nan, missing_rate=0.01,
         verbose=False, chunk=None, checkpoint=None,
         use_matrix=False, mesh=None, sample_block=None,
-        tile_devices=None, num_thread=None) -> IBSResult:
+        tile_devices=None, tile_rank=None, num_thread=None) -> IBSResult:
     """snpgdsIBS (R/IBS.R:22): average IBS
     (0.5*IBS1 + IBS2) / (IBS0+IBS1+IBS2) per pair (genIBS.cpp:470-475).
-    use_matrix packs the symmetric output (useMatrix=TRUE analog)."""
+    use_matrix packs the symmetric output (useMatrix=TRUE analog).
+    tile_rank=(rank, world): rank run of the multi-host tile partition —
+    writes this rank's tiles into checkpoint= and returns None;
+    assemble with tile_rank=(0, 1) over the same checkpoint."""
     ws, _ = init_workspace(data, sample_id, snp_id, autosome_only,
                            remove_monosnp, maf, missing_rate, verbose=verbose)
     c = pair_counts(ws, chunk=chunk, checkpoint=checkpoint,
                     verbose=verbose, mesh=mesh, sample_block=sample_block,
-                    tile_devices=tile_devices)
+                    tile_devices=tile_devices, tile_rank=tile_rank)
+    if c is None:
+        return None
     total = c.nvalid.astype(np.float64)
     with np.errstate(invalid="ignore"):
         avg = (0.5 * c.ibs1 + c.ibs2) / total
@@ -57,11 +62,14 @@ def ibs_num(data, sample_id=None, snp_id=None, autosome_only=True,
             remove_monosnp=True, maf=math.nan, missing_rate=0.01,
             verbose=False, chunk=None, checkpoint=None,
             mesh=None, sample_block=None,
-            tile_devices=None, num_thread=None) -> IBSNumResult:
+            tile_devices=None, tile_rank=None,
+            num_thread=None) -> IBSNumResult:
     """snpgdsIBSNum (R/IBS.R:50): raw IBS0/1/2 counts."""
     ws, _ = init_workspace(data, sample_id, snp_id, autosome_only,
                            remove_monosnp, maf, missing_rate, verbose=verbose)
     c = pair_counts(ws, chunk=chunk, checkpoint=checkpoint,
                     verbose=verbose, mesh=mesh, sample_block=sample_block,
-                    tile_devices=tile_devices)
+                    tile_devices=tile_devices, tile_rank=tile_rank)
+    if c is None:
+        return None
     return IBSNumResult(ws.sample_id, ws.snp_id, c.ibs0, c.ibs1, c.ibs2)

@@ -79,19 +79,27 @@ def ibd_king(data, sample_id=None, snp_id=None, autosome_only=True,
              remove_monosnp=True, maf=math.nan, missing_rate=0.01,
              type="KING-robust", family_id=None, verbose=False, chunk=None,
              use_matrix=False, mesh=None, sample_block=None,
-             tile_devices=None, num_thread=None):
+             tile_devices=None, tile_rank=None, checkpoint=None,
+             num_thread=None):
     """snpgdsIBDKING (R/IBD.R:333). use_matrix packs the symmetric
     outputs (useMatrix=TRUE analog). sample_block forces the row-strip
-    large-N engine (auto-enabled past the HBM carry ceiling anyway)."""
+    large-N engine (auto-enabled past the HBM carry ceiling anyway).
+    tile_rank=(rank, world): rank run of the multi-host tile partition
+    into checkpoint= (returns None); assemble with
+    tile_rank=(0, 1) over the same checkpoint."""
     from ..utils.packed import maybe_packed
     ws, _ = init_workspace(data, sample_id, snp_id, autosome_only,
                            remove_monosnp, maf, missing_rate, verbose=verbose)
     n = ws.n_samp
 
     if type == "KING-homo":
-        c, waf, waf2 = king_homo_counts(ws, chunk=chunk, verbose=verbose,
-                                        mesh=mesh, sample_block=sample_block,
-                                        tile_devices=tile_devices)
+        parts = king_homo_counts(ws, chunk=chunk, verbose=verbose,
+                                 mesh=mesh, sample_block=sample_block,
+                                 tile_devices=tile_devices,
+                                 tile_rank=tile_rank, checkpoint=checkpoint)
+        if parts is None:
+            return None
+        c, waf, waf2 = parts
         with np.errstate(divide="ignore", invalid="ignore"):
             theta = 0.5 - c.sum_sq / (8.0 * waf)
             k0 = c.ibs0 / (2.0 * waf2)
@@ -109,7 +117,10 @@ def ibd_king(data, sample_id=None, snp_id=None, autosome_only=True,
 
     fam = _resolve_family(family_id, sample_id, ws)
     c = pair_counts(ws, chunk=chunk, verbose=verbose, mesh=mesh,
-                    sample_block=sample_block, tile_devices=tile_devices)
+                    sample_block=sample_block, tile_devices=tile_devices,
+                    tile_rank=tile_rank, checkpoint=checkpoint)
+    if c is None:
+        return None
     nloci = c.nvalid.astype(np.float64)
     with np.errstate(divide="ignore", invalid="ignore"):
         ibs0 = np.where(nloci > 0, c.ibs0 / nloci, np.nan)
@@ -180,7 +191,8 @@ _TILE_HITS = None
 
 
 def _king_screen_tiles(ws, fam, kinship_cutoff, hit_cap, group, chunk,
-                       verbose, source=None, mesh=None, devices=None):
+                       verbose, source=None, mesh=None, devices=None,
+                       tile_rank=None):
     """Super-tile KING screen: the bounded-traffic route for selections
     past the HBM slab-staging budget (the strip engine re-streams the
     dataset once per strip). Per tile, ONLY compacted hits cross the
@@ -190,7 +202,11 @@ def _king_screen_tiles(ws, fam, kinship_cutoff, hit_cap, group, chunk,
     sharded counters on device). devices= schedules whole tiles
     round-robin over the given jax devices — each keeps ONE tile's
     counters pending for the cap retry, so the auto group size halves
-    (bytes_per_cell doubled) to stay inside HBM."""
+    (bytes_per_cell doubled) to stay inside HBM. tile_rank=(rank, world):
+    screen only this rank's tile-row share and return its PARTIAL hit
+    table — tiles partition the pair set exactly, so the union of every
+    rank's table is the full result (no checkpoint needed: hits are the
+    whole output)."""
     import jax.numpy as jnp
 
     from ..ops.pairwise import auto_chunk
@@ -223,9 +239,15 @@ def _king_screen_tiles(ws, fam, kinship_cutoff, hit_cap, group, chunk,
     fam_pad[:n] = fam
     fam_d = jnp.asarray(fam_pad)
 
+    rows = None
+    if tile_rank is not None and tile_rank[1] > 1:
+        from ..ops.tiles import rank_rows
+
+        rows = rank_rows(source.n_groups, *tile_rank)
+
     id1, id2, ibs0_v, kin_v = [], [], [], []
     stream, stats, shards = _keyed_tile_stream(
-        source, n, None, mesh, devices, stats=(fam_d,))
+        source, n, None, mesh, devices, stats=(fam_d,), rows=rows)
     pend = {}
 
     def settle(p):
@@ -303,7 +325,8 @@ def king_ibd_selection(data, kinship_cutoff, sample_id=None, snp_id=None,
                        maf=math.nan, missing_rate=0.01, family_id=None,
                        sample_block=None, chunk=None, verbose=False,
                        hit_cap: int = 65536, mesh=None, tiles=None,
-                       tile_group=None, tile_devices=None):
+                       tile_group=None, tile_devices=None,
+                       tile_rank=None):
     """Streaming KING-robust relatedness screening for cohorts whose n x n
     kinship matrix does not fit anywhere: equivalent to
     ibd_selection(ibd_king(data, type="KING-robust", family_id=...),
@@ -330,7 +353,13 @@ def king_ibd_selection(data, kinship_cutoff, sample_id=None, snp_id=None,
 
     tile_devices: whole (group x group) tiles scheduled round-robin over
     these jax devices on the super-tile route (implies tiles=True;
-    zero-collective multi-chip partition, results identical)."""
+    zero-collective multi-chip partition, results identical).
+
+    tile_rank=(rank, world): multi-HOST screening — each rank is an
+    independent process screening its weight-balanced tile-row share and
+    returning a PARTIAL hit table; tiles partition the pair set exactly,
+    so concatenating every rank's {ID1, ID2, IBS0, kinship} is the full
+    result. Implies tiles=True; no checkpoint or coordination needed."""
     if not np.isfinite(kinship_cutoff):
         raise ValueError("kinship_cutoff must be finite")
     import jax
@@ -346,12 +375,14 @@ def king_ibd_selection(data, kinship_cutoff, sample_id=None, snp_id=None,
     n = ws.n_samp
     fam = _resolve_family(family_id, sample_id, ws)
     if tiles is not False and (tiles or tile_devices is not None
+                               or tile_rank is not None
                                or ws.n_snp * (-(-n // 4)) > 2e9):
         # bounded-traffic super-tile route (the strip engine re-streams
         # the dataset once per strip past the slab-staging budget)
         return _king_screen_tiles(ws, fam, kinship_cutoff, hit_cap,
                                   tile_group, chunk, verbose, mesh=mesh,
-                                  devices=tile_devices)
+                                  devices=tile_devices,
+                                  tile_rank=tile_rank)
     ndev, shard_carry, wrap = _mesh_row_tools(mesh)
     sample_block, n_pad, chunk, chunks = _row_tile_setup(
         ws, sample_block, chunk, 128 * ndev, bytes_per_cell=20)

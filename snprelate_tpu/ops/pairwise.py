@@ -358,7 +358,8 @@ class PairCounts:
 def pair_counts(ws, chunk=None, pad_to: int = 128,
                 checkpoint=None, checkpoint_every: int = 64,
                 sample_block=None, verbose: bool = False,
-                mesh=None, tile_devices=None) -> PairCounts:
+                mesh=None, tile_devices=None,
+                tile_rank=None) -> PairCounts:
     """Run the integer pairwise engine over a Workspace selection.
 
     Uses the reduced 4-gram basis (``_sym_grams4``). A triangular Pallas
@@ -378,17 +379,23 @@ def pair_counts(ws, chunk=None, pad_to: int = 128,
     tile_devices: force the super-tile engine with whole tiles scheduled
     round-robin over these jax devices (bit-exact; mutually exclusive
     with mesh=).
+
+    tile_rank=(rank, world): compute only this rank's tile-row share of
+    the super-tile grid into checkpoint= and return None (the
+    zero-collective multi-host partition; see ops.tiles.grm_tiled).
     """
     n_pad = -(-ws.n_samp // pad_to) * pad_to
     if chunk is None:
         chunk = auto_chunk(n_pad, ws.n_snp)
-    if tile_devices is not None:
+    if tile_devices is not None or tile_rank is not None:
         from .tiles import auto_tile_group, pair_counts_tiled
 
         return pair_counts_tiled(
-            ws, auto_tile_group(ws.n_snp, bytes_per_cell=40),
+            ws, auto_tile_group(
+                ws.n_snp,
+                bytes_per_cell=40 if tile_devices is not None else 20),
             chunk=chunk, checkpoint=checkpoint, verbose=verbose,
-            mesh=mesh, devices=tile_devices)
+            mesh=mesh, devices=tile_devices, tile_rank=tile_rank)
     if sample_block is None and 16.0 * n_pad * n_pad > 6e9:
         sample_block = 4096
     if mesh is not None and not sample_block:
@@ -1094,18 +1101,22 @@ def _king_homo_step(carry, packed, nblk: int):
 
 def king_homo_counts(ws, chunk=None, pad_to: int = 128,
                      verbose: bool = False, sample_block=None, mesh=None,
-                     tile_devices=None):
+                     tile_devices=None, tile_rank=None, checkpoint=None):
     """Returns (PairCounts, SumAFreq, SumAFreq2) for KING-homo. Past the
     HBM-resident carry ceiling (auto, ~16k samples) assembles from
     row strips (king_homo_rows). mesh= runs the row path with
     column-sharded strips. tile_devices= forces the super-tile engine
-    with whole tiles scheduled over the given jax devices."""
+    with whole tiles scheduled over the given jax devices.
+    tile_rank=(rank, world): this rank's tile rows into checkpoint=,
+    returns None (multi-host partition, see ops.tiles.grm_tiled)."""
     n_pad, nblk = _pad_blocks(ws.n_samp, pad_to)
-    if tile_devices is not None:
+    if tile_devices is not None or tile_rank is not None:
         from .tiles import king_homo_parts_tiled
 
         return king_homo_parts_tiled(ws, chunk=chunk, verbose=verbose,
-                                     mesh=mesh, devices=tile_devices)
+                                     mesh=mesh, devices=tile_devices,
+                                     tile_rank=tile_rank,
+                                     checkpoint=checkpoint)
     if sample_block is None and (mesh is not None
                                  or 24.0 * n_pad * n_pad > 6e9):
         sample_block = 4096
@@ -1175,18 +1186,22 @@ def _eigmix_step(carry, packed, nblk: int):
 
 def eigmix_parts(ws, chunk=None, pad_to: int = 128,
                  verbose: bool = False, sample_block=None, mesh=None,
-                 tile_devices=None):
+                 tile_devices=None, tile_rank=None, checkpoint=None):
     """Returns (num=XX^T, denom=(V.d)V^T weighted validity, het per
     sample). Past the HBM-resident carry ceiling (auto, or explicit
     sample_block=) assembles from row strips. mesh= runs the row path
     with column-sharded strips. tile_devices= forces the super-tile
-    engine with whole tiles scheduled over the given jax devices."""
+    engine with whole tiles scheduled over the given jax devices.
+    tile_rank=(rank, world): this rank's tile rows into checkpoint=,
+    returns None (multi-host partition, see ops.tiles.grm_tiled)."""
     n_pad, nblk = _pad_blocks(ws.n_samp, pad_to)
-    if tile_devices is not None:
+    if tile_devices is not None or tile_rank is not None:
         from .tiles import eigmix_parts_tiled
 
         return eigmix_parts_tiled(ws, chunk=chunk, verbose=verbose,
-                                  mesh=mesh, devices=tile_devices)
+                                  mesh=mesh, devices=tile_devices,
+                                  tile_rank=tile_rank,
+                                  checkpoint=checkpoint)
     if sample_block is None and (mesh is not None
                                  or 5.0 * n_pad * n_pad > 6e9):
         sample_block = 4096

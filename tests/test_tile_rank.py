@@ -133,7 +133,9 @@ def test_grm_tile_rank_two_os_processes(hapmap, tmp_path):
              for r in range(2)]
     for p in procs:
         try:
-            log, _ = p.communicate(timeout=300)
+            # generous: two cold JAX processes can share ONE busy core
+            # when the suite runs in parallel with other work
+            log, _ = p.communicate(timeout=600)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -145,3 +147,69 @@ def test_grm_tile_rank_two_os_processes(hapmap, tmp_path):
     base = grm(hapmap, snp_id=hapmap.snp_id[:1200], method="GCTA",
                tiles=True, tile_group=128)
     np.testing.assert_array_equal(res.grm, base.grm)
+
+
+def test_model_level_tile_rank(hapmap, tmp_path):
+    """tile_rank= is uniform across the estimator families: rank runs
+    return None and write tiles; the assembly run (tile_rank=(0, 1),
+    which routes through the tile engine and loads every saved tile)
+    equals the plain result. Models sharing an engine share the rank
+    runs' checkpoint — the tile artifacts carry counts, not estimates,
+    so e.g. ibs rank tiles assemble ibd_mom too."""
+    import snprelate_tpu as sr
+
+    snps = hapmap.snp_id[:1000]
+    # one pair of rank runs per ENGINE (counts / KING-homo / EIGMIX)
+    engines = {
+        "counts": lambda **kw: sr.ibs(hapmap, snp_id=snps, **kw),
+        "kh": lambda **kw: sr.diss(hapmap, snp_id=snps, **kw),
+        "eig": lambda **kw: sr.eigmix(hapmap, snp_id=snps, ibdmat=True,
+                                      eigen_cnt=0, **kw),
+    }
+    for name, fn in engines.items():
+        for rank in (1, 0):
+            assert fn(tile_rank=(rank, 2),
+                      checkpoint=str(tmp_path / name)) is None
+
+    cases = [
+        (sr.ibs, "ibs", "counts", {}),
+        (sr.ibs_num, "ibs2", "counts", {}),
+        (sr.ibd_king, "kinship", "counts", {"type": "KING-robust"}),
+        (sr.ibd_mom, "k0", "counts", {}),
+        (sr.indiv_beta, "beta", "counts", {}),
+        (sr.ibd_king, "k0", "kh", {"type": "KING-homo"}),
+        (sr.diss, "diss", "kh", {}),
+        (sr.eigmix, "ibd", "eig", {"ibdmat": True, "eigen_cnt": 0}),
+    ]
+    for fn, field, ck, kw in cases:
+        base = fn(hapmap, snp_id=snps, **kw)
+        got = fn(hapmap, snp_id=snps, tile_rank=(0, 1),
+                 checkpoint=str(tmp_path / ck), **kw)
+        np.testing.assert_allclose(
+            np.asarray(getattr(base, field), float),
+            np.asarray(getattr(got, field), float),
+            rtol=1e-12, atol=1e-14, equal_nan=True)
+
+
+def test_king_screen_tile_rank(hapmap):
+    """Rank runs of the streaming KING screen return partial hit
+    tables whose union equals the full screen (tiles partition the
+    pair set exactly)."""
+    import snprelate_tpu as sr
+
+    full = sr.king_ibd_selection(hapmap, kinship_cutoff=0.10,
+                                 tiles=True, tile_group=128)
+
+    def key(d):
+        return sorted(zip(d["ID1"].tolist(), d["ID2"].tolist(),
+                          np.round(np.asarray(d["kinship"], float),
+                                   12).tolist()))
+
+    parts = []
+    for rank in range(3):
+        parts.append(sr.king_ibd_selection(hapmap, kinship_cutoff=0.10,
+                                           tile_group=128,
+                                           tile_rank=(rank, 3)))
+    merged = sorted(sum((key(p) for p in parts), []))
+    assert len(full["ID1"]) > 0  # hapmap has duplicate-sample relatives
+    assert merged == key(full)
