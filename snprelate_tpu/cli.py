@@ -174,6 +174,10 @@ def main(argv=None) -> int:
                             "materializes the kinship matrix)")
     p.add_argument("gds")
     p.add_argument("--out", required=True, metavar="FILE.csv")
+    p.add_argument("--tile-rank", metavar="RANK/WORLD",
+                   help="multi-host screening: write only this rank's "
+                        "share of the hit pairs (independent process per "
+                        "host; concatenate the CSVs for the full result)")
     p.add_argument("--cutoff", type=float, required=True,
                    help="kinship cutoff, e.g. 0.0884 (3rd degree)")
     _add_filter_args(p)
@@ -509,11 +513,16 @@ def run(a) -> str:
         from .models.king import king_ibd_selection
 
         data = _open(a.gds)
+        tile_rank = None
+        if a.tile_rank:
+            rank, world = (int(x) for x in a.tile_rank.split("/"))
+            tile_rank = (rank, world)
         tab = king_ibd_selection(data, kinship_cutoff=a.cutoff,
-                                 **_filters(data, a))
+                                 tile_rank=tile_rank, **_filters(data, a))
         _write_pairs(a.out, tab)
-        return (f"screen (cutoff {a.cutoff}): {len(tab['ID1'])} pairs "
-                f"-> {a.out}")
+        part = f" (rank {a.tile_rank} share)" if tile_rank else ""
+        return (f"screen (cutoff {a.cutoff}): {len(tab['ID1'])} pairs"
+                f"{part} -> {a.out}")
 
     if cmd == "cluster":
         from .models.cluster import hcluster, cut_tree

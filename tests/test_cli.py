@@ -253,3 +253,24 @@ def test_cli_grm_tile_rank(tmp_path):
     from snprelate_tpu.io.store import open_snp_gds
     ref = grm_api(open_snp_gds(gds))
     np.testing.assert_allclose(back.grm, ref.grm, rtol=1e-12, atol=1e-14)
+
+
+def test_cli_king_screen_tile_rank(tmp_path):
+    import csv
+
+    gds = example_filename()
+    outs = []
+    for rank in range(2):
+        out = str(tmp_path / f"hits{rank}.csv")
+        main(["king-screen", gds, "--out", out, "--cutoff", "0.10",
+              "--tile-rank", f"{rank}/2"])
+        outs.append(out)
+    full = str(tmp_path / "full.csv")
+    main(["king-screen", gds, "--out", full, "--cutoff", "0.10"])
+
+    def rows(fn):
+        with open(fn) as f:
+            return sorted(tuple(r[:2]) for r in list(csv.reader(f))[1:])
+
+    merged = sorted(rows(outs[0]) + rows(outs[1]))
+    assert merged == rows(full) and len(merged) > 0
