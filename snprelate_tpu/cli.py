@@ -287,7 +287,10 @@ def main(argv=None) -> int:
         p.add_argument("--quiet", action="store_true")
 
     a = ap.parse_args(argv)
-    out = run(a)
+    from .utils.profile import maybe_env_trace
+
+    with maybe_env_trace():  # SNPRELATE_TPU_TRACE=<dir> -> XLA trace
+        out = run(a)
     if out:
         print(out)
     return 0

@@ -148,3 +148,22 @@ def test_draw_tree_parity(hapmap):
     # hcluster-only call still draws
     ax3 = sr.draw_tree(hc)
     assert ax3 is not None
+
+
+def test_profiler_trace(tmp_path, hapmap):
+    """utils.profile.trace writes a jax.profiler trace; the env hook is
+    active through the CLI (SNPRELATE_TPU_TRACE)."""
+    import os
+
+    from snprelate_tpu import ibs
+    from snprelate_tpu.utils import profile
+
+    td = str(tmp_path / "trace")
+    with profile.trace(td):
+        with profile.trace(td):  # nested -> no-op, no error
+            ibs(hapmap, sample_id=hapmap.sample_id[:10])
+    found = []
+    for root, _dirs, files in os.walk(td):
+        found += files
+    assert any(f.endswith((".pb", ".json.gz", ".trace.json.gz"))
+               or "xplane" in f for f in found), found
