@@ -216,7 +216,15 @@ def _gcta_tile_scan(slab_i, slab_j, avg, scale, poly, r0_i, r0_j,
 class TileGridCheckpointer:
     """Per-(I,J)-tile checkpoints for the super-tile engine: one .npz per
     completed tile plus a meta sidecar; resume skips tiles whose file
-    exists (any order — the grid has no prefix structure)."""
+    exists (any order — the grid has no prefix structure).
+
+    Concurrent tile_rank processes may share the directory (tile files
+    are disjoint per rank; same-config meta writes are byte-identical
+    atomic replaces). The one unsafe pattern is launching ranks
+    SIMULTANEOUSLY against a directory holding a STALE (different-meta)
+    grid: each rank wipes the stale tiles, and one rank's wipe glob can
+    race another's fresh saves — point ranks at a fresh directory, or
+    let the first rank start before the rest."""
 
     def __init__(self, path, meta: tuple = ()):
         import os as _o
