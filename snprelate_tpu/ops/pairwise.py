@@ -1125,7 +1125,7 @@ def king_homo_counts(ws, chunk=None, pad_to: int = 128,
         from .tiles import king_homo_parts_tiled
 
         return king_homo_parts_tiled(ws, chunk=chunk, verbose=verbose,
-                                     mesh=mesh)
+                                     mesh=mesh, checkpoint=checkpoint)
     if sample_block:
         n = ws.n_samp
         B = np.empty((5, n, n), np.int64)
@@ -1210,7 +1210,7 @@ def eigmix_parts(ws, chunk=None, pad_to: int = 128,
         from .tiles import eigmix_parts_tiled
 
         return eigmix_parts_tiled(ws, chunk=chunk, verbose=verbose,
-                                  mesh=mesh)
+                                  mesh=mesh, checkpoint=checkpoint)
     if sample_block:
         n = ws.n_samp
         num = np.empty((n, n))
