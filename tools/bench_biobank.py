@@ -333,4 +333,7 @@ if __name__ == "__main__":
         args.chunk = min(args.chunk, 2048)
         selftest_resume(args)
     else:
-        run(args)
+        from snprelate_tpu.utils.profile import maybe_env_trace
+
+        with maybe_env_trace():  # SNPRELATE_TPU_TRACE=<dir> -> XLA trace
+            run(args)
