@@ -115,6 +115,27 @@ def main():
           f"(expect ~0, integer counters)")
     ok &= err < 1e-12
 
+    # multi-host tile partition on the chip: two rank runs + assembly
+    # must reproduce the plain super-tile GRM exactly
+    import tempfile
+
+    from snprelate_tpu import grm as grm_fn
+    with tempfile.TemporaryDirectory() as td:
+        ck = str(td) + "/grid"
+        base = grm_fn(hap, snp_id=hap.snp_id[:2000], method="GCTA",
+                      tiles=True, tile_group=128, missing_rate=np.nan)
+        for rank in (1, 0):
+            assert grm_fn(hap, snp_id=hap.snp_id[:2000], method="GCTA",
+                          tiles=True, tile_group=128, checkpoint=ck,
+                          missing_rate=np.nan,
+                          tile_rank=(rank, 2)) is None
+        asm = grm_fn(hap, snp_id=hap.snp_id[:2000], method="GCTA",
+                     tiles=True, tile_group=128, checkpoint=ck,
+                     missing_rate=np.nan)
+    trk = bool(np.array_equal(asm.grm, base.grm, equal_nan=True))
+    print(f"tile_rank 2-rank GRM == plain super-tile: {trk}")
+    ok &= trk
+
     print("TPU VERIFY:", "PASS" if ok else "FAIL")
     return 0 if ok else 1
 
