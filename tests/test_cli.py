@@ -237,21 +237,25 @@ def test_cli_converters(tmp_path):
 def test_cli_grm_tile_rank(tmp_path):
     import os
 
+    from snprelate_tpu.io.store import open_snp_gds
     from snprelate_tpu.models.grm import load_grm
 
     gds = example_filename()
+    data = open_snp_gds(gds)
+    sids = tmp_path / "snps.txt"
+    snps = list(data.snp_id[:1500])
+    sids.write_text("\n".join(str(s) for s in snps) + "\n")
+    common = ["--snp-id-file", str(sids), "--sample-block", "128"]
     ck = str(tmp_path / "grid")
     out = str(tmp_path / "g.gds")
     for rank in range(2):
         main(["grm", gds, "--out", out, "--checkpoint", ck,
-              "--tile-rank", f"{rank}/2", "--sample-block", "128"])
+              "--tile-rank", f"{rank}/2"] + common)
     assert not os.path.exists(out)  # rank runs write only tiles
-    main(["grm", gds, "--out", out, "--checkpoint", ck,
-          "--sample-block", "128"])
+    main(["grm", gds, "--out", out, "--checkpoint", ck] + common)
     back, _ = load_grm(out)
     from snprelate_tpu import grm as grm_api
-    from snprelate_tpu.io.store import open_snp_gds
-    ref = grm_api(open_snp_gds(gds))
+    ref = grm_api(data, snp_id=snps)
     np.testing.assert_allclose(back.grm, ref.grm, rtol=1e-12, atol=1e-14)
 
 
