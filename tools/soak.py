@@ -1,0 +1,145 @@
+"""Randomized differential soak: every count/covariance engine vs a
+direct O(n^2 m) NumPy transcription of the reference's per-pair math,
+over a grid of shapes (crossing the 128 padding boundary), missingness
+levels (0 .. 0.95) and seeds. Not part of the pytest suite (minutes of
+CPU); run ad hoc:  python tools/soak.py [--quick]
+
+Checks (per dataset):
+- ibs_num counts bit-exact vs brute force
+- KING-robust kinship (between-family) vs brute force formula
+- GRM GCTA vs dense mean-impute covariance with per-pair denominators
+- EIGMIX IBD matrix vs the genEIGMIX.cpp:43-157 dense transcription
+"""
+
+import argparse
+import itertools
+import sys
+import os
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+
+
+def brute(g):
+    """Dense per-pair references (f64)."""
+    n = g.shape[1]
+    v = g < 3
+    gi = g.astype(np.float64)
+    out = {}
+    ibs0 = np.zeros((n, n), np.int64)
+    ibs1 = np.zeros((n, n), np.int64)
+    ibs2 = np.zeros((n, n), np.int64)
+    kin = np.full((n, n), np.nan)
+    for i in range(n):
+        for j in range(n):
+            m = v[:, i] & v[:, j]
+            d = np.abs(gi[m, i] - gi[m, j])
+            ibs0[i, j] = (d == 2).sum()
+            ibs1[i, j] = (d == 1).sum()
+            ibs2[i, j] = (d == 0).sum()
+            if i != j:
+                n1 = (g[m, i] == 1).sum()
+                n2 = (g[m, j] == 1).sum()
+                ss = ((gi[m, i] - gi[m, j]) ** 2).sum()
+                if min(n1, n2) > 0:
+                    kin[i, j] = 0.5 - ss / (4.0 * min(n1, n2))
+    out["ibs"] = (ibs0, ibs1, ibs2)
+    out["kin"] = kin
+
+    # GCTA (genPCA.cpp:1148-1237): mean-impute, scale by p(1-p), per-pair
+    # denominator = 2 * #both-valid at polymorphic loci
+    with np.errstate(invalid="ignore", divide="ignore"):
+        af = np.where(v, gi, np.nan)
+        p = np.nanmean(af, 1) / 2.0
+        poly = (p > 0) & (p < 1) & np.isfinite(p)
+        x = np.where(v, gi, 2 * p[:, None]) - 2 * p[:, None]
+        w = np.zeros_like(p)
+        w[poly] = 1.0 / (2 * p[poly] * (1 - p[poly]))
+        cov = (x * w[:, None]).T @ x
+        # classic GCTA: mean over both-valid polymorphic loci of
+        # (x-2p)(x-2p)/(2p(1-p)) — the factor 2 lives in the per-SNP
+        # scale, NOT also in the denominator (golden-validated engine
+        # convention, genPCA.cpp:1202-1236)
+        denom = (v[poly].astype(np.int64).T @ v[poly]).astype(np.float64)
+        out["gcta"] = np.where(denom > 0, cov / denom, np.inf * cov)
+
+    # EIGMIX (genEIGMIX.cpp:43-157): centered outer product over
+    # sum 4p(1-p) with per-pair missing correction + diag het adjustment
+    with np.errstate(invalid="ignore", divide="ignore"):
+        xc = np.where(v, gi - 2 * p[:, None], 0.0)
+        num = xc.T @ xc
+        d = 4 * p * (1 - p)
+        wv = (v * d[:, None]).astype(np.float64)
+        den = wv.T @ v
+        het = ((g == 1) & v).sum(0)
+        numd = num.copy()
+        np.fill_diagonal(numd, numd.diagonal() - het)
+        out["eigmix"] = numd / den
+    return out
+
+
+def one(seed, n_snp, n_samp, miss):
+    from snprelate_tpu import eigmix, grm, ibd_king, ibs_num
+    from snprelate_tpu.io.store import create_geno
+
+    rng = np.random.default_rng(seed)
+    p = rng.uniform(0.02, 0.98, n_snp)
+    g = (rng.random((n_snp, n_samp)) < p[:, None]).astype(np.uint8)
+    g += (rng.random((n_snp, n_samp)) < p[:, None]).astype(np.uint8)
+    g[rng.random((n_snp, n_samp)) < miss] = 3
+    data = create_geno(
+        g, sample_id=[f"s{i}" for i in range(n_samp)],
+        snp_id=np.arange(n_snp), snp_position=np.arange(n_snp) * 10 + 1,
+        snp_chromosome=np.ones(n_snp, np.int32))
+    kw = dict(autosome_only=False, remove_monosnp=False,
+              missing_rate=np.nan)
+    b = brute(g)
+
+    r = ibs_num(data, **kw)
+    for got, want in zip((r.ibs0, r.ibs1, r.ibs2), b["ibs"]):
+        np.testing.assert_array_equal(got, want)
+
+    k = ibd_king(data, type="KING-robust", **kw)
+    kin = np.asarray(k.kinship, float).copy()
+    np.fill_diagonal(kin, np.nan)
+    want = b["kin"].copy()
+    np.fill_diagonal(want, np.nan)
+    np.testing.assert_allclose(kin, want, rtol=1e-12, equal_nan=True)
+
+    gg = grm(data, method="GCTA", **kw)
+    got = np.asarray(gg.grm, float)
+    want = b["gcta"]
+    fin = np.isfinite(want) & np.isfinite(got)
+    np.testing.assert_allclose(got[fin], want[fin], rtol=1e-9, atol=1e-12)
+
+    em = eigmix(data, ibdmat=True, eigen_cnt=0, **kw)
+    got = np.asarray(em.ibd, float)
+    want = b["eigmix"]
+    fin = np.isfinite(want) & np.isfinite(got)
+    np.testing.assert_allclose(got[fin], want[fin], rtol=1e-9, atol=1e-12)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    a = ap.parse_args()
+    shapes = [(64, 2), (63, 3), (130, 5), (257, 127), (96, 128),
+              (1025, 129), (300, 37), (64, 257)]
+    misses = [0.0, 0.05, 0.5, 0.95]
+    seeds = [1] if a.quick else [1, 2, 3]
+    cases = list(itertools.product(seeds, shapes, misses))
+    for idx, (seed, (n_snp, n_samp), miss) in enumerate(cases):
+        one(seed * 1000 + idx, n_snp, n_samp, miss)
+        print(f"ok {idx + 1}/{len(cases)}: snp={n_snp} samp={n_samp} "
+              f"miss={miss}", flush=True)
+    print(f"SOAK PASS: {len(cases)} datasets x 4 engines")
+
+
+if __name__ == "__main__":
+    main()
