@@ -9,6 +9,9 @@ Checks (per dataset):
 - KING-robust kinship (between-family) vs brute force formula
 - GRM GCTA vs dense mean-impute covariance with per-pair denominators
 - EIGMIX IBD matrix vs the genEIGMIX.cpp:43-157 dense transcription
+- Diss vs genIBS.cpp:353-418+647-683 (SumGeno/SumAFreq, diag doubled)
+- KING-homo k0/k1 vs genKING.cpp:115-155,529-531
+- IndivBeta (inbreeding=False) vs genBeta.cpp:92-234 ratios + baseline
 """
 
 import argparse
@@ -81,6 +84,63 @@ def brute(g):
         numd = num.copy()
         np.fill_diagonal(numd, numd.diagonal() - het)
         out["eigmix"] = numd / den
+
+    # Diss (genIBS.cpp:353-418, gnrDiss :647-683): per valid pair-locus
+    # SumGeno += g1(2-g2)+(2-g1)g2, SumAFreq += 8 p(1-p); diag doubled
+    with np.errstate(invalid="ignore", divide="ignore"):
+        w8 = 8.0 * p * (1 - p)
+        w8 = np.where(np.isfinite(w8), w8, 0.0)
+        sg = np.zeros((n, n))
+        sa = np.zeros((n, n))
+        for i in range(n):
+            for j in range(n):
+                m = v[:, i] & v[:, j]
+                a, b = gi[m, i], gi[m, j]
+                sg[i, j] = (a * (2 - b) + (2 - a) * b).sum()
+                sa[i, j] = w8[m].sum()
+        d = sg / sa
+        d[np.diag_indices(n)] *= 2.0
+        out["diss"] = d
+
+    # KING-homo (genKING.cpp:115-155, 529-531): theta/k0 from the
+    # p(1-p)- and (p(1-p))^2-weighted both-valid sums
+    with np.errstate(invalid="ignore", divide="ignore"):
+        w1 = np.where(np.isfinite(p), p * (1 - p), 0.0)
+        k0 = np.full((n, n), np.nan)
+        k1 = np.full((n, n), np.nan)
+        for i in range(n):
+            for j in range(n):
+                if i == j:
+                    continue
+                m = v[:, i] & v[:, j]
+                ss = ((gi[m, i] - gi[m, j]) ** 2).sum()
+                ib0 = (np.abs(gi[m, i] - gi[m, j]) == 2).sum()
+                saf = w1[m].sum()
+                saf2 = (w1[m] ** 2).sum()
+                if saf > 0 and saf2 > 0:
+                    th = 0.5 - ss / (8.0 * saf)
+                    k0[i, j] = ib0 / (2.0 * saf2)
+                    k1[i, j] = 2.0 - 2.0 * k0[i, j] - 4.0 * th
+        out["king_homo"] = (k0, k1)
+
+    # IndivBeta inbreeding=False (genBeta.cpp:92-234): off-diag ratio
+    # 0.5*(#either-het + 2*#equal-homo)/num, diag 0.5*(2-#het)/num,
+    # then beta = (r - ravg)/(1 - ravg) over the off-diagonal mean
+    r = np.full((n, n), np.nan)
+    for i in range(n):
+        for j in range(n):
+            m = v[:, i] & v[:, j]
+            if not m.any():
+                continue
+            a, b = g[m, i], g[m, j]
+            if i == j:
+                r[i, i] = 0.5 * (2 - (a == 1)).sum() / m.sum()
+            else:
+                het_or = (a == 1) | (b == 1)
+                ibs2 = (~het_or) & (a == b)
+                r[i, j] = 0.5 * (het_or.sum() + 2 * ibs2.sum()) / m.sum()
+    ravg = np.nanmean(r[~np.eye(n, dtype=bool)]) if n > 1 else 0.0
+    out["beta"] = (r - ravg) / (1.0 - ravg)
     return out
 
 
@@ -124,6 +184,27 @@ def one(seed, n_snp, n_samp, miss):
     fin = np.isfinite(want) & np.isfinite(got)
     np.testing.assert_allclose(got[fin], want[fin], rtol=1e-9, atol=1e-12)
 
+    from snprelate_tpu import diss as diss_fn
+    from snprelate_tpu import indiv_beta
+
+    dd = np.asarray(diss_fn(data, **kw).diss, float)
+    want = b["diss"]
+    fin = np.isfinite(want) & np.isfinite(dd)
+    np.testing.assert_allclose(dd[fin], want[fin], rtol=1e-9, atol=1e-12)
+
+    kh = ibd_king(data, type="KING-homo", **kw)
+    for got, want in zip((kh.k0, kh.k1), b["king_homo"]):
+        got = np.asarray(got, float).copy()
+        np.fill_diagonal(got, np.nan)
+        fin = np.isfinite(want) & np.isfinite(got)
+        np.testing.assert_allclose(got[fin], want[fin], rtol=1e-9,
+                                   atol=1e-12)
+
+    if np.isfinite(b["beta"]).all() and n_samp > 1:
+        bt = indiv_beta(data, inbreeding=False, **kw)
+        np.testing.assert_allclose(np.asarray(bt.beta, float), b["beta"],
+                                   rtol=1e-9, atol=1e-12)
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -138,7 +219,7 @@ def main():
         one(seed * 1000 + idx, n_snp, n_samp, miss)
         print(f"ok {idx + 1}/{len(cases)}: snp={n_snp} samp={n_samp} "
               f"miss={miss}", flush=True)
-    print(f"SOAK PASS: {len(cases)} datasets x 4 engines")
+    print(f"SOAK PASS: {len(cases)} datasets x 7 engines")
 
 
 if __name__ == "__main__":
