@@ -343,12 +343,10 @@ def run(a) -> str:
 
     if cmd == "grm":
         from .models.grm import grm
+        from .ops.tiles import parse_tile_rank
 
         data = _open(a.gds)
-        tile_rank = None
-        if a.tile_rank:
-            rank, world = (int(x) for x in a.tile_rank.split("/"))
-            tile_rank = (rank, world)
+        tile_rank = parse_tile_rank(a.tile_rank)  # '0/1' -> full run
         r = grm(data, method=a.method,
                 out_fn=None if tile_rank else a.out, out_prec=a.prec,
                 out_compress=a.compress, sample_block=a.sample_block,
@@ -515,11 +513,10 @@ def run(a) -> str:
     if cmd == "king-screen":
         from .models.king import king_ibd_selection
 
+        from .ops.tiles import parse_tile_rank
+
         data = _open(a.gds)
-        tile_rank = None
-        if a.tile_rank:
-            rank, world = (int(x) for x in a.tile_rank.split("/"))
-            tile_rank = (rank, world)
+        tile_rank = parse_tile_rank(a.tile_rank)
         tab = king_ibd_selection(data, kinship_cutoff=a.cutoff,
                                  tile_rank=tile_rank, **_filters(data, a))
         _write_pairs(a.out, tab)

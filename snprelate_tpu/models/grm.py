@@ -99,6 +99,28 @@ def grm(data, sample_id=None, snp_id=None, autosome_only=True,
     if tile_rank is not None and method not in ("GCTA", "Eigenstrat"):
         raise ValueError("tile_rank= needs the super-tile engine "
                          "(method GCTA or Eigenstrat)")
+    if tiles is None and checkpoint is not None \
+            and method in ("GCTA", "Eigenstrat"):
+        # assembly/resume of a TILE-GRID checkpoint (e.g. after tile_rank
+        # rank runs): detect the grid meta and route to the tile engine —
+        # otherwise a small-cohort assembly run would take the row-strip
+        # path, whose checkpointer sees a foreign meta and recomputes
+        # everything (discarding the ranks' work)
+        import os as _os
+        mfn = str(checkpoint) + ".meta.npy"
+        if _os.path.exists(mfn):
+            try:
+                m = np.load(mfn)
+                if m.size >= 5 and int(m[0]) in (71, 72):
+                    tiles = True
+                    if sample_block is None:
+                        sample_block = 4096
+                    if tile_group is None:
+                        tile_group = int(m[3])
+                    if chunk is None:
+                        chunk = int(m[4])
+            except (OSError, ValueError):
+                pass
     tile_capable = (sample_block is not None
                     and method in ("GCTA", "Eigenstrat"))
     auto_tiles = (tiles is not False
@@ -110,7 +132,7 @@ def grm(data, sample_id=None, snp_id=None, autosome_only=True,
         # mesh= column-shards each tile scan over every device.
         from ..ops.tiles import auto_tile_group, grm_tiled
 
-        group = tile_group or auto_tile_group(ws.n_snp)
+        group = tile_group or auto_tile_group(ws.n_snp, n_samp=n)
         mat = grm_tiled(ws, group, method=method, chunk=chunk,
                         checkpoint=checkpoint, verbose=verbose,
                         mesh=mesh, devices=tile_devices,

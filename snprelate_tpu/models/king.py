@@ -222,9 +222,13 @@ def _king_screen_tiles(ws, fam, kinship_cutoff, hit_cap, group, chunk,
     sid = np.asarray(ws.sample_id, object)
     if source is None:
         if group is None:
+            # tile_rank: conservative budget regardless of local device
+            # flags so every rank derives the SAME grid (the partial hit
+            # tables partition the pair set only if the grids agree)
             group = auto_tile_group(
-                ws.n_snp,
-                bytes_per_cell=40 if devices is not None else 20)
+                ws.n_snp, n_samp=n,
+                bytes_per_cell=40 if (devices is not None
+                                      or tile_rank is not None) else 20)
         if chunk is None:
             chunk = auto_chunk(group, ws.n_snp)
         source = StoreSlabSource(ws, group, chunk)
@@ -240,7 +244,7 @@ def _king_screen_tiles(ws, fam, kinship_cutoff, hit_cap, group, chunk,
     fam_d = jnp.asarray(fam_pad)
 
     rows = None
-    if tile_rank is not None and tile_rank[1] > 1:
+    if tile_rank is not None:
         from ..ops.tiles import rank_rows
 
         rows = rank_rows(source.n_groups, *tile_rank)
@@ -362,6 +366,13 @@ def king_ibd_selection(data, kinship_cutoff, sample_id=None, snp_id=None,
     result. Implies tiles=True; no checkpoint or coordination needed."""
     if not np.isfinite(kinship_cutoff):
         raise ValueError("kinship_cutoff must be finite")
+    if tile_rank is not None:
+        from ..ops.tiles import parse_tile_rank
+
+        force_tiles = True  # '(0, 1)' still means: take the tile route
+        tile_rank = parse_tile_rank(tile_rank)
+    else:
+        force_tiles = False
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -375,7 +386,7 @@ def king_ibd_selection(data, kinship_cutoff, sample_id=None, snp_id=None,
     n = ws.n_samp
     fam = _resolve_family(family_id, sample_id, ws)
     if tiles is not False and (tiles or tile_devices is not None
-                               or tile_rank is not None
+                               or force_tiles
                                or ws.n_snp * (-(-n // 4)) > 2e9):
         # bounded-traffic super-tile route (the strip engine re-streams
         # the dataset once per strip past the slab-staging budget)

@@ -354,9 +354,10 @@ def create_geno_set(data, sample_id=None, snp_id=None, dest_fn=None,
     `data` accepts an SNPData or a GDS path (the reference's src.fn);
     with dest_fn the subset is also written as a SNP_ARRAY GDS in the
     requested orientation (the reference's file->file semantics)."""
-    if isinstance(data, (str, bytes)):
+    import os as _os
+    if isinstance(data, (str, bytes, _os.PathLike)):
         from ..io.store import open_snp_gds
-        data = open_snp_gds(data)
+        data = open_snp_gds(_os.fspath(data))
     ws, _ = init_workspace(data, sample_id, snp_id, autosome_only=False,
                            remove_monosnp=False, verbose=verbose)
     out = SNPData(
@@ -388,8 +389,11 @@ def combine_geno(datasets, out_fn=None, method="position",
     allele_strand). Datasets may be SNPData objects or GDS paths (the
     reference's gds.fn vector); with out_fn the merge is also written as
     a SNP_ARRAY GDS (the reference's out.fn)."""
+    import os as _os
+
     from ..io.store import open_snp_gds
-    datasets = [open_snp_gds(d) if isinstance(d, (str, bytes)) else d
+    datasets = [open_snp_gds(_os.fspath(d))
+                if isinstance(d, (str, bytes, _os.PathLike)) else d
                 for d in datasets]
     lists = [snp_list(d) for d in datasets]
     rv = snp_list_intersect(*lists, method=method, same_strand=same_strand)
@@ -449,13 +453,15 @@ def transpose(data, snpfirstdim=True, compress=True, optimize=True,
     at GDS write time (write_snp_gds(snpfirstdim=)). `optimize` is
     accepted for signature parity (cleanup.gds has no analog here: the
     writer always emits compact fragments)."""
-    if isinstance(data, (str, bytes)):
+    import os as _os
+    if isinstance(data, (str, bytes, _os.PathLike)):
         from ..io.gds import write_snp_gds
         from ..io.store import open_snp_gds
-        d = open_snp_gds(data)
+        path = _os.fspath(data)
+        d = open_snp_gds(path)
         if verbose:
             print(f"Transpose genotype: snpfirstdim={bool(snpfirstdim)}")
-        write_snp_gds(d, data, compress=compress,
+        write_snp_gds(d, path, compress=compress,
                       snpfirstdim=bool(snpfirstdim))
         return None
     return data

@@ -385,17 +385,22 @@ def pair_counts(ws, chunk=None, pad_to: int = 128,
     zero-collective multi-host partition; see ops.tiles.grm_tiled).
     """
     n_pad = -(-ws.n_samp // pad_to) * pad_to
-    if chunk is None:
-        chunk = auto_chunk(n_pad, ws.n_snp)
     if tile_devices is not None or tile_rank is not None:
         from .tiles import auto_tile_group, pair_counts_tiled
 
+        # tile_rank: conservative budget regardless of local device
+        # flags, so every rank derives the SAME grid; chunk resolves
+        # inside pair_counts_tiled against the (sample-clamped) group,
+        # not the full cohort
         return pair_counts_tiled(
             ws, auto_tile_group(
-                ws.n_snp,
-                bytes_per_cell=40 if tile_devices is not None else 20),
+                ws.n_snp, n_samp=ws.n_samp,
+                bytes_per_cell=40 if (tile_devices is not None
+                                      or tile_rank is not None) else 20),
             chunk=chunk, checkpoint=checkpoint, verbose=verbose,
             mesh=mesh, devices=tile_devices, tile_rank=tile_rank)
+    if chunk is None:
+        chunk = auto_chunk(n_pad, ws.n_snp)
     if sample_block is None and 16.0 * n_pad * n_pad > 6e9:
         sample_block = 4096
     if mesh is not None and not sample_block:
@@ -1126,6 +1131,12 @@ def king_homo_counts(ws, chunk=None, pad_to: int = 128,
 
         return king_homo_parts_tiled(ws, chunk=chunk, verbose=verbose,
                                      mesh=mesh, checkpoint=checkpoint)
+    if checkpoint is not None:
+        import warnings
+
+        warnings.warn("checkpoint= is honored on the super-tile routes "
+                      "only; this KING-homo selection runs the "
+                      "non-checkpointed in-HBM/row path", stacklevel=3)
     if sample_block:
         n = ws.n_samp
         B = np.empty((5, n, n), np.int64)
@@ -1211,6 +1222,12 @@ def eigmix_parts(ws, chunk=None, pad_to: int = 128,
 
         return eigmix_parts_tiled(ws, chunk=chunk, verbose=verbose,
                                   mesh=mesh, checkpoint=checkpoint)
+    if checkpoint is not None:
+        import warnings
+
+        warnings.warn("checkpoint= is honored on the super-tile routes "
+                      "only; this EIGMIX selection runs the "
+                      "non-checkpointed in-HBM/row path", stacklevel=3)
     if sample_block:
         n = ws.n_samp
         num = np.empty((n, n))

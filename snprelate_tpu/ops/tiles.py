@@ -337,6 +337,23 @@ def _tile_walk(source, n_samp: int, saved_fn=None, rows=None):
         slab_i = None
 
 
+def parse_tile_rank(spec):
+    """'RANK/WORLD' (CLI) or (rank, world) -> validated tuple, or None
+    for world == 1 (a full run: no partition)."""
+    if spec is None:
+        return None
+    if isinstance(spec, str):
+        parts = spec.split("/")
+        if len(parts) != 2:
+            raise ValueError(f"tile_rank should be RANK/WORLD, got {spec!r}")
+        rank, world = (int(x) for x in parts)
+    else:
+        rank, world = spec
+    if world < 1 or not (0 <= rank < world):
+        raise ValueError(f"tile_rank rank {rank} outside world {world}")
+    return None if world == 1 else (rank, world)
+
+
 def rank_rows(k: int, rank: int, world: int):
     """Deterministic weight-balanced tile-ROW partition for multi-host
     runs (`tile_rank=(rank, world)`): row i of the upper tile triangle
@@ -745,10 +762,14 @@ def eigmix_parts_tiled(ws, group=None, chunk=None, verbose=False,
     if source is None:
         if group is None:
             # devices= keeps one settled tile pending per device: double
-            # the per-cell budget so carry + pending tile both fit
+            # the per-cell budget so carry + pending tile both fit.
+            # tile_rank runs ALWAYS take the conservative budget so every
+            # rank derives the same grid regardless of its local device
+            # flags (heterogeneous grids would mis-partition the pairs)
             group = auto_tile_group(
-                ws.n_snp,
-                bytes_per_cell=16 if devices is not None else 8)
+                ws.n_snp, n_samp=n,
+                bytes_per_cell=16 if (devices is not None
+                                      or tile_rank is not None) else 8)
         group = -(-group // 128) * 128
         if chunk is None:
             chunk = auto_chunk(group, ws.n_snp)
@@ -882,9 +903,12 @@ def king_homo_parts_tiled(ws, group=None, chunk=None, verbose=False,
     n = ws.n_samp if ws is not None else source.n_samp
     if source is None:
         if group is None:
+            # see eigmix_parts_tiled: tile_rank forces the conservative
+            # budget so heterogeneous ranks share one grid
             group = auto_tile_group(
-                ws.n_snp,
-                bytes_per_cell=72 if devices is not None else 36)
+                ws.n_snp, n_samp=n,
+                bytes_per_cell=72 if (devices is not None
+                                      or tile_rank is not None) else 36)
         group = -(-group // 128) * 128
         if chunk is None:
             chunk = auto_chunk(group, ws.n_snp)
@@ -967,7 +991,7 @@ def king_homo_parts_tiled(ws, group=None, chunk=None, verbose=False,
 
 def auto_tile_group(n_snp: int, slab_budget: float = 6.5e9,
                     carry_budget: float = 1.3e9,
-                    bytes_per_cell: int = 8) -> int:
+                    bytes_per_cell: int = 8, n_samp=None) -> int:
     """Sample-group size for the super-tile engine: two packed slabs
     (group x n_snp x 2bit) within slab_budget AND the (group x group)
     tile carries (bytes_per_cell: 8 for GRM f32+int32, 20 for the
@@ -975,28 +999,31 @@ def auto_tile_group(n_snp: int, slab_budget: float = 6.5e9,
     leave ~4 GB headroom on a 16 GB chip for the scan workspace (f32
     chunk blocks, 3-pass bf16 copies, the shipped tile) plus allocator
     fragmentation — group 16384 at 1M SNPs OOMed in practice, 12288
-    holds."""
+    holds. n_samp clamps the group to the (128-padded) cohort so small
+    selections never scan a mostly-padding tile (CLAUDE.md: clamp
+    tile/block sizes to the actual data)."""
     g1 = slab_budget / 2.0 / max(n_snp / 4.0, 1.0)
     g2 = (carry_budget / bytes_per_cell) ** 0.5
     g = int(min(g1, g2))
+    if n_samp is not None:
+        g = min(g, -(-int(n_samp) // 128) * 128)
     return max(128, (g // 128) * 128)
 
 
 def _rank_rows_arg(source, tile_rank, checkpoint):
-    """Resolve tile_rank=(rank, world) to a rows= subset. A proper
-    partition (world > 1) requires checkpoint= — the completed tiles ARE
-    the rank's output; the caller assembles by re-running with
-    tile_rank=None over the shared checkpoint directory (which then
-    recomputes nothing)."""
+    """Resolve tile_rank=(rank, world) to a rows= subset (validated —
+    nonsense ranks raise instead of silently running the full grid). A
+    proper partition (world > 1) requires checkpoint= — the completed
+    tiles ARE the rank's output; the caller assembles by re-running with
+    tile_rank=None/(0, 1) over the shared checkpoint directory (which
+    then recomputes nothing)."""
+    tile_rank = parse_tile_rank(tile_rank)
     if tile_rank is None:
-        return None, False
-    rank, world = tile_rank
-    if world <= 1:
         return None, False
     if checkpoint is None:
         raise ValueError("tile_rank=(rank, world) needs checkpoint=: the "
                          "per-tile artifacts are how ranks combine")
-    return rank_rows(source.n_groups, rank, world), True
+    return rank_rows(source.n_groups, *tile_rank), True
 
 
 def grm_tiled(ws, group: int, method: str = "GCTA", chunk=None,

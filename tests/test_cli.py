@@ -252,7 +252,23 @@ def test_cli_grm_tile_rank(tmp_path):
         main(["grm", gds, "--out", out, "--checkpoint", ck,
               "--tile-rank", f"{rank}/2"] + common)
     assert not os.path.exists(out)  # rank runs write only tiles
-    main(["grm", gds, "--out", out, "--checkpoint", ck] + common)
+    # assembly (no --tile-rank) must auto-detect the tile-grid meta and
+    # LOAD the ranks' tiles — recomputing would silently discard the
+    # distributed work (it would still pass an equality check)
+    from snprelate_tpu.ops import tiles as T
+    calls = {"n": 0}
+    orig = T._gcta_tile_scan
+
+    def count(*args, **kw):
+        calls["n"] += 1
+        return orig(*args, **kw)
+
+    T._gcta_tile_scan = count
+    try:
+        main(["grm", gds, "--out", out, "--checkpoint", ck] + common)
+    finally:
+        T._gcta_tile_scan = orig
+    assert calls["n"] == 0, f"assembly recomputed {calls['n']} tiles"
     back, _ = load_grm(out)
     from snprelate_tpu import grm as grm_api
     ref = grm_api(data, snp_id=snps)

@@ -213,3 +213,38 @@ def test_king_screen_tile_rank(hapmap):
     merged = sorted(sum((key(p) for p in parts), []))
     assert len(full["ID1"]) > 0  # hapmap has duplicate-sample relatives
     assert merged == key(full)
+
+
+def test_parse_tile_rank():
+    from snprelate_tpu.ops.tiles import parse_tile_rank
+
+    assert parse_tile_rank(None) is None
+    assert parse_tile_rank("0/1") is None      # world=1: full run
+    assert parse_tile_rank((0, 1)) is None
+    assert parse_tile_rank("1/3") == (1, 3)
+    assert parse_tile_rank((2, 4)) == (2, 4)
+    for bad in ("3/1", "2/2", "-1/2", "0/0", "0/2/3"):
+        with pytest.raises(ValueError):
+            parse_tile_rank(bad)
+
+
+def test_heterogeneous_rank_flags_share_one_grid(hapmap, tmp_path):
+    """A rank with tile_devices= and a rank without must partition the
+    SAME grid (conservative auto group under tile_rank): otherwise the
+    union of partial results silently duplicates/drops pairs."""
+    import jax
+    import snprelate_tpu as sr
+
+    snps = hapmap.snp_id[:1000]
+    full = sr.king_ibd_selection(hapmap, kinship_cutoff=0.10, tiles=True,
+                                 snp_id=snps, tile_group=128)
+
+    def key(d):
+        return sorted(zip(d["ID1"].tolist(), d["ID2"].tolist()))
+
+    a = sr.king_ibd_selection(hapmap, kinship_cutoff=0.10, snp_id=snps,
+                              tile_group=128, tile_rank=(0, 2),
+                              tile_devices=jax.devices()[:2])
+    b = sr.king_ibd_selection(hapmap, kinship_cutoff=0.10, snp_id=snps,
+                              tile_group=128, tile_rank=(1, 2))
+    assert sorted(key(a) + key(b)) == key(full)

@@ -166,14 +166,15 @@ def run(args):
         # weight-balanced tile-row share into the shared checkpoint
         # directory (grm(tile_rank=) semantics); run once per host, then
         # once without --tile-rank to assemble + run PCA
-        from snprelate_tpu.ops.tiles import rank_rows
+        from snprelate_tpu.ops.tiles import parse_tile_rank, rank_rows
 
         if not ck:
             raise SystemExit("--tile-rank needs --checkpoint")
-        rank, world = (int(x) for x in args.tile_rank.split("/"))
-        rows = rank_rows(k, rank, world)
-        n_tiles = sum(k - i for i in rows)
-        results["tile_rank"] = args.tile_rank
+        tr = parse_tile_rank(args.tile_rank)
+        if tr is not None:
+            rows = rank_rows(k, *tr)
+            n_tiles = sum(k - i for i in rows)
+            results["tile_rank"] = args.tile_rank
 
     # ---- phase: GRM (GCTA) over super tiles, per-tile checkpoints
     t0 = time.time()
