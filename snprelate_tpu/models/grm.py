@@ -105,22 +105,15 @@ def grm(data, sample_id=None, snp_id=None, autosome_only=True,
         # rank runs): detect the grid meta and route to the tile engine —
         # otherwise a small-cohort assembly run would take the row-strip
         # path, whose checkpointer sees a foreign meta and recomputes
-        # everything (discarding the ranks' work)
-        import os as _os
-        mfn = str(checkpoint) + ".meta.npy"
-        if _os.path.exists(mfn):
-            try:
-                m = np.load(mfn)
-                if m.size >= 5 and int(m[0]) in (71, 72):
-                    tiles = True
-                    if sample_block is None:
-                        sample_block = 4096
-                    if tile_group is None:
-                        tile_group = int(m[3])
-                    if chunk is None:
-                        chunk = int(m[4])
-            except (OSError, ValueError):
-                pass
+        # everything (discarding the ranks' work). grm_tiled itself
+        # adopts the meta's (group, chunk) via ops.tiles._resolve_grid.
+        from ..ops.tiles import probe_grid_meta
+
+        if probe_grid_meta(checkpoint, 71 if method == "GCTA" else 72,
+                           ws.n_snp, n) is not None:
+            tiles = True
+            if sample_block is None:
+                sample_block = 4096
     tile_capable = (sample_block is not None
                     and method in ("GCTA", "Eigenstrat"))
     auto_tiles = (tiles is not False
@@ -130,10 +123,9 @@ def grm(data, sample_id=None, snp_id=None, autosome_only=True,
         # when the packed selection exceeds the 2 GB HBM staging budget
         # (the row-strip engine would re-stream the dataset per strip).
         # mesh= column-shards each tile scan over every device.
-        from ..ops.tiles import auto_tile_group, grm_tiled
+        from ..ops.tiles import grm_tiled
 
-        group = tile_group or auto_tile_group(ws.n_snp, n_samp=n)
-        mat = grm_tiled(ws, group, method=method, chunk=chunk,
+        mat = grm_tiled(ws, tile_group, method=method, chunk=chunk,
                         checkpoint=checkpoint, verbose=verbose,
                         mesh=mesh, devices=tile_devices,
                         tile_rank=tile_rank)

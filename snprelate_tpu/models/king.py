@@ -369,6 +369,12 @@ def king_ibd_selection(data, kinship_cutoff, sample_id=None, snp_id=None,
     if tile_rank is not None:
         from ..ops.tiles import parse_tile_rank
 
+        if tiles is False:
+            # the strip engine has no rank partition: honoring tiles=False
+            # here would silently return the FULL hit table labeled as a
+            # rank share (concatenating ranks would then duplicate pairs)
+            raise ValueError("tile_rank= runs on the super-tile route; "
+                             "drop tiles=False (or the tile_rank=)")
         force_tiles = True  # '(0, 1)' still means: take the tile route
         tile_rank = parse_tile_rank(tile_rank)
     else:

@@ -386,21 +386,27 @@ def pair_counts(ws, chunk=None, pad_to: int = 128,
     """
     n_pad = -(-ws.n_samp // pad_to) * pad_to
     if tile_devices is not None or tile_rank is not None:
-        from .tiles import auto_tile_group, pair_counts_tiled
+        from .tiles import pair_counts_tiled
 
-        # tile_rank: conservative budget regardless of local device
-        # flags, so every rank derives the SAME grid; chunk resolves
-        # inside pair_counts_tiled against the (sample-clamped) group,
-        # not the full cohort
+        # grid resolves inside pair_counts_tiled (devices/rank-aware
+        # budget, sample-clamped group, chunk against the group; an
+        # existing checkpoint grid meta is adopted so an assembly run
+        # never wipes the ranks' tiles)
         return pair_counts_tiled(
-            ws, auto_tile_group(
-                ws.n_snp, n_samp=ws.n_samp,
-                bytes_per_cell=40 if (tile_devices is not None
-                                      or tile_rank is not None) else 20),
-            chunk=chunk, checkpoint=checkpoint, verbose=verbose,
+            ws, chunk=chunk, checkpoint=checkpoint, verbose=verbose,
             mesh=mesh, devices=tile_devices, tile_rank=tile_rank)
-    if chunk is None:
-        chunk = auto_chunk(n_pad, ws.n_snp)
+    if checkpoint:
+        # assembly/resume of an existing tile-GRID checkpoint (e.g.
+        # after tile_rank rank runs): route to the tile engine, which
+        # adopts the meta's grid — any other path here would see a
+        # foreign meta and clobber the ranks' completed tiles
+        from .tiles import pair_counts_tiled, probe_grid_meta
+
+        if probe_grid_meta(checkpoint, 75, ws.n_snp,
+                           ws.n_samp) is not None:
+            return pair_counts_tiled(
+                ws, chunk=chunk, checkpoint=checkpoint, verbose=verbose,
+                mesh=mesh)
     if sample_block is None and 16.0 * n_pad * n_pad > 6e9:
         sample_block = 4096
     if mesh is not None and not sample_block:
@@ -411,18 +417,22 @@ def pair_counts(ws, chunk=None, pad_to: int = 128,
         else:
             from ..parallel.mesh import sharded_pair_counts
 
-            return sharded_pair_counts(ws, mesh, chunk=chunk)
+            return sharded_pair_counts(
+                ws, mesh, chunk=chunk or auto_chunk(n_pad, ws.n_snp))
     if sample_block and ws.n_snp * (-(-ws.n_samp // 4)) > 2e9:
         # past the HBM slab-staging budget the row strips would re-stream
         # the dataset once per strip: use the bounded-traffic super-tile
         # engine instead (ops/tiles.py, bit-exact; mesh= column-shards
-        # each tile scan)
-        from .tiles import auto_tile_group, pair_counts_tiled
+        # each tile scan). chunk stays None here so the tile engine can
+        # resolve it against the GROUP (or adopt a rank run's meta) —
+        # a cohort-resolved chunk would mismatch and wipe rank tiles
+        from .tiles import pair_counts_tiled
 
         return pair_counts_tiled(
-            ws, auto_tile_group(ws.n_snp, bytes_per_cell=20),
-            chunk=chunk, checkpoint=checkpoint, verbose=verbose,
+            ws, chunk=chunk, checkpoint=checkpoint, verbose=verbose,
             mesh=mesh)
+    if chunk is None:
+        chunk = auto_chunk(n_pad, ws.n_snp)
     if sample_block:
         n = ws.n_samp
         ndev = _mesh_row_tools(mesh)[0]
@@ -784,7 +794,7 @@ class TileCheckpointer:
     def _tiles(self):
         import glob
 
-        return sorted(glob.glob(f"{self.path}.tile*.npy"))
+        return sorted(glob.glob(glob.escape(self.path) + ".tile*.npy"))
 
     def load_rows(self, write_rows) -> int:
         """Load the contiguous completed prefix; ``write_rows(r0, arr)``
@@ -1122,6 +1132,16 @@ def king_homo_counts(ws, chunk=None, pad_to: int = 128,
                                      mesh=mesh, devices=tile_devices,
                                      tile_rank=tile_rank,
                                      checkpoint=checkpoint)
+    if checkpoint:
+        # existing tile-GRID checkpoint: assemble/resume on the tile
+        # engine (adopts the meta's grid; see pair_counts)
+        from .tiles import king_homo_parts_tiled, probe_grid_meta
+
+        if probe_grid_meta(checkpoint, 77, ws.n_snp,
+                           ws.n_samp) is not None:
+            return king_homo_parts_tiled(ws, chunk=chunk,
+                                         verbose=verbose, mesh=mesh,
+                                         checkpoint=checkpoint)
     if sample_block is None and (mesh is not None
                                  or 24.0 * n_pad * n_pad > 6e9):
         sample_block = 4096
@@ -1213,6 +1233,15 @@ def eigmix_parts(ws, chunk=None, pad_to: int = 128,
                                   mesh=mesh, devices=tile_devices,
                                   tile_rank=tile_rank,
                                   checkpoint=checkpoint)
+    if checkpoint:
+        # existing tile-GRID checkpoint: assemble/resume on the tile
+        # engine (adopts the meta's grid; see pair_counts)
+        from .tiles import eigmix_parts_tiled, probe_grid_meta
+
+        if probe_grid_meta(checkpoint, 76, ws.n_snp,
+                           ws.n_samp) is not None:
+            return eigmix_parts_tiled(ws, chunk=chunk, verbose=verbose,
+                                      mesh=mesh, checkpoint=checkpoint)
     if sample_block is None and (mesh is not None
                                  or 5.0 * n_pad * n_pad > 6e9):
         sample_block = 4096

@@ -28,6 +28,7 @@ cohort generator, which moves zero host bytes).
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass, field
 
 import jax
@@ -238,7 +239,10 @@ class TileGridCheckpointer:
                     np.load(mfn), self.meta):
                 import glob
 
-                for fn in glob.glob(f"{path}.tile*.npz"):
+                # escape the prefix: a path with glob metacharacters
+                # ('[1]', '?') would otherwise skip the wipe and let
+                # load() serve stale tiles under the new meta
+                for fn in glob.glob(glob.escape(path) + ".tile*.npz"):
                     _o.remove(fn)
                 _o.remove(mfn)
             if not _o.path.exists(mfn):
@@ -335,6 +339,58 @@ def _tile_walk(source, n_samp: int, saved_fn=None, rows=None):
             yield i, j, r0, c0, nr, nc, (slab_i, slab_j)
             slab_j = None
         slab_i = None
+
+
+def probe_grid_meta(checkpoint, tag: int, n_snp: int, n_samp: int):
+    """Return (group, chunk) from an existing tile-GRID checkpoint meta
+    matching (tag, n_snp, n_samp), else None. Plain (tile_rank=None)
+    assembly/resume runs use this to adopt the RANK runs' grid instead
+    of deriving a fresh auto grid whose meta mismatch would wipe the
+    completed tiles."""
+    if not checkpoint:
+        return None
+    mfn = str(checkpoint) + ".meta.npy"
+    if not os.path.exists(mfn):
+        return None
+    try:
+        m = np.load(mfn)
+    except (OSError, ValueError):
+        return None
+    if m.size >= 5 and int(m[0]) == tag and int(m[1]) == int(n_snp) \
+            and int(m[2]) == int(n_samp):
+        return int(m[3]), int(m[4])
+    return None
+
+
+def _resolve_grid(ws, n_samp, group, chunk, checkpoint, tag,
+                  devices, tile_rank, cell_sched: int, cell_plain: int):
+    """Resolve the (group, chunk) tile grid for one engine family. An
+    existing checkpoint meta for (tag, n_snp, n_samp) wins over the auto
+    derivation — so an assembly/resume run (tile_rank=None, possibly
+    with different devices= flags) adopts the grid the rank runs used
+    instead of deriving a different one whose meta mismatch would WIPE
+    every completed tile. Explicit group=/chunk= still override.
+    cell_sched/cell_plain: bytes-per-cell budgets with and without
+    whole-tile scheduling (devices=/tile_rank= keep one settled tile
+    pending per device, doubling the carry footprint)."""
+    from .pairwise import auto_chunk
+
+    got = probe_grid_meta(checkpoint, tag, ws.n_snp, n_samp) \
+        if (group is None or chunk is None) else None
+    if group is None:
+        if got is not None:
+            group = got[0]
+        else:
+            group = auto_tile_group(
+                ws.n_snp, n_samp=n_samp,
+                bytes_per_cell=cell_sched if (devices is not None
+                                              or tile_rank is not None)
+                else cell_plain)
+    group = -(-group // 128) * 128
+    if chunk is None:
+        chunk = got[1] if (got is not None and got[0] == group) \
+            else auto_chunk(group, ws.n_snp)
+    return group, chunk
 
 
 def parse_tile_rank(spec):
@@ -662,21 +718,21 @@ def basis_count_tiles(source, n_samp: int, checkpoint=None,
         yield r0, c0, nr, nc, b
 
 
-def pair_counts_tiled(ws, group: int, chunk=None, checkpoint=None,
+def pair_counts_tiled(ws, group=None, chunk=None, checkpoint=None,
                       verbose: bool = False, meter=None, source=None,
                       mesh=None, devices=None, tile_rank=None):
     """Assembled PairCounts from the super-tile engine (integer
     bit-exact; both triangles mirrored with the per-block transpose
-    rules: vv/hh/dd symmetric, hv(j,i) = vh(i,j)^T). tile_rank=(rank,
-    world): compute only this rank's tile rows into checkpoint= and
-    return None (see grm_tiled)."""
-    from .pairwise import PairCounts, auto_chunk
+    rules: vv/hh/dd symmetric, hv(j,i) = vh(i,j)^T). group=None derives
+    the grid (or adopts an existing checkpoint's — see _resolve_grid).
+    tile_rank=(rank, world): compute only this rank's tile rows into
+    checkpoint= and return None (see grm_tiled)."""
+    from .pairwise import PairCounts
 
     n = ws.n_samp if ws is not None else source.n_samp
     if source is None:
-        group = -(-group // 128) * 128
-        if chunk is None:
-            chunk = auto_chunk(group, ws.n_snp)
+        group, chunk = _resolve_grid(ws, n, group, chunk, checkpoint,
+                                     75, devices, tile_rank, 40, 20)
         source = StoreSlabSource(ws, group, chunk, meter=meter)
     rows, partial = _rank_rows_arg(source, tile_rank, checkpoint)
     B = None if partial else np.empty((5, n, n), np.int64)
@@ -756,28 +812,22 @@ def eigmix_parts_tiled(ws, group=None, chunk=None, verbose=False,
     each tile scan over every mesh device; devices= schedules whole
     tiles round-robin over the given jax devices. Tiles drain through a
     one-pending-per-device buffer so D2H overlaps the next dispatch."""
-    from .pairwise import auto_chunk
-
     n = ws.n_samp if ws is not None else source.n_samp
     if source is None:
-        if group is None:
-            # devices= keeps one settled tile pending per device: double
-            # the per-cell budget so carry + pending tile both fit.
-            # tile_rank runs ALWAYS take the conservative budget so every
-            # rank derives the same grid regardless of its local device
-            # flags (heterogeneous grids would mis-partition the pairs)
-            group = auto_tile_group(
-                ws.n_snp, n_samp=n,
-                bytes_per_cell=16 if (devices is not None
-                                      or tile_rank is not None) else 8)
-        group = -(-group // 128) * 128
-        if chunk is None:
-            chunk = auto_chunk(group, ws.n_snp)
+        # devices= keeps one settled tile pending per device (doubled
+        # budget); tile_rank always takes the conservative budget so
+        # every rank derives the same grid; an existing checkpoint meta
+        # wins over both (see _resolve_grid)
+        group, chunk = _resolve_grid(ws, n, group, chunk, checkpoint,
+                                     76, devices, tile_rank, 16, 8)
         source = StoreSlabSource(ws, group, chunk, meter=meter)
     group = source.group
     if mesh is not None and devices is not None:
         raise ValueError("pass mesh= (intra-tile column sharding) or "
                          "devices= (whole-tile scheduling), not both")
+    # validate tile_rank BEFORE the expensive stats pass: a missing
+    # checkpoint= should fail instantly, not after a full dataset read
+    rows, partial = _rank_rows_arg(source, tile_rank, checkpoint)
     if mesh is not None:
         source = _PlacedSource(source, _mesh_tile_shardings(mesh)[0])
     row_slab = _row_replicator(mesh)
@@ -791,7 +841,6 @@ def eigmix_parts_tiled(ws, group=None, chunk=None, verbose=False,
         avg, d_w = (jax.device_put(a, rep) for a in (avg, d_w))
     tck = TileGridCheckpointer(
         checkpoint, meta=(76, source.n_snp, n, group, source.chunk))
-    rows, partial = _rank_rows_arg(source, tile_rank, checkpoint)
     num = np.empty((n, n)) if not partial else None
     wvg = np.empty((n, n)) if not partial else None
     het = np.empty(n, np.int64) if not partial else None
@@ -898,25 +947,20 @@ def king_homo_parts_tiled(ws, group=None, chunk=None, verbose=False,
     saves one .npz per completed tile; mesh= column-shards each tile
     scan over every mesh device; devices= schedules whole tiles
     round-robin over the given jax devices."""
-    from .pairwise import PairCounts, auto_chunk
+    from .pairwise import PairCounts
 
     n = ws.n_samp if ws is not None else source.n_samp
     if source is None:
-        if group is None:
-            # see eigmix_parts_tiled: tile_rank forces the conservative
-            # budget so heterogeneous ranks share one grid
-            group = auto_tile_group(
-                ws.n_snp, n_samp=n,
-                bytes_per_cell=72 if (devices is not None
-                                      or tile_rank is not None) else 36)
-        group = -(-group // 128) * 128
-        if chunk is None:
-            chunk = auto_chunk(group, ws.n_snp)
+        # see _resolve_grid: checkpoint meta > devices/rank-aware auto
+        group, chunk = _resolve_grid(ws, n, group, chunk, checkpoint,
+                                     77, devices, tile_rank, 72, 36)
         source = StoreSlabSource(ws, group, chunk, meter=meter)
     group = source.group
     if mesh is not None and devices is not None:
         raise ValueError("pass mesh= (intra-tile column sharding) or "
                          "devices= (whole-tile scheduling), not both")
+    # validate tile_rank before the expensive stats pass
+    rows, partial = _rank_rows_arg(source, tile_rank, checkpoint)
     if mesh is not None:
         source = _PlacedSource(source, _mesh_tile_shardings(mesh)[0])
     row_slab = _row_replicator(mesh)
@@ -929,7 +973,6 @@ def king_homo_parts_tiled(ws, group=None, chunk=None, verbose=False,
         w = jax.device_put(w, _mesh_tile_shardings(mesh)[2])
     tck = TileGridCheckpointer(
         checkpoint, meta=(77, source.n_snp, n, group, source.chunk))
-    rows, partial = _rank_rows_arg(source, tile_rank, checkpoint)
     B = np.empty((5, n, n), np.int64) if not partial else None
     waf = np.empty((n, n)) if not partial else None
     waf2 = np.empty((n, n)) if not partial else None
@@ -1020,13 +1063,13 @@ def _rank_rows_arg(source, tile_rank, checkpoint):
     tile_rank = parse_tile_rank(tile_rank)
     if tile_rank is None:
         return None, False
-    if checkpoint is None:
+    if not checkpoint:  # None AND '' (save() no-ops on a falsy path)
         raise ValueError("tile_rank=(rank, world) needs checkpoint=: the "
                          "per-tile artifacts are how ranks combine")
     return rank_rows(source.n_groups, *tile_rank), True
 
 
-def grm_tiled(ws, group: int, method: str = "GCTA", chunk=None,
+def grm_tiled(ws, group=None, method: str = "GCTA", chunk=None,
               checkpoint=None, verbose: bool = False, meter=None,
               source=None, mesh=None, devices=None, tile_rank=None):
     """Assembled (n x n) GRM from the super-tile engine (both triangles
@@ -1037,13 +1080,14 @@ def grm_tiled(ws, group: int, method: str = "GCTA", chunk=None,
     are independent processes sharing only the checkpoint directory)
     and return None; after all ranks finish, a tile_rank=None run over
     the same checkpoint assembles the matrix without recomputation."""
-    from .pairwise import auto_chunk
-
     n = ws.n_samp if ws is not None else source.n_samp
     if source is None:
-        group = -(-group // 128) * 128
-        if chunk is None:
-            chunk = auto_chunk(group, ws.n_snp)
+        # the GRM carry is f32+int32 (8 B/cell) regardless of
+        # scheduling mode — the pending D2H tile is small vs the slabs;
+        # an existing checkpoint meta still wins (see _resolve_grid)
+        group, chunk = _resolve_grid(ws, n, group, chunk, checkpoint,
+                                     71 if method == "GCTA" else 72,
+                                     devices, tile_rank, 8, 8)
         source = StoreSlabSource(ws, group, chunk, meter=meter)
     rows, partial = _rank_rows_arg(source, tile_rank, checkpoint)
     mat = None if partial else np.empty((n, n))

@@ -215,6 +215,63 @@ def test_king_screen_tile_rank(hapmap):
     assert merged == key(full)
 
 
+def test_assembly_auto_grid_adopts_rank_meta(hapmap, tmp_path):
+    """Rank runs with an AUTO grid followed by a plain assembly run
+    (no tile flags at all, just checkpoint=) must detect the grid meta,
+    adopt the ranks' (group, chunk) and recompute NOTHING — not derive
+    a different grid whose meta mismatch would wipe the tiles."""
+    import snprelate_tpu as sr
+    from snprelate_tpu.ops import tiles as T
+
+    snps = hapmap.snp_id[:1000]
+    base_c = sr.ibs(hapmap, snp_id=snps)
+    base_e = sr.eigmix(hapmap, snp_id=snps, ibdmat=True, eigen_cnt=0)
+    base_k = sr.ibd_king(hapmap, snp_id=snps, type="KING-homo")
+    cks = {k: str(tmp_path / k) for k in ("c", "e", "k")}
+    for rank in (0, 1):
+        assert sr.ibs(hapmap, snp_id=snps, tile_rank=(rank, 2),
+                      checkpoint=cks["c"]) is None
+        assert sr.eigmix(hapmap, snp_id=snps, ibdmat=True, eigen_cnt=0,
+                         tile_rank=(rank, 2), checkpoint=cks["e"]) is None
+        assert sr.ibd_king(hapmap, snp_id=snps, type="KING-homo",
+                           tile_rank=(rank, 2),
+                           checkpoint=cks["k"]) is None
+    calls = []
+    orig = T.StoreSlabSource.slab
+
+    def counted(self, j):
+        calls.append(j)
+        return orig(self, j)
+
+    T.StoreSlabSource.slab = counted
+    try:
+        got_c = sr.ibs(hapmap, snp_id=snps, checkpoint=cks["c"])
+        got_e = sr.eigmix(hapmap, snp_id=snps, ibdmat=True, eigen_cnt=0,
+                          checkpoint=cks["e"])
+        got_k = sr.ibd_king(hapmap, snp_id=snps, type="KING-homo",
+                            checkpoint=cks["k"])
+    finally:
+        T.StoreSlabSource.slab = orig
+    assert calls == []  # every tile came from the ranks' checkpoints
+    np.testing.assert_array_equal(base_c.ibs, got_c.ibs)
+    np.testing.assert_allclose(base_e.ibd, got_e.ibd,
+                               rtol=1e-12, atol=1e-14)
+    np.testing.assert_allclose(
+        np.asarray(base_k.k0, float), np.asarray(got_k.k0, float),
+        rtol=1e-12, atol=1e-14, equal_nan=True)
+
+
+def test_screen_tiles_false_with_tile_rank_raises(hapmap):
+    """tiles=False + tile_rank= on the KING screen must raise: the strip
+    engine cannot partition, and silently returning the FULL hit table
+    as a 'rank share' would duplicate every pair at the merge."""
+    import snprelate_tpu as sr
+
+    with pytest.raises(ValueError, match="tile_rank"):
+        sr.king_ibd_selection(hapmap, kinship_cutoff=0.10, tiles=False,
+                              tile_rank=(0, 2))
+
+
 def test_parse_tile_rank():
     from snprelate_tpu.ops.tiles import parse_tile_rank
 
