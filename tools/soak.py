@@ -12,6 +12,11 @@ Checks (per dataset):
 - Diss vs genIBS.cpp:353-418+647-683 (SumGeno/SumAFreq, diag doubled)
 - KING-homo k0/k1 vs genKING.cpp:115-155,529-531
 - IndivBeta (inbreeding=False) vs genBeta.cpp:92-234 ratios + baseline
+- exact-PCA genmat vs the genPCA.cpp:98-181 Eigenstrat normalization
+  (avg-impute, 1/sqrt(s(1-s)) scale, (n-1)/trace)
+- PLINK MoM k0/k1/kinship vs a scalar Init_EPrIBD_IBS + sequential
+  Est_PLINK_Kinship bounding transcription (genIBD.cpp:253-383)
+- Corr GRM vs GCTA rescaled to unit diagonal (genPCA.cpp:1658-1686)
 """
 
 import argparse
@@ -141,6 +146,113 @@ def brute(g):
                 r[i, j] = 0.5 * (het_or.sum() + 2 * ibs2.sum()) / m.sum()
     ravg = np.nanmean(r[~np.eye(n, dtype=bool)]) if n > 1 else 0.0
     out["beta"] = (r - ravg) / (1.0 - ravg)
+
+    # exact PCA genmat (genPCA.cpp:98-181 DivideGeno/rsqrt_prod + the
+    # (n-1)/trace scale at genPCA.cpp:1387-1390): avg = sum/num per SNP,
+    # scale = 1/sqrt(s(1-s)) with s = avg/2 when 0 < s < 1 else 0,
+    # missing -> avg (so 0 after centering)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        num = v.sum(1)
+        avg = np.where(num > 0, np.where(v, gi, 0.0).sum(1) / num, 0.0)
+        s = avg * 0.5
+        sc = np.where((s > 0) & (s < 1), 1.0 / np.sqrt(s * (1 - s)), 0.0)
+        x = np.where(v, gi - avg[:, None], 0.0) * sc[:, None]
+        cov = x.T @ x
+        tr = np.trace(cov)
+        out["pca_genmat"] = cov * ((n - 1) / tr) if (np.isfinite(tr)
+                                                     and tr > 0) else None
+
+    # PLINK MoM (genIBD.cpp:253-383): scalar per-SNP EPrIBS_IBD table
+    # with the finite-sample correction factors, then the scalar
+    # SEQUENTIAL bounding (four ifs, not elifs) per pair
+    e = np.zeros((3, 3))
+    nvalid = 0
+    for i in range(g.shape[0]):
+        AA = int(((g[i] == 2)).sum())
+        AB = int(((g[i] == 1)).sum())
+        BB = int(((g[i] == 0)).sum())
+        # np.float64 scalars: x/0 -> inf/nan (C semantics), not a
+        # python ZeroDivisionError
+        Na = np.float64(2.0 * (AA + AB + BB))
+        x_ = np.float64(2.0 * AA + AB)
+        y_ = np.float64(2.0 * BB + AB)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            p_ = x_ / Na if Na > 0 else np.nan
+            q_ = 1.0 - p_
+            c3 = (Na / (Na - 1)) * (Na / (Na - 2)) * (Na / (Na - 3)) \
+                if Na > 3 else np.nan
+            c2 = (Na / (Na - 1)) * (Na / (Na - 2)) if Na > 2 else np.nan
+            a00 = 2 * p_**2 * q_**2 * ((x_ - 1) / x_ * (y_ - 1) / y_ * c3)
+            a01 = (4 * p_**3 * q_ * ((x_ - 1) / x_ * (x_ - 2) / x_ * c3)
+                   + 4 * p_ * q_**3 * ((y_ - 1) / y_ * (y_ - 2) / y_ * c3))
+            a02 = (q_**4 * ((y_ - 1) / y_ * (y_ - 2) / y_ * (y_ - 3) / y_ * c3)
+                   + p_**4 * ((x_ - 1) / x_ * (x_ - 2) / x_ * (x_ - 3) / x_ * c3)
+                   + 4 * p_**2 * q_**2 * ((x_ - 1) / x_ * (y_ - 1) / y_ * c3))
+            a11 = (2 * p_**2 * q_ * ((x_ - 1) / x_ * c2)
+                   + 2 * p_ * q_**2 * ((y_ - 1) / y_ * c2))
+            a12 = (p_**3 * ((x_ - 1) / x_ * (x_ - 2) / x_ * c2)
+                   + q_**3 * ((y_ - 1) / y_ * (y_ - 2) / y_ * c2)
+                   + p_**2 * q_ * ((x_ - 1) / x_ * c2)
+                   + p_ * q_**2 * ((y_ - 1) / y_ * c2))
+        vals = (a00, a01, a02, a11, a12)
+        if all(np.isfinite(a) for a in vals):
+            e[0, 0] += a00
+            e[0, 1] += a01
+            e[0, 2] += a02
+            e[1, 1] += a11
+            e[1, 2] += a12
+            nvalid += 1
+    if nvalid > 0:
+        e[0, 0] /= nvalid
+        e[0, 1] /= nvalid
+        e[0, 2] /= nvalid
+        e[1, 1] /= nvalid
+        e[1, 2] /= nvalid
+        e[2, 2] = 1.0
+        k0m = np.zeros((n, n))
+        k1m = np.zeros((n, n))
+        for i in range(n):
+            for j in range(n):
+                if i == j:
+                    continue
+                i0 = float(out["ibs"][0][i, j])
+                i1 = float(out["ibs"][1][i, j])
+                i2 = float(out["ibs"][2][i, j])
+                nt = i0 + i1 + i2
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    k0 = i0 / (e[0, 0] * nt)
+                    k1 = (i1 - k0 * e[0, 1] * nt) / (e[1, 1] * nt)
+                    k2 = (i2 - k0 * e[0, 2] * nt
+                          - k1 * e[1, 2] * nt) / (e[2, 2] * nt)
+                    if k0 > 1:
+                        k0, k1, k2 = 1.0, 0.0, 0.0
+                    if k1 > 1:
+                        k1, k0, k2 = 1.0, 0.0, 0.0
+                    if k2 > 1:
+                        k2, k0, k1 = 1.0, 0.0, 0.0
+                    if k0 < 0:
+                        S = k1 + k2
+                        k1, k2, k0 = k1 / S, k2 / S, 0.0
+                    if k1 < 0:
+                        S = k0 + k2
+                        k0, k2, k1 = k0 / S, k2 / S, 0.0
+                    if k2 < 0:
+                        S = k0 + k1
+                        k0, k1, k2 = k0 / S, k1 / S, 0.0
+                k0m[i, j] = k0
+                k1m[i, j] = k1
+        out["mom"] = (k0m, k1m,
+                      0.5 * (1 - k0m - k1m) + 0.25 * k1m)
+    else:
+        out["mom"] = None
+
+    # Corr GRM (genPCA.cpp:1658-1686): GCTA rescaled, diag forced to 1
+    with np.errstate(invalid="ignore", divide="ignore"):
+        gc = out["gcta"]
+        dg = np.sqrt(np.diagonal(gc))
+        corr = gc / (dg[:, None] * dg[None, :])
+        np.fill_diagonal(corr, 1.0)
+        out["corr_grm"] = corr
     return out
 
 
@@ -205,6 +317,29 @@ def one(seed, n_snp, n_samp, miss):
         np.testing.assert_allclose(np.asarray(bt.beta, float), b["beta"],
                                    rtol=1e-9, atol=1e-12)
 
+    from snprelate_tpu import ibd_mom, pca
+
+    if b["pca_genmat"] is not None and n_samp > 1:
+        pr = pca(data, genmat_only=True, need_genmat=True, **kw)
+        np.testing.assert_allclose(np.asarray(pr.genmat, float),
+                                   b["pca_genmat"], rtol=1e-9, atol=1e-12)
+
+    if b["mom"] is not None:
+        mm = ibd_mom(data, kinship=True, **kw)
+        for got, want in zip((mm.k0, mm.k1, mm.kinship), b["mom"]):
+            got = np.asarray(got, float)
+            fin = np.isfinite(want) & np.isfinite(got)
+            np.testing.assert_array_equal(np.isfinite(want),
+                                          np.isfinite(got))
+            np.testing.assert_allclose(got[fin], want[fin], rtol=1e-9,
+                                       atol=1e-12)
+
+    cg = grm(data, method="Corr", **kw)
+    got = np.asarray(cg.grm, float)
+    want = b["corr_grm"]
+    fin = np.isfinite(want) & np.isfinite(got)
+    np.testing.assert_allclose(got[fin], want[fin], rtol=1e-9, atol=1e-12)
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -219,7 +354,7 @@ def main():
         one(seed * 1000 + idx, n_snp, n_samp, miss)
         print(f"ok {idx + 1}/{len(cases)}: snp={n_snp} samp={n_samp} "
               f"miss={miss}", flush=True)
-    print(f"SOAK PASS: {len(cases)} datasets x 7 engines")
+    print(f"SOAK PASS: {len(cases)} datasets x 10 engines")
 
 
 if __name__ == "__main__":
