@@ -13,9 +13,12 @@ Two engines cover the whole analysis family:
    the estimators use fewer degrees of freedom than the full 9 joint
    counts, which remain available via ``plane_grams``); missingness falls
    out for free because missing genotypes contribute zero to every basis
-   vector. Counts accumulate exactly in int32 per chunk (safe to 2^31
-   SNPs, beating the reference's u32/2^30 ceiling in genKING.cpp:598-602
-   when widened).
+   vector. Counts accumulate exactly in int32 and the streaming engines
+   flush the carry into a host int64 accumulator before 2^31 accumulated
+   SNPs (``count_flush_interval``) — no SNP-count ceiling at all, against
+   the reference's hard u32/2^30 refusal (genKING.cpp:598-602). The
+   single-scan super-tile engines guard loudly instead
+   (``guard_count_snps``).
 
 2. ``normalized_grams``: floating Gram accumulation over per-chunk
    transformed blocks — the CProdMat_AlgArith machinery (genPCA.cpp:77-312):
@@ -87,6 +90,42 @@ def _plane_mm_dtype():
 #  - counts: int32 per-chunk and carry (exact)
 #  - float: matmul in compute_dtype (f32 on TPU, f64 on CPU/x64), carry f64
 #    when enabled, else f32.
+#
+# int32 ceiling: every pairwise counter grows by at most 1 per SNP, so an
+# int32 carry is exact up to 2^31 - 1 accumulated SNPs. The streaming
+# engines FLUSH the carry into a host int64 accumulator before that point
+# (no ceiling at all — beats the reference's hard 2^30 refusal,
+# genKING.cpp:598-602); the single-scan super-tile engines guard loudly.
+
+INT32_COUNT_CEILING = 2**31 - 1
+
+
+def _count_ceiling() -> int:
+    """SNPs an int32 count carry can absorb before it could wrap.
+    Env-overridable (SNPRELATE_TPU_COUNT_CEILING) so tests exercise the
+    flush/guard machinery at toy sizes."""
+    return int(_os.environ.get("SNPRELATE_TPU_COUNT_CEILING",
+                               INT32_COUNT_CEILING))
+
+
+def count_flush_interval(chunk: int) -> int:
+    """Chunks between int32 -> int64 flushes in the streaming count
+    engines: within one interval a counter grows by <= interval * chunk
+    <= ceiling SNPs, so a wrap is impossible."""
+    return max(1, _count_ceiling() // max(1, int(chunk)))
+
+
+def guard_count_snps(n_snp: int, engine: str) -> None:
+    """Refuse selections whose int32 count carries could silently wrap in
+    engines that accumulate one un-flushable device scan (the super-tile
+    engines — whose slabs could not fit HBM at that size anyway). The
+    streaming chunk/row engines flush instead and have no ceiling."""
+    if int(n_snp) > _count_ceiling():
+        raise ValueError(
+            f"{engine}: {n_snp} selected SNPs exceed the int32 count "
+            f"ceiling ({_count_ceiling()}); the chunk-streaming engines "
+            "(pair_counts / basis_gram_rows) flush into int64 and have "
+            "no ceiling — use those, or subset the SNPs")
 
 
 def _default_float_dtype():
@@ -455,13 +494,33 @@ def pair_counts(ws, chunk=None, pad_to: int = 128,
     ck = Checkpointer(checkpoint, checkpoint_every,
                       meta=(62, ws.n_snp, ws.n_samp, chunk))
     step, saved = ck.load()
+    # acc: host int64 accumulator the int32 carry flushes into every
+    # count_flush_interval chunks — no SNP-count ceiling (the reference
+    # refuses at 2^30, genKING.cpp:598-602). Checkpoints store 8 arrays
+    # (acc + carry) once a flush has happened, 4 before.
+    acc = None
+    if saved and len(saved) == 8:
+        acc = [np.asarray(a, np.int64) for a in saved[:4]]
+        saved = saved[4:]
     carry = (tuple(jnp.asarray(a) for a in saved) if saved
              else _zeros4(n_pad))
+    flush_every = count_flush_interval(chunk)
     for packed in _stream(ws, chunk, n_pad, start_chunk=step,
                           verbose=verbose, label="pair counts: "):
         carry = _gram4_step(carry, packed)
         step += 1
-        ck.maybe_save(step, lambda: list(carry))
+        if step % flush_every == 0:
+            if acc is None:
+                acc = [np.zeros((n_pad, n_pad), np.int64)
+                       for _ in range(4)]
+            for a, c in zip(acc, carry):
+                a += np.asarray(c, np.int64)
+            carry = _zeros4(n_pad)
+        ck.maybe_save(step, lambda: ([*acc, *carry] if acc is not None
+                                     else list(carry)))
+    if acc is not None:
+        carry = tuple(a + np.asarray(c, np.int64)
+                      for a, c in zip(acc, carry))
     return PairCounts.from_grams4(carry, ws.n_samp)
 
 
@@ -502,6 +561,7 @@ def cross_pair_counts(ws, query_geno, chunk=None, pad_to: int = 128,
     ``staged``: optional callable yielding DEVICE packed cohort chunks
     (from ``_stage_or_stream`` built with the same chunk/pad_to), letting a
     long-lived service pay the cohort host->device transfer once."""
+    guard_count_snps(ws.n_snp, "cross pair counts")
     q_arr = np.asarray(query_geno)
     if q_arr.ndim != 2 or q_arr.shape[1] != ws.n_snp:
         raise ValueError(
@@ -685,6 +745,7 @@ def gcta_grm_parts(ws, chunk=None, pad_to: int = 128,
                    verbose: bool = False):
     """GCTA GRM numerator + per-pair denominators (CGCTA_AlgArith::Run):
     GRM = Cov / (2 * (nLocus - Denom)) with Denom = nLocus - VpVp^T."""
+    guard_count_snps(ws.n_snp, "GCTA parts")
     n_pad, nblk = _pad_blocks(ws.n_samp, pad_to)
     if chunk is None:
         chunk = auto_chunk(n_pad, ws.n_snp)
@@ -895,6 +956,7 @@ def gcta_parts_rows(ws, sample_block=None, chunk=None,
     nlocus) per sample tile. Use via models.grm for out-of-core GRMs beyond
     HBM-resident n x n. start_row resumes at a later tile (checkpointing).
     mesh= column-shards each strip over every mesh device."""
+    guard_count_snps(ws.n_snp, "GCTA rows")
     ndev, shard_carry, wrap = _mesh_row_tools(mesh)
     sample_block, n_pad, chunk, chunks = _row_tile_setup(
         ws, sample_block, chunk, pad_to * ndev, bytes_per_cell=8)
@@ -958,13 +1020,28 @@ def basis_gram_rows(ws, sample_block=None, chunk=None,
         ws, sample_block, chunk, pad_to * ndev, bytes_per_cell=20)
     chunks = wrap(chunks)
     n = ws.n_samp
+    flush_every = count_flush_interval(chunk)
     for r0 in range(start_row, n, sample_block):
         nr = min(sample_block, n - r0)
-        carry = shard_carry(tuple(jnp.zeros((sample_block, n_pad), jnp.int32)
-                                  for _ in range(5)))
-        for packed in chunks():
+        zeros = lambda: shard_carry(
+            tuple(jnp.zeros((sample_block, n_pad), jnp.int32)
+                  for _ in range(5)))
+        carry = zeros()
+        acc = None  # int64 flush target (see pair_counts)
+        for ci, packed in enumerate(chunks(), 1):
             carry = _basis_rows_step(carry, packed, r0, sample_block)
-        c = np.stack([np.asarray(b)[:nr, :n] for b in carry])
+            if ci % flush_every == 0:
+                if acc is None:
+                    acc = [np.zeros((sample_block, n_pad), np.int64)
+                           for _ in range(5)]
+                for a, cb in zip(acc, carry):
+                    a += np.asarray(cb, np.int64)
+                carry = zeros()
+        if acc is not None:
+            c = np.stack([(a + np.asarray(b, np.int64))[:nr, :n]
+                          for a, b in zip(acc, carry)])
+        else:
+            c = np.stack([np.asarray(b)[:nr, :n] for b in carry])
         if verbose:
             print(f"pairwise-count rows {r0 + nr}/{n}")
         yield r0, nr, c.astype(np.int64)
@@ -1019,6 +1096,7 @@ def king_homo_rows(ws, sample_block=None, chunk=None, pad_to: int = 128,
     """Row-tiled KING-homo parts: yields (row0, nrows, B(5,nr,n) basis
     strips, waf rows, waf2 rows) with device memory O(block x n).
     mesh= column-shards each strip over every mesh device."""
+    guard_count_snps(ws.n_snp, "KING-homo rows")
     ndev, shard_carry, wrap = _mesh_row_tools(mesh)
     sample_block, n_pad, chunk, chunks = _row_tile_setup(
         ws, sample_block, chunk, pad_to * ndev, bytes_per_cell=28)
@@ -1070,6 +1148,7 @@ def eigmix_rows(ws, sample_block=None, chunk=None, pad_to: int = 128,
     het counts). het is the full per-sample vector, identical on every
     yield (each tile streams all chunks). mesh= column-shards each strip
     over every mesh device."""
+    guard_count_snps(ws.n_snp, "EIGMIX rows")
     ndev, shard_carry, wrap = _mesh_row_tools(mesh)
     sample_block, n_pad, chunk, chunks = _row_tile_setup(
         ws, sample_block, chunk, pad_to * ndev, bytes_per_cell=8)
@@ -1124,6 +1203,7 @@ def king_homo_counts(ws, chunk=None, pad_to: int = 128,
     with whole tiles scheduled over the given jax devices.
     tile_rank=(rank, world): this rank's tile rows into checkpoint=,
     returns None (multi-host partition, see ops.tiles.grm_tiled)."""
+    guard_count_snps(ws.n_snp, "KING-homo counts")
     n_pad, nblk = _pad_blocks(ws.n_samp, pad_to)
     if tile_devices is not None or tile_rank is not None:
         from .tiles import king_homo_parts_tiled

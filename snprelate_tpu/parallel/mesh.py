@@ -68,6 +68,9 @@ def sharded_pair_counts(ws, mesh: Mesh, chunk=None) -> PairCounts:
 
     SNP chunks round-robin across the 'data' axis; per-device partials are
     summed at the end (all-reduce over 'data')."""
+    from ..ops.pairwise import guard_count_snps
+
+    guard_count_snps(ws.n_snp, "sharded pair counts")
     d = mesh.shape["data"]
     n_samp_dev = mesh.shape["samp"]
     n_pad = -(-ws.n_samp // (128 * n_samp_dev)) * (128 * n_samp_dev)
