@@ -37,7 +37,8 @@ import numpy as np
 from jax import lax
 
 from .decode import decode2bit
-from .pairwise import MM_PRECISION, _default_float_dtype, norm_precision
+from .pairwise import (MM_PRECISION, _default_float_dtype, guard_count_snps,
+                       norm_precision)
 
 
 @dataclass
@@ -60,48 +61,150 @@ class StoreSlabSource:
     slab(j) -> (n_chunks, chunk, group//4) uint8 device array holding the
     2-bit genotypes of samples [j*group, (j+1)*group) over every selected
     SNP (padding chunks/samples are all-missing = 0xFF).
+
+    Bandwidth discipline (the disk analog is CGenoReadBySNP reading each
+    block once per pass, dGenGWAS.cpp:1283-1397):
+
+    - the host side extracts ONLY the slab's packed byte columns —
+      an aligned strided copy for identity sample selections, the native
+      ``subset_repack`` codec restricted to the slab's sample indices
+      otherwise (never a full-width repack per slab);
+    - when every packed slab together fits the device cache budget
+      (``SNPRELATE_TPU_SLAB_CACHE``, default 4 GB), uploaded slabs stay
+      HBM-resident and every revisit is free — total H2D is exactly 1x
+      the packed selection;
+    - past the budget, ``prefetch(j)`` (hinted by the tile walk) builds
+      and uploads the next slab on a background thread so H2D overlaps
+      the current tile's compute.
     """
 
-    def __init__(self, ws, group: int, chunk: int, meter=None):
+    def __init__(self, ws, group: int, chunk: int, meter=None,
+                 cache_budget=None, chunk_sel=None):
         assert group % 4 == 0
         self.ws = ws
         self.group = group
         self.chunk = chunk
-        self.n_chunks = -(-ws.n_snp // chunk)
+        # chunk_sel: serve only these chunk indices (the SNP partition of
+        # the rank-distributed PCA, models/pca_rank.py) — slabs and stats
+        # then cover len(chunk_sel) chunks in that order
+        self.chunk_sel = (None if chunk_sel is None
+                          else np.asarray(chunk_sel, np.int64))
+        self.n_chunks = (-(-ws.n_snp // chunk) if chunk_sel is None
+                         else len(self.chunk_sel))
         self.n_groups = -(-ws.n_samp // group)
         self.n_samp = ws.n_samp
         self.n_snp = ws.n_snp
         self.meter = meter if meter is not None else TransferMeter()
+        if cache_budget is None:
+            cache_budget = int(float(os.environ.get(
+                "SNPRELATE_TPU_SLAB_CACHE", 4e9)))
+        slab_bytes = self.n_chunks * chunk * (group // 4)
+        self._cache_all = slab_bytes * self.n_groups <= cache_budget
+        self._cache = {}
+        self._pending = (None, None)  # (j, Future) from prefetch()
+        self._pool = None
+        # identity fast path: full sample selection in file order means a
+        # slab is a plain byte-column slice of the packed store
+        self._identity = (ws.n_samp == ws.data.n_samp
+                          and np.array_equal(ws.samp_idx,
+                                             np.arange(ws.data.n_samp)))
+        self._snp_identity = len(ws.snp_idx) == ws.data.n_snp
 
-    def slab(self, j: int):
+    def _host_slab(self, j: int) -> np.ndarray:
+        """Extract slab j's packed bytes on the host (slab-local work
+        only: O(slab), not O(dataset))."""
+        from ..native import subset_repack
+
+        ws = self.ws
         g4 = self.group // 4
-        nbytes_full = -(-self.ws.n_samp // 4)
         out = np.full((self.n_chunks, self.chunk, g4), 0xFF, np.uint8)
-        c0 = j * g4
-        c1 = min(c0 + g4, nbytes_full)
-        for i, (_s, packed) in enumerate(
-                self.ws.packed_chunks(self.chunk)):
-            take = packed[:, c0:c1]
-            out[i, : packed.shape[0], : take.shape[1]] = take
+        src = ws.data.genotype_packed
+        s0 = j * self.group
+        idx = ws.samp_idx[s0: s0 + self.group]
+        c0 = s0 // 4  # byte-aligned because group % 4 == 0
+        c1 = min(c0 + g4, src.shape[1])
+        for i, ci in enumerate(self._chunks()):
+            r0 = ci * self.chunk
+            r1 = min(r0 + self.chunk, ws.n_snp)
+            rows = (src[r0:r1] if self._snp_identity
+                    else src[ws.snp_idx[r0:r1]])
+            if self._identity:
+                out[i, : r1 - r0, : c1 - c0] = rows[:, c0:c1]
+            else:
+                out[i, : r1 - r0] = subset_repack(rows, idx, g4)
+        return out
+
+    def _chunks(self):
+        return (range(self.n_chunks) if self.chunk_sel is None
+                else self.chunk_sel)
+
+    def with_chunk_sel(self, sel):
+        """A sibling source serving only the given chunk indices (the
+        rank-distributed PCA partition; host extraction reads only those
+        chunks' packed rows)."""
+        if self.chunk_sel is not None:
+            sel = self.chunk_sel[np.asarray(sel)]
+        return StoreSlabSource(self.ws, self.group, self.chunk,
+                               meter=self.meter, chunk_sel=sel)
+
+    def _load(self, j: int):
+        out = self._host_slab(j)
         self.meter.add(out.nbytes)
         return jax.device_put(out)
 
+    def prefetch(self, j: int):
+        """Hint: slab j is needed next. Builds + uploads it on a
+        background thread (one slot; no-op when cached or pending).
+
+        Honored when the whole-dataset cache is active (budget already
+        checked) or when SNPRELATE_TPU_SLAB_PREFETCH=1 — a prefetched
+        slab makes a THIRD slab transiently resident, so the streaming
+        path only overlaps H2D with compute when the caller opted in
+        (pair it with a group size leaving 3-slab headroom)."""
+        if not self._cache_all and os.environ.get(
+                "SNPRELATE_TPU_SLAB_PREFETCH") != "1":
+            return
+        if j is None or not (0 <= j < self.n_groups) or j in self._cache \
+                or self._pending[0] == j:
+            return
+        if self._pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pool = ThreadPoolExecutor(max_workers=1)
+        self._pending = (j, self._pool.submit(self._load, j))
+
+    def slab(self, j: int):
+        if j in self._cache:
+            return self._cache[j]
+        pj, fut = self._pending
+        if pj == j:
+            self._pending = (None, None)
+            arr = fut.result()
+        else:
+            arr = self._load(j)
+        if self._cache_all:
+            self._cache[j] = arr
+        return arr
+
     def stats_host(self):
-        """Per-SNP (gsum, gnum) computed on the HOST — the bytes already
-        live there, so the stats pass costs zero device traffic (the tile
-        pass is then the only H2D: <= 2x the dataset for up to 4 sample
-        groups with the serpentine one-slab cache)."""
+        """Per-SNP (gsum, gnum) in ONE sweep of the packed selection via
+        the native codec (no dense decode, zero device traffic) —
+        Get_AF_MR_perSNP re-expressed on packed bytes
+        (dGenGWAS.cpp:472-552)."""
+        from ..native import snp_stats_packed
+
+        ws = self.ws
         gsum = np.zeros((self.n_chunks, self.chunk), np.int64)
         gnum = np.zeros((self.n_chunks, self.chunk), np.int64)
-        n = self.ws.n_samp
-        for i, (s0, _packed) in enumerate(
-                self.ws.packed_chunks(self.chunk)):
-            g = self.ws.geno(slice(s0, min(s0 + self.chunk,
-                                           self.ws.n_snp)))
-            valid = g < 3
-            take = g.shape[0]
-            gsum[i, :take] = np.where(valid, g, 0).sum(1)
-            gnum[i, :take] = valid.sum(1)
+        src = ws.data.genotype_packed
+        for i, ci in enumerate(self._chunks()):
+            r0 = ci * self.chunk
+            r1 = min(r0 + self.chunk, ws.n_snp)
+            rows = (src[r0:r1] if self._snp_identity
+                    else src[ws.snp_idx[r0:r1]])
+            s, c = snp_stats_packed(rows, ws.samp_idx)
+            gsum[i, : r1 - r0] = s
+            gnum[i, : r1 - r0] = c
         return gsum, gnum
 
 
@@ -312,13 +415,15 @@ def _tile_walk(source, n_samp: int, saved_fn=None, rows=None):
     strided row set and keep the two-slab discipline independently."""
     group = source.group
     k = source.n_groups
+    hint = getattr(source, "prefetch", lambda j: None)
     cache = {}  # at most one entry: column-slab cache {index: slab}
     for ri, i in enumerate(range(k) if rows is None else rows):
         slab_i = None  # loaded lazily: a fully-checkpointed row skips it
         # serpentine: odd rows walk J downward so the previous row's last
         # column slab is reused
-        cols = range(i, k) if ri % 2 == 0 else range(k - 1, i - 1, -1)
-        for j in cols:
+        cols = (list(range(i, k)) if ri % 2 == 0
+                else list(range(k - 1, i - 1, -1)))
+        for ci, j in enumerate(cols):
             r0, c0 = i * group, j * group
             nr = min(group, n_samp - r0)
             nc = min(group, n_samp - c0)
@@ -336,6 +441,10 @@ def _tile_walk(source, n_samp: int, saved_fn=None, rows=None):
                 cache.clear()  # drop the old column slab BEFORE loading
                 slab_j = source.slab(j)
                 cache[j] = slab_j
+            # hint the next column load so a streaming source overlaps
+            # its host extraction + H2D with this tile's compute
+            if ci + 1 < len(cols) and cols[ci + 1] != i:
+                hint(cols[ci + 1])
             yield i, j, r0, c0, nr, nc, (slab_i, slab_j)
             slab_j = None
         slab_i = None
@@ -523,6 +632,8 @@ def gcta_grm_tiles(source, n_samp: int, method: str = "GCTA",
     jax devices (strided tile rows per device, zero collectives — the
     multi-host/chip partition; mutually exclusive with mesh)."""
     gcta = method == "GCTA"
+    if gcta:  # the int32 validity gram accumulates one un-flushable scan
+        guard_count_snps(source.n_snp, "super-tile GRM")
     fdt = _default_float_dtype()
     if mesh is not None and devices is not None:
         raise ValueError("pass mesh= (intra-tile column sharding) or "
@@ -653,6 +764,7 @@ def basis_count_tiles(source, n_samp: int, checkpoint=None,
     per device; bit-exact either way)."""
     group = source.group
     k = source.n_groups
+    guard_count_snps(source.n_snp, "super-tile counts")
     if mesh is not None and devices is not None:
         raise ValueError("pass mesh= (intra-tile column sharding) or "
                          "devices= (whole-tile scheduling), not both")
@@ -822,6 +934,7 @@ def eigmix_parts_tiled(ws, group=None, chunk=None, verbose=False,
                                      76, devices, tile_rank, 16, 8)
         source = StoreSlabSource(ws, group, chunk, meter=meter)
     group = source.group
+    guard_count_snps(source.n_snp, "super-tile EIGMIX")
     if mesh is not None and devices is not None:
         raise ValueError("pass mesh= (intra-tile column sharding) or "
                          "devices= (whole-tile scheduling), not both")
@@ -956,6 +1069,7 @@ def king_homo_parts_tiled(ws, group=None, chunk=None, verbose=False,
                                      77, devices, tile_rank, 72, 36)
         source = StoreSlabSource(ws, group, chunk, meter=meter)
     group = source.group
+    guard_count_snps(source.n_snp, "super-tile KING-homo")
     if mesh is not None and devices is not None:
         raise ValueError("pass mesh= (intra-tile column sharding) or "
                          "devices= (whole-tile scheduling), not both")
