@@ -28,19 +28,43 @@ class FstResult:
 
 
 def _pop_counts(ws, pop_codes: np.ndarray, n_pop: int, chunk=4096):
-    """Per-SNP per-pop allele count (ACnt) and allele number (Cnt)."""
-    n_snp = ws.n_snp
+    """Per-SNP per-pop allele count (ACnt) and allele number (Cnt) as
+    chunked device indicator matmuls (gnrFst's per-population reductions,
+    genFst.cpp:56-166, on the MXU instead of a host loop): (S, N) dosage /
+    validity blocks against the (N, n_pop) one-hot population matrix.
+    Integer-exact (int8 x int8 -> int32 per chunk; per-SNP rows are
+    touched once, bounded by 2 * n_samp)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.decode import decode2bit
+    from ..ops.pairwise import _stream
+
+    n_snp, n_samp = ws.n_snp, ws.n_samp
+    n_pad = -(-n_samp // 4) * 4
+    ind_host = np.zeros((n_pad, n_pop), np.int8)
+    ind_host[np.arange(n_samp), pop_codes] = 1
+    ind = jnp.asarray(ind_host)
+
+    @jax.jit
+    def step(packed):
+        geno = decode2bit(packed)  # (S, n_pad)
+        valid = geno < 3
+        gz = jnp.where(valid, geno, 0).astype(jnp.int8)
+        acnt = jnp.matmul(gz, ind, preferred_element_type=jnp.int32)
+        cnt = 2 * jnp.matmul(valid.astype(jnp.int8), ind,
+                             preferred_element_type=jnp.int32)
+        return acnt, cnt
+
     acnt = np.zeros((n_snp, n_pop), np.int64)
     cnt = np.zeros((n_snp, n_pop), np.int64)
-    ind = np.zeros((ws.n_samp, n_pop))
-    ind[np.arange(ws.n_samp), pop_codes] = 1.0
-    for s in range(0, n_snp, chunk):
+    s = 0
+    for packed in _stream(ws, chunk, n_pad):
+        a, c = step(packed)
         e = min(s + chunk, n_snp)
-        g = ws.geno(slice(s, e)).astype(np.float64)
-        valid = g < 3
-        gz = np.where(valid, g, 0.0)
-        acnt[s:e] = (gz @ ind).astype(np.int64)
-        cnt[s:e] = 2 * (valid @ ind).astype(np.int64)
+        acnt[s:e] = np.asarray(a)[: e - s]
+        cnt[s:e] = np.asarray(c)[: e - s]
+        s = e
     return acnt, cnt
 
 
