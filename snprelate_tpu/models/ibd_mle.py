@@ -334,101 +334,17 @@ def em_3state(pr: np.ndarray, k0: np.ndarray, k1: np.ndarray,
     return k0o, k1o, out_ll, niter
 
 
-def _simplex_min(p, funk, reltol, nfunkmax):
-    """GWAS_Math::SimplexMin (genIBD.cpp:96-189), ndim=2, literal port."""
-    ndim = 2
-    p = [list(row) for row in p]
-    y = [funk(np.asarray(v)) for v in p]
-    nfunk = ndim
-    convtol = max(reltol * (abs(y[0]) + abs(reltol)),
-                  np.finfo(float).eps)
-    psum = [sum(p[i][j] for i in range(ndim + 1)) for j in range(ndim)]
-
-    def try_point(ihi, fac):
-        nonlocal psum
-        fac1 = (1.0 - fac) / ndim
-        fac2 = fac1 - fac
-        ptry = [psum[j] * fac1 - p[ihi][j] * fac2 for j in range(ndim)]
-        ytry = funk(np.asarray(ptry))
-        if ytry < y[ihi]:
-            y[ihi] = ytry
-            for j in range(ndim):
-                psum[j] += ptry[j] - p[ihi][j]
-                p[ihi][j] = ptry[j]
-        return ytry
-
-    while True:
-        ilo = 0
-        if y[0] > y[1]:
-            ihi, inhi = 0, 1
-        else:
-            ihi, inhi = 1, 0
-        for i in range(ndim + 1):
-            if y[i] <= y[ilo]:
-                ilo = i
-            if y[i] > y[ihi]:
-                inhi, ihi = ihi, i
-            elif y[i] > y[inhi] and i != ihi:
-                inhi = i
-        if (y[ihi] - y[ilo]) <= convtol or nfunk >= nfunkmax:
-            return np.asarray(p[ilo]), y[ilo], nfunk
-        nfunk += 2
-        ytry = try_point(ihi, -1.0)
-        if ytry <= y[ilo]:
-            try_point(ihi, 2.0)
-        elif ytry >= y[inhi]:
-            ysave = y[ihi]
-            ytry = try_point(ihi, 0.5)
-            if ytry >= ysave:
-                for i in range(ndim + 1):
-                    if i != ilo:
-                        for j in range(ndim):
-                            p[i][j] = psum[j] = 0.5 * (p[i][j] + p[ilo][j])
-                        y[i] = funk(np.asarray(psum))
-                nfunk += ndim
-                psum = [sum(p[i][j] for i in range(ndim + 1))
-                        for j in range(ndim)]
-        else:
-            nfunk -= 1
-
-
 def simplex_3state(pr: np.ndarray, k0: float, k1: float, max_iter: int,
                    reltol: float, loglik_adjust: bool):
-    """Simplex (genIBD.cpp:741-779) for ONE pair; pr is the NM-transformed
-    table (pr0-pr2, pr1-pr2, pr2)."""
-    def nm_loglik(k0, k1):
-        if k0 < 0 or k1 < 0 or k0 + k1 > 1:
-            return -np.inf
-        s = pr[:, 0] * k0 + pr[:, 1] * k1 + pr[:, 2]
-        pos = s > 0
-        if ((~pos) & (pr[:, 0] > 0)).any():
-            return -np.inf
-        return float(np.log(s[pos]).sum())
-
-    def _optim(x):
-        rv = -nm_loglik(x[0], x[1])
-        return rv if np.isfinite(rv) else 1e30
-
-    # simplex vertices (genIBD.cpp:745-757)
-    p = np.zeros((3, 2))
-    p[0] = (k0, k1)
-    f = (1 - k0) / 2
-    p[1, 0] = k0
-    p[1, 1] = (k1 + max(k1, f - k1) / 2) if k1 <= f else \
-        (k1 - max(k1 - f, 1 - k0 - k1))
-    p[2, 1] = k1
-    f = (1 - k1) / 2
-    p[2, 0] = (k0 + max(k0, f - k0) / 2) if k0 <= f else \
-        (k0 - max(k0 - f, 1 - k1 - k0) / 2)
-
-    x, fmin, niter = _simplex_min(p, _optim, reltol, max_iter)
-    out_k0, out_k1, out_ll = float(x[0]), float(x[1]), -fmin
-    if loglik_adjust:
-        for ck0, ck1 in RELATEDNESS_K.values():
-            cll = nm_loglik(ck0, ck1)
-            if np.isfinite(cll) and out_ll < cll:
-                out_k0, out_k1, out_ll = ck0, ck1, cll
-    return out_k0, out_k1, out_ll, niter
+    """Downhill-simplex MLE (genIBD.cpp:741-779) for ONE pair; pr is the
+    NM-transformed table (pr0-pr2, pr1-pr2, pr2). Thin wrapper over the
+    batched masked Nelder-Mead (``simplex_3state_batch``) at B=1 — one
+    NM implementation in this module, written in its own vectorized
+    idiom (there is no separate scalar port)."""
+    ok0, ok1, oll, oni = simplex_3state_batch(
+        np.asarray(pr, np.float64)[None], np.asarray([k0], np.float64),
+        np.asarray([k1], np.float64), max_iter, reltol, loglik_adjust)
+    return float(ok0[0]), float(ok1[0]), float(oll[0]), int(oni[0])
 
 
 def _nm_loglik_planes(p0, p1, p2, k0, k1):
