@@ -132,6 +132,10 @@ def main(argv=None) -> int:
                         "(run once per host with RANK=0..WORLD-1 against "
                         "a shared directory, then once without "
                         "--tile-rank to assemble)")
+    p.add_argument("--stream-assemble", action="store_true",
+                   help="assemble a COMPLETED tile-grid --checkpoint "
+                        "straight into --out in O(group x n) memory "
+                        "(never densifies n x n; GCTA/Eigenstrat)")
     _add_filter_args(p)
 
     p = sub.add_parser("merge-grm", help="merge per-subset GRM GDS files")
@@ -347,6 +351,19 @@ def run(a) -> str:
 
         data = _open(a.gds)
         tile_rank = parse_tile_rank(a.tile_rank)  # '0/1' -> full run
+        if a.stream_assemble:
+            if not a.checkpoint or tile_rank:
+                raise SystemExit("--stream-assemble needs a completed "
+                                 "--checkpoint tile grid (no --tile-rank)")
+            from .models.grm import grm_tiles_to_gds
+            from .workspace import init_workspace
+
+            ws, _ = init_workspace(data, **_filters(data, a))
+            n, k = grm_tiles_to_gds(a.checkpoint, a.out, ws.sample_id,
+                                    ws.snp_id, method=a.method,
+                                    prec=a.prec, compress=a.compress)
+            return (f"GRM ({a.method}): streamed {k * (k + 1) // 2} tiles "
+                    f"({n} samples) -> {a.out} without densifying")
         r = grm(data, method=a.method,
                 out_fn=None if tile_rank else a.out, out_prec=a.prec,
                 out_compress=a.compress, sample_block=a.sample_block,

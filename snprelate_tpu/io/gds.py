@@ -773,3 +773,236 @@ def write_snp_gds(data, path: str, compress: bool = True,
 
     w.set_block(root_id, _folder_node(children, {"FileFormat": "SNP_ARRAY"}))
     w.write(path, entry_id=root_id)
+
+# ===========================================================================
+# Streaming writer: fragments go straight to disk, and ONE coded leaf may
+# be streamed through an incremental compressor in bounded memory — the
+# out-of-core GRM artifact path (the reference streams GRM rows into the
+# output GDS during computation, genPCA.cpp:1571-1583 grm_save_to_gds /
+# R/IBD.R:592-613; this is the same discipline for our writer: output
+# memory is O(row block), never O(n^2)).
+
+
+class _StreamCoder:
+    """Incremental coder for one streamed data block. Supports the same
+    coders ``save_grm`` emits: '' (raw), ZIP (one zlib stream), LZMA (one
+    xz stream) and ZIP_RA (independently-deflated 64 KB blocks with the
+    reader's RA layout)."""
+
+    def __init__(self, coder: str, ra_block: int = 65536):
+        self.coder = coder
+        self.total = 0
+        self._buf = b""
+        self._nblocks = 0
+        self._ra_block = ra_block
+        if coder == "ZIP":
+            self._c = zlib.compressobj(6)
+        elif coder == "LZMA":
+            self._c = lzma.LZMACompressor()
+        elif coder in ("", "ZIP_RA"):
+            self._c = None
+        else:
+            raise ValueError(f"unsupported streaming coder {coder!r}")
+
+    def header(self) -> bytes:
+        """Stream header (ZIP_RA only; nblocks patched at finish via
+        nblocks_offset)."""
+        if self.coder == "ZIP_RA":
+            return b"!ZIP_RA\x10\x04" + struct.pack("<I", 0)
+        return b""
+
+    nblocks_patch_offset = 9  # offset of the u32 nblocks inside header()
+
+    def _ra_emit(self, piece: bytes) -> bytes:
+        z = zlib.compress(piece, 6)
+        self._nblocks += 1
+        return ((len(z) + 7).to_bytes(3, "little")
+                + struct.pack("<I", len(piece)) + z)
+
+    def feed(self, raw: bytes) -> bytes:
+        self.total += len(raw)
+        if self.coder == "":
+            return raw
+        if self.coder == "ZIP_RA":
+            self._buf += raw
+            out = []
+            while len(self._buf) >= self._ra_block:
+                out.append(self._ra_emit(self._buf[: self._ra_block]))
+                self._buf = self._buf[self._ra_block:]
+            return b"".join(out)
+        return self._c.compress(raw)
+
+    def finish(self) -> bytes:
+        if self.coder == "":
+            return b""
+        if self.coder == "ZIP_RA":
+            out = self._ra_emit(self._buf) if self._buf else b""
+            self._buf = b""
+            return out
+        return self._c.flush()
+
+    @property
+    def nblocks(self) -> int:
+        return self._nblocks
+
+
+class GDSStreamWriter:
+    """CoreArray writer that emits fragments directly to disk.
+
+    Use ``emit(blockid, content)`` for in-memory blocks (same content
+    builders as GDSWriter: ``_leaf_node`` / ``_folder_node``), and
+    ``stream_leaf`` for one large array node whose data is produced as a
+    sequence of byte chunks. Placeholder sizes (fragment length, coder
+    total/stored bytes, ZIP_RA block count) are patched in place when the
+    stream ends, so nothing larger than one caller-provided chunk is ever
+    resident."""
+
+    def __init__(self, path: str, entry_id: int = 1):
+        self._f = open(path, "wb")
+        self._f.write(MAGIC + b"\x00\x01" + struct.pack("<I", entry_id))
+
+    def emit(self, blockid: int, content: bytes) -> None:
+        f = self._f
+        f.write(_p48((22 + len(content)) | 0x800000000000))
+        f.write(_p48(0))
+        f.write(struct.pack("<I", blockid))
+        f.write(_p48(len(content)))
+        f.write(content)
+
+    def emit_leaf(self, node_id: int, data_id: int, name: str,
+                  classname: str, raw: bytes, dims, coder: str = "",
+                  attrs=None) -> tuple[str, int, int]:
+        """Small (in-memory) leaf: compress + emit node and data blocks;
+        returns the directory entry tuple."""
+        if coder == "ZIP":
+            stored = _zip(raw)
+        elif coder == "ZIP_RA":
+            stored = _zip_ra(raw)
+        elif coder == "LZMA":
+            stored = lzma.compress(raw)
+        elif coder == "":
+            stored = raw
+        else:
+            raise ValueError(f"unsupported coder {coder!r}")
+        self.emit(node_id, _leaf_node(classname, dims, data_id, attrs or {},
+                                      coder, len(raw), len(stored)))
+        self.emit(data_id, stored)
+        return (name, node_id, 0)
+
+    def stream_leaf(self, node_id: int, data_id: int, classname: str,
+                    dims, chunks, coder: str = "", attrs=None) -> None:
+        """Stream one coded leaf: ``chunks`` yields raw byte pieces. The
+        node block is written with placeholder coder sizes and patched
+        after the data fragment closes."""
+        f = self._f
+        node_pos = f.tell()
+        node_content = _leaf_node(classname, dims, data_id, attrs or {},
+                                  coder or "ZIP", 0, 0)
+        # even an uncoded stream writes the sizes token (coder 'ZIP'
+        # template) when coder == ''? No: raw leaves carry no sizes --
+        # emit the raw template and skip the size patch instead.
+        if coder == "":
+            node_content = _leaf_node(classname, dims, data_id, attrs or {})
+        self.emit(node_id, node_content)
+        sizes_at = -1
+        if coder != "":
+            idx = node_content.find(_T_SIZES)
+            assert idx >= 0
+            # fragment layout: 22-byte header then content
+            sizes_at = node_pos + 22 + idx + len(_T_SIZES)
+
+        sc = _StreamCoder(coder)
+        frag_pos = f.tell()
+        f.write(_p48(0))  # fragment size, patched
+        f.write(_p48(0))
+        f.write(struct.pack("<I", data_id))
+        f.write(_p48(0))  # content length, patched
+        head = sc.header()
+        f.write(head)
+        stored = len(head)
+        for raw in chunks:
+            b = sc.feed(bytes(raw))
+            stored += len(b)
+            f.write(b)
+        b = sc.finish()
+        stored += len(b)
+        f.write(b)
+        end = f.tell()
+        f.seek(frag_pos)
+        f.write(_p48((22 + stored) | 0x800000000000))
+        f.seek(frag_pos + 16)
+        f.write(_p48(stored))
+        if sizes_at >= 0:
+            f.seek(sizes_at)
+            f.write(struct.pack("<QQ", sc.total, stored))
+        if coder == "ZIP_RA":
+            f.seek(frag_pos + 22 + _StreamCoder.nblocks_patch_offset)
+            f.write(struct.pack("<I", sc.nblocks))
+        f.seek(end)
+
+    def close(self) -> None:
+        self._f.close()
+
+
+def read_leaf_rows(path: str, name: str, block_rows: int = 4096):
+    """Stream a 2-D float/int leaf back as (row0, rows) blocks in bounded
+    memory (incremental decompression; the scale-viable read-back for
+    GRM artifacts written by ``save_grm``/``grm_tiles_to_gds``)."""
+    f = GDSFile(path)  # header-only cost is small; _data holds the file
+    node = f.index(name)
+    nrow, ncol = node.dims
+    dt = np.dtype(GDSFile._DTYPES[node.classname]).newbyteorder("<")
+    raw = f._blocks[node.data_blockid]
+    if node.coder == "":
+        dec = None
+    elif node.coder.startswith("ZIP_RA"):
+        dec = None
+        raw = _decompress_ra(raw, node.total_bytes, "zlib")
+    elif node.coder.startswith("LZMA_RA"):
+        dec = None
+        raw = _decompress_ra(raw, node.total_bytes, "xz")
+    elif node.coder.startswith("ZIP"):
+        dec = zlib.decompressobj()
+    elif node.coder.startswith("LZMA"):
+        dec = lzma.LZMADecompressor()
+    else:
+        raise NotImplementedError(f"GDS coder {node.coder!r}")
+    row_bytes = ncol * dt.itemsize
+    buf = b""
+    pos = 0
+    r0 = 0
+    step = 1 << 20
+    is_zlib = node.coder.startswith("ZIP") and dec is not None
+    while r0 < nrow:
+        need = min(block_rows, nrow - r0) * row_bytes
+        while len(buf) < need:
+            if dec is None:
+                if pos >= len(raw):
+                    break
+                buf += raw[pos: pos + step]
+                pos += step
+            elif is_zlib:
+                data = dec.unconsumed_tail
+                if not data:
+                    if pos >= len(raw):
+                        buf += dec.flush()
+                        break
+                    data = raw[pos: pos + step]
+                    pos += step
+                buf += dec.decompress(data, need)
+            else:  # lzma
+                if dec.eof:
+                    break
+                if dec.needs_input:
+                    if pos >= len(raw):
+                        break
+                    data = raw[pos: pos + step]
+                    pos += step
+                else:
+                    data = b""
+                buf += dec.decompress(data, max_length=need)
+        take = min(block_rows, nrow - r0)
+        chunk, buf = buf[: take * row_bytes], buf[take * row_bytes:]
+        arr = np.frombuffer(chunk, dt).reshape(take, ncol)
+        yield r0, arr
+        r0 += take
