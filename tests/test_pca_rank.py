@@ -1,0 +1,130 @@
+"""Rank-distributed randomized PCA (VERDICT r2 #3): independent rank
+processes exchanging only small npy artifacts. world=2 must match world=1
+(same Krylov span; only float reduction order differs), and the ranked
+path must agree with the established single-process randomized PCA on
+the dominant components."""
+
+import numpy as np
+import pytest
+
+from snprelate_tpu.io.store import create_geno
+from snprelate_tpu.workspace import init_workspace
+
+
+def _structured(n_snp=1024, n_samp=200, seed=9):
+    """Two-population cohort so PC1 carries real structure."""
+    rng = np.random.default_rng(seed)
+    p = rng.uniform(0.1, 0.9, n_snp)
+    shift = np.where(np.arange(n_samp) < n_samp // 2, -0.08, 0.08)
+    pm = np.clip(p[:, None] + shift[None, :], 0.01, 0.99)
+    g = (rng.random((n_snp, n_samp)) < pm).astype(np.uint8) \
+        + (rng.random((n_snp, n_samp)) < pm).astype(np.uint8)
+    g[rng.random(g.shape) < 0.01] = 3
+    data = create_geno(g, [f"s{i}" for i in range(n_samp)],
+                       np.arange(n_snp), np.arange(n_snp) * 5,
+                       np.ones(n_snp, np.int32))
+    ws, _ = init_workspace(data, autosome_only=False, remove_monosnp=False,
+                           missing_rate=np.nan)
+    return ws
+
+
+def _make_source_factory(ws, group, chunk):
+    from snprelate_tpu.ops.tiles import StoreSlabSource
+
+    def make(_rank):
+        return StoreSlabSource(ws, group, chunk)
+
+    return make
+
+
+def test_world2_equals_world1(tmp_path):
+    from snprelate_tpu.models.pca_rank import randomized_pca_ranked
+
+    ws = _structured()
+    mk = _make_source_factory(ws, group=128, chunk=128)
+    r1 = randomized_pca_ranked(mk, ws.n_samp, str(tmp_path / "w1"),
+                               world=1, eigen_cnt=8, iter_num=3, seed=7)
+    r2 = randomized_pca_ranked(mk, ws.n_samp, str(tmp_path / "w2"),
+                               world=2, eigen_cnt=8, iter_num=3, seed=7)
+    # identical subspace construction; only float summation order differs
+    np.testing.assert_allclose(r2.eigenval[:8], r1.eigenval[:8],
+                               rtol=1e-8)
+    for k in range(8):
+        c = abs(np.dot(r1.eigenvect[:, k], r2.eigenvect[:, k])
+                / (np.linalg.norm(r1.eigenvect[:, k])
+                   * np.linalg.norm(r2.eigenvect[:, k])))
+        assert c > 1 - 1e-8, (k, c)
+
+
+def test_ranked_matches_single_process_pca(tmp_path):
+    """Same seed -> same Krylov span as randomized_pca_slabs: dominant
+    eigenvalues and eigenvectors agree to numerical tolerance."""
+    from snprelate_tpu.models.pca_rank import randomized_pca_ranked
+    from snprelate_tpu.models.pca_randomized import randomized_pca_slabs
+    from snprelate_tpu.ops.tiles import StoreSlabSource
+
+    ws = _structured()
+    src = StoreSlabSource(ws, group=128, chunk=128)
+    ref = randomized_pca_slabs(src, ws.n_samp, eigen_cnt=6, aux_dim=16,
+                               iter_num=3, seed=7)
+    mk = _make_source_factory(ws, group=128, chunk=128)
+    got = randomized_pca_ranked(mk, ws.n_samp, str(tmp_path / "w"),
+                                world=2, eigen_cnt=6, aux_dim=16,
+                                iter_num=3, seed=7)
+    # TraceXTX is an exact sum over SNPs -> identical
+    np.testing.assert_allclose(got.TraceXTX, ref.TraceXTX, rtol=1e-10)
+    # dominant components (well above the subspace-approximation floor)
+    np.testing.assert_allclose(got.eigenval[:4], ref.eigenval[:4],
+                               rtol=1e-6)
+    for k in range(4):
+        c = abs(np.dot(ref.eigenvect[:, k], got.eigenvect[:, k])
+                / (np.linalg.norm(ref.eigenvect[:, k])
+                   * np.linalg.norm(got.eigenvect[:, k])))
+        assert c > 0.9999, (k, c)
+    # PC1 separates the planted populations
+    pc1 = got.eigenvect[:, 0]
+    half = ws.n_samp // 2
+    s = np.sign(np.median(pc1[half:]) - np.median(pc1[:half])) or 1.0
+    frac = ((pc1 * s > 0) == (np.arange(ws.n_samp) >= half)).mean()
+    assert frac > 0.95
+
+
+def test_phasewise_cli_style_run(tmp_path):
+    """Drive the phases exactly as independent process invocations would
+    (fresh source per call, no shared Python state): power -> reduce per
+    iteration, then project per rank, then assemble."""
+    from snprelate_tpu.models import pca_rank as PR
+    from snprelate_tpu.ops.tiles import StoreSlabSource
+
+    ws = _structured(n_snp=512, n_samp=120)
+    wd = str(tmp_path / "phases")
+    world, iters, aux = 2, 2, 12
+    for it in range(iters):
+        for r in range(world):
+            src = StoreSlabSource(ws, group=128, chunk=64)
+            PR.pca_rank_power(src, ws.n_samp, wd, r, world, it, aux,
+                              seed=3)
+        PR.pca_rank_reduce(wd, world, it)
+    for r in range(world):
+        src = StoreSlabSource(ws, group=128, chunk=64)
+        PR.pca_rank_project(src, ws.n_samp, wd, r, world, iters, aux,
+                            seed=3)
+    res = PR.pca_rank_assemble(wd, world, ws.n_samp, eigen_cnt=4)
+    mk = _make_source_factory(ws, group=128, chunk=64)
+    ref = PR.randomized_pca_ranked(mk, ws.n_samp, str(tmp_path / "ref"),
+                                   world=1, eigen_cnt=4, aux_dim=aux,
+                                   iter_num=iters, seed=3)
+    np.testing.assert_allclose(res.eigenval[:4], ref.eigenval[:4],
+                               rtol=1e-8)
+
+
+def test_reduce_missing_rank_raises(tmp_path):
+    from snprelate_tpu.models import pca_rank as PR
+    from snprelate_tpu.ops.tiles import StoreSlabSource
+
+    ws = _structured(n_snp=256, n_samp=60)
+    wd = str(tmp_path / "w")
+    src = StoreSlabSource(ws, group=64, chunk=64)
+    PR.pca_rank_power(src, ws.n_samp, wd, 0, 2, 0, 8, seed=1)
+    with pytest.raises(FileNotFoundError, match="rank 1"):
+        PR.pca_rank_reduce(wd, 2, 0)

@@ -47,7 +47,7 @@ class GenSlabSource:
     dataset — the device-memory analog of re-reading a file."""
 
     def __init__(self, seed, n_samp, n_snp, group, chunk,
-                 structure=0.05, missing_u8=3):
+                 structure=0.05, missing_u8=3, chunk_sel=None):
         import jax
         import jax.numpy as jnp
         import jax.random as jr
@@ -58,16 +58,23 @@ class GenSlabSource:
         self.n_snp = n_snp
         self.group = group
         self.chunk = chunk
-        self.n_chunks = n_snp // chunk
+        # chunk_sel: generate only these chunk indices (PRNG keys fold in
+        # the ABSOLUTE chunk id, so a subset regenerates identical data —
+        # the rank-distributed-PCA SNP partition)
+        self.chunk_sel = (np.arange(n_snp // chunk) if chunk_sel is None
+                          else np.asarray(chunk_sel, np.int64))
+        self.n_chunks = len(self.chunk_sel)
         self.n_groups = -(-n_samp // group)
         self.seed = seed
+        self._ctor = (seed, n_samp, n_snp, group, chunk, structure,
+                      missing_u8)
         self.h2d_bytes = 0  # device-generated: nothing crosses the host
 
-        n_chunks = self.n_chunks
+        sel_dev = jnp.asarray(self.chunk_sel, jnp.int32)
 
         @jax.jit
         def gen(j, pop_shift):
-            def one(c, _):
+            def one(_, c):
                 kp = jr.fold_in(jr.key(seed), c)
                 p = jr.uniform(kp, (chunk,), minval=0.1, maxval=0.9)
                 p = jnp.clip(p + pop_shift, 0.01, 0.99)
@@ -83,12 +90,20 @@ class GenSlabSource:
                 b = g.reshape(chunk, group // 4, 4)
                 packed = (b[..., 0] | (b[..., 1] << 2) | (b[..., 2] << 4)
                           | (b[..., 3] << 6))
-                return c + 1, packed
+                return None, packed
 
-            _, slabs = lax.scan(one, 0, None, length=n_chunks)
+            _, slabs = lax.scan(one, None, sel_dev)
             return slabs
 
         self._gen = gen
+
+    def with_chunk_sel(self, sel):
+        sel = self.chunk_sel[np.asarray(sel)]
+        seed, n_samp, n_snp, group, chunk, structure, missing_u8 = \
+            self._ctor
+        return GenSlabSource(seed, n_samp, n_snp, group, chunk,
+                             structure=structure, missing_u8=missing_u8,
+                             chunk_sel=sel)
 
     def pop_label(self, j: int) -> int:
         return 1 if j >= self.n_groups // 2 else 0
@@ -177,6 +192,18 @@ def run(args):
             results["tile_rank"] = args.tile_rank
 
     # ---- phase: GRM (GCTA) over super tiles, per-tile checkpoints
+    def grid_complete():
+        if not ck:
+            return False
+        from snprelate_tpu.ops.tiles import probe_grid_meta
+
+        got = probe_grid_meta(ck, 71, s, n)
+        if got is None:
+            return False
+        kk = -(-n // got[0])
+        return all(os.path.exists(f"{ck}.tile{i:05d}_{j:05d}.npz")
+                   for i in range(kk) for j in range(i, kk))
+
     t0 = time.time()
     d2h = 0
     diag_sum = 0.0
@@ -184,25 +211,31 @@ def run(args):
     off_sum = 0.0
     off_cnt = 0
     done_tiles = 0
-    for r0, c0, nr, nc, tile in gcta_grm_tiles(
-            src, n, method="GCTA", checkpoint=ck, out_dtype=np.float32,
-            verbose=args.verbose, rows=rows):
-        d2h += tile.nbytes
-        done_tiles += 1
-        if r0 == c0:
-            d = np.diag(tile)
-            diag_sum += np.nansum(d)
-            diag_cnt += np.isfinite(d).sum()
-            iu = np.triu_indices(nr, 1)
-            off = tile[iu]
-        else:
-            off = tile.ravel()
-        off_sum += np.nansum(off)
-        off_cnt += np.isfinite(off).sum()
-        if args.verbose:
-            el = time.time() - t0
-            print(f"  tile {done_tiles}/{n_tiles} at {el:.0f}s",
-                  flush=True)
+    skip_grm_scan = bool(args.artifact) and grid_complete()
+    if skip_grm_scan:
+        # assembly run with --artifact: the ONLY read of the completed
+        # tiles is the streamed GDS write below (no separate stats scan)
+        done_tiles = n_tiles
+    else:
+        for r0, c0, nr, nc, tile in gcta_grm_tiles(
+                src, n, method="GCTA", checkpoint=ck,
+                out_dtype=np.float32, verbose=args.verbose, rows=rows):
+            d2h += tile.nbytes
+            done_tiles += 1
+            if r0 == c0:
+                d = np.diag(tile)
+                diag_sum += np.nansum(d)
+                diag_cnt += np.isfinite(d).sum()
+                iu = np.triu_indices(nr, 1)
+                off = tile[iu]
+            else:
+                off = tile.ravel()
+            off_sum += np.nansum(off)
+            off_cnt += np.isfinite(off).sum()
+            if args.verbose:
+                el = time.time() - t0
+                print(f"  tile {done_tiles}/{n_tiles} at {el:.0f}s",
+                      flush=True)
     grm_s = time.time() - t0
     # a rank run covers n_tiles of the k(k+1)/2 grid: credit its share
     pair_snp = 0.5 * float(n) * n * s \
@@ -221,8 +254,57 @@ def run(args):
     }
     print(json.dumps({"phase": "grm", **results["grm"]}), flush=True)
 
+    # ---- phase: streamed GDS artifact from the completed tile grid
+    # (O(group x n) memory, never densifies n x n — grm_save_to_gds
+    # analog, genPCA.cpp:1571-1583)
+    artifact_s = 0.0
+    if args.artifact and rows is None:
+        from snprelate_tpu.models.grm import (grm_tile_row_blocks,
+                                              save_grm_rows)
+        from snprelate_tpu.ops.tiles import probe_grid_meta
+
+        got = probe_grid_meta(ck, 71, s, n)
+        assert got is not None, "artifact needs a completed tile grid"
+        t0 = time.time()
+        stats = {"dsum": 0.0, "dcnt": 0, "osum": 0.0, "ocnt": 0}
+
+        def counted():
+            for r0, rws in grm_tile_row_blocks(ck, "GCTA", n, got[0]):
+                nr = rws.shape[0]
+                blk = rws[:, r0: r0 + nr]
+                d = np.diag(blk)
+                stats["dsum"] += np.nansum(d)
+                stats["dcnt"] += np.isfinite(d).sum()
+                iu = np.triu_indices(nr, 1)
+                off = np.concatenate([blk[iu].ravel(),
+                                      rws[:, r0 + nr:].ravel()])
+                stats["osum"] += np.nansum(off)
+                stats["ocnt"] += np.isfinite(off).sum()
+                if args.verbose:
+                    print(f"  artifact rows {r0 + rws.shape[0]}/{n} at "
+                          f"{time.time() - t0:.0f}s", flush=True)
+                yield r0, rws
+        sample_ids = np.asarray([f"s{i}" for i in range(n)], object)
+        save_grm_rows(args.artifact, sample_ids, np.arange(s), "GCTA",
+                      counted(), n, prec=args.artifact_prec,
+                      compress=args.artifact_compress)
+        artifact_s = time.time() - t0
+        results["artifact"] = {
+            "wall_s": round(artifact_s, 1),
+            "file": args.artifact,
+            "bytes": os.path.getsize(args.artifact),
+            "prec": args.artifact_prec,
+            "compress": args.artifact_compress,
+            "grm_diag_mean": round(stats["dsum"] / max(stats["dcnt"], 1),
+                                   5),
+            "grm_offdiag_mean": round(
+                stats["osum"] / max(stats["ocnt"], 1), 6),
+        }
+        print(json.dumps({"phase": "artifact", **results["artifact"]}),
+              flush=True)
+
     if args.skip_pca or rows is not None:
-        results["total_wall_s"] = round(grm_s, 1)
+        results["total_wall_s"] = round(grm_s + artifact_s, 1)
         out = args.out or "BIOBANK.json"
         with open(out, "w") as f:
             json.dump(results, f, indent=1)
@@ -232,9 +314,52 @@ def run(args):
 
     # ---- phase: randomized PCA to top-32 PCs
     t0 = time.time()
-    pca = randomized_pca_slabs(src, n, eigen_cnt=args.pcs,
-                               aux_dim=2 * args.pcs, iter_num=args.iters,
-                               seed=11, verbose=args.verbose)
+    if args.pca_world > 1:
+        # rank-distributed PCA (models/pca_rank.py): ranks measured
+        # sequentially on the one chip (zero-communication phases, so
+        # per-phase walls equal concurrent multi-host walls — the same
+        # methodology as the tile_rank GRM demos); modeled 2-host wall =
+        # sum over iterations of (max-rank power + reduce) + max-rank
+        # project + assemble
+        from snprelate_tpu.models.pca_rank import randomized_pca_ranked
+        import tempfile
+
+        wd = args.pca_workdir or tempfile.mkdtemp(prefix="pca_rank_")
+        timings = {}
+        W = args.pca_world
+
+        def make_source(rank):
+            if args.source == "gen":
+                return GenSlabSource(7, n, s, group, chunk)
+            return StoreSlabSource(ws, group, chunk, meter=meter)
+
+        pca = randomized_pca_ranked(make_source, n, wd, world=W,
+                                    eigen_cnt=args.pcs,
+                                    aux_dim=2 * args.pcs,
+                                    iter_num=args.iters, seed=11,
+                                    verbose=args.verbose,
+                                    timings=timings)
+        crit = 0.0
+        for it in range(args.iters):
+            crit += max(timings[("power", it, r)] for r in range(W))
+            crit += timings[("reduce", it, -1)]
+        crit += max(timings[("project", 0, r)] for r in range(W))
+        crit += timings[("assemble", 0, -1)]
+        results["pca_rank"] = {
+            "world": W,
+            "workdir": wd,
+            "wall_1proc_s": round(sum(timings.values()), 1),
+            "wall_multihost_model_s": round(crit, 1),
+            "per_phase": {f"{k[0]}{k[1]}.r{k[2]}": round(v, 2)
+                          for k, v in timings.items()},
+        }
+        print(json.dumps({"phase": "pca_rank", **results["pca_rank"]}),
+              flush=True)
+    else:
+        pca = randomized_pca_slabs(src, n, eigen_cnt=args.pcs,
+                                   aux_dim=2 * args.pcs,
+                                   iter_num=args.iters,
+                                   seed=11, verbose=args.verbose)
     pca_s = time.time() - t0
     # correctness probe: PC1 separates the two planted populations
     # (group index determines the population in both source modes)
@@ -253,7 +378,7 @@ def run(args):
     }
     print(json.dumps({"phase": "pca", **results["pca"]}), flush=True)
 
-    results["total_wall_s"] = round(grm_s + pca_s, 1)
+    results["total_wall_s"] = round(grm_s + artifact_s + pca_s, 1)
     out = args.out or "BIOBANK.json"
     with open(out, "w") as f:
         json.dump(results, f, indent=1)
@@ -318,6 +443,21 @@ if __name__ == "__main__":
                          "--checkpoint (one independent process per "
                          "host); assemble with a final run without this "
                          "flag")
+    ap.add_argument("--artifact", metavar="FILE.gds", default=None,
+                    help="stream the completed tile grid into a "
+                         "SNPRELATE_OUTPUT GDS (O(group x n) memory, no "
+                         "densify); on an assembly run with a complete "
+                         "--checkpoint this REPLACES the tile stats scan")
+    ap.add_argument("--artifact-prec", default="single",
+                    choices=["single", "double"])
+    ap.add_argument("--artifact-compress", default="",
+                    help="artifact coder: '' (raw), ZIP, ZIP_RA, LZMA")
+    ap.add_argument("--pca-world", type=int, default=1,
+                    help="rank-distributed PCA over this many ranks "
+                         "(sequentially measured; phases + modeled "
+                         "multi-host wall reported)")
+    ap.add_argument("--pca-workdir", default=None,
+                    help="shared artifact directory for --pca-world")
     ap.add_argument("--out", default=None)
     ap.add_argument("--verbose", action="store_true")
     ap.add_argument("--skip-pca", action="store_true")
