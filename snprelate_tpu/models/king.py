@@ -19,7 +19,7 @@ from typing import Optional
 import numpy as np
 
 from ..workspace import init_workspace
-from ..ops.pairwise import king_homo_counts, pair_counts
+from ..ops.pairwise import host_read, king_homo_counts, pair_counts
 
 
 # max elements of one flattened hit block compacted by jnp.nonzero —
@@ -258,7 +258,7 @@ def _king_screen_tiles(ws, fam, kinship_cutoff, hit_cap, group, chunk,
         i, j, r0, c0, nr, nc, counters, fr, fc, cap, hits = p
         while True:
             cnt, di, dj, dvals = hits
-            cnt = int(cnt)
+            cnt = int(host_read(cnt))
             if cnt <= cap:
                 break
             cap = 1 << (cnt - 1).bit_length()  # retry, compacted again
@@ -269,9 +269,9 @@ def _king_screen_tiles(ws, fam, kinship_cutoff, hit_cap, group, chunk,
             print(f"KING screen tile ({i},{j}): {cnt} candidates")
         if cnt == 0:
             return
-        ii = np.asarray(di)[:cnt]
-        jj = np.asarray(dj)[:cnt]
-        ss, hv_, vh_, ib0, nv = (np.asarray(v, np.float64)[:cnt]
+        ii = host_read(di)[:cnt]
+        jj = host_read(dj)[:cnt]
+        ss, hv_, vh_, ib0, nv = (host_read(v).astype(np.float64)[:cnt]
                                  for v in dvals)
         # padding rows/cols decode all-missing and can never hit; the
         # bound check is belt-and-braces for the compaction fill values
@@ -499,13 +499,13 @@ def king_ibd_selection(data, kinship_cutoff, sample_id=None, snp_id=None,
         for packed in chunks():
             carry = _basis_rows_step(carry, packed, r0, sample_block)
         cnts, di, dj, dvals = strip_hits(carry, r0, float(kinship_cutoff))
-        cnts = np.asarray(cnts)
+        cnts = host_read(cnts)
         cnt = int(cnts.sum())
         if cnt == 0:
             continue
         if cnts.max() <= hit_cap:
-            di, dj = np.asarray(di), np.asarray(dj)
-            dvals = [np.asarray(v, np.float64) for v in dvals]
+            di, dj = host_read(di), host_read(dj)
+            dvals = [host_read(v).astype(np.float64) for v in dvals]
             keep_sub = [slice(0, int(c)) for c in cnts]
             ii = np.concatenate([di[b][s] for b, s in enumerate(keep_sub)])
             jj = np.concatenate([dj[b][s] for b, s in enumerate(keep_sub)])
@@ -515,7 +515,7 @@ def king_ibd_selection(data, kinship_cutoff, sample_id=None, snp_id=None,
         else:  # dense fallback (more candidates than the compact bound)
             counters, packed_hit = strip_mask(carry, r0,
                                               float(kinship_cutoff))
-            mask = np.unpackbits(np.asarray(packed_hit), axis=1,
+            mask = np.unpackbits(host_read(packed_hit), axis=1,
                                  count=n_pad)[:nr, :n].astype(bool)
             ii, jj = np.nonzero(mask)
             # pad hit indices to a power of two so the gather compiles
@@ -525,10 +525,10 @@ def king_ibd_selection(data, kinship_cutoff, sample_id=None, snp_id=None,
             pj = np.zeros(m, np.int32)
             pi[: len(ii)] = ii
             pj[: len(jj)] = jj
-            ss, hv_, vh_, ib0, nv = (np.asarray(c, np.float64)[: len(ii)]
-                                     for c in gather_hits(
-                                         counters,
-                                         (jnp.asarray(pi), jnp.asarray(pj))))
+            ss, hv_, vh_, ib0, nv = (
+                host_read(c).astype(np.float64)[: len(ii)]
+                for c in gather_hits(counters,
+                                     (jnp.asarray(pi), jnp.asarray(pj))))
         if verbose:
             print(f"KING screening rows {r0 + nr}/{n}: "
                   f"{len(ii)} candidate pairs")

@@ -16,7 +16,7 @@ import numpy as np
 
 from .decode import decode2bit
 from .pairwise import (norm_precision, _default_float_dtype, _stream,
-                       auto_chunk, chunk_snp_stats)
+                       auto_chunk, chunk_snp_stats, host_read)
 
 
 def _mesh_tools(mesh):
@@ -66,7 +66,7 @@ def _per_snp_run(ws, chunk, n_pad, mesh, step_one, consts, n_out):
             res = batched(jax.device_put(pb, b_sh), *consts_d)
             res = res if isinstance(res, tuple) else (res,)
             for i in range(n_out):
-                a = np.asarray(res[i])
+                a = host_read(res[i])
                 results[i].append(a.reshape((-1,) + a.shape[2:]))
     return [np.concatenate(r)[: ws.n_snp] for r in results]
 
@@ -284,9 +284,9 @@ def eigmix_snp_loadings(ws, eigenvect: np.ndarray, afreq: np.ndarray,
                 a2p[:take] = 2.0 * afreq[s0 : s0 + take]
             a2ps.append(a2p)
         scb = np.full((ndev, chunk), afscale, npdt)
-        lo = np.asarray(batched(jax.device_put(pb, b_sh), e_d,
-                                jax.device_put(np.asarray(a2ps, npdt), b_sh),
-                                jax.device_put(scb, b_sh)))
+        lo = host_read(batched(jax.device_put(pb, b_sh), e_d,
+                               jax.device_put(np.asarray(a2ps, npdt), b_sh),
+                               jax.device_put(scb, b_sh)))
         lo = lo.reshape(-1, lo.shape[-1])
         take = min(ndev * chunk, ws.n_snp - start)
         out[start : start + take] = lo[:take]

@@ -132,6 +132,23 @@ def _default_float_dtype():
     return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
 
 
+def host_read(x) -> np.ndarray:
+    """``np.asarray`` that also works on MULTI-PROCESS (global-mesh)
+    device arrays: a mesh spanning several jax.distributed processes
+    leaves each output shard addressable only by its owner, so the plain
+    materialization raises — all-gather the shards to every process
+    first (one collective per materialized result, the same cost class
+    as the reference's per-analysis thread join). Single-process arrays
+    (the common case, incl. every single-device run) pass straight
+    through."""
+    if isinstance(x, jax.Array) and not x.is_fully_addressable \
+            and not x.is_fully_replicated:
+        from jax.experimental import multihost_utils
+
+        return multihost_utils.process_allgather(x, tiled=True)
+    return np.asarray(x)
+
+
 def chunk_snp_stats(geno: jax.Array):
     """Per-SNP sum/num over a decoded chunk (S, N): the jitted analog of
     SummarizeGeno_SampxSNP + DivideGeno (genPCA.cpp:84-141)."""
@@ -973,8 +990,8 @@ def gcta_parts_rows(ws, sample_block=None, chunk=None,
         cov, vgr, nloc = carry
         if verbose:
             print(f"GRM rows {r0 + nr}/{n}")
-        yield (r0, nr, np.asarray(cov)[:nr, :n].astype(np.float64),
-               np.asarray(vgr)[:nr, :n].astype(np.int64), int(nloc))
+        yield (r0, nr, host_read(cov)[:nr, :n].astype(np.float64),
+               host_read(vgr)[:nr, :n].astype(np.int64), int(nloc))
 
 
 def _basis_row_operands(packed, row0, nrows: int):
@@ -1035,13 +1052,13 @@ def basis_gram_rows(ws, sample_block=None, chunk=None,
                     acc = [np.zeros((sample_block, n_pad), np.int64)
                            for _ in range(5)]
                 for a, cb in zip(acc, carry):
-                    a += np.asarray(cb, np.int64)
+                    a += host_read(cb).astype(np.int64)
                 carry = zeros()
         if acc is not None:
-            c = np.stack([(a + np.asarray(b, np.int64))[:nr, :n]
+            c = np.stack([(a + host_read(b).astype(np.int64))[:nr, :n]
                           for a, b in zip(acc, carry)])
         else:
-            c = np.stack([np.asarray(b)[:nr, :n] for b in carry])
+            c = np.stack([host_read(b)[:nr, :n] for b in carry])
         if verbose:
             print(f"pairwise-count rows {r0 + nr}/{n}")
         yield r0, nr, c.astype(np.int64)
@@ -1065,7 +1082,7 @@ def pca_cov_rows(ws, sample_block=None, bayesian: bool = False,
             carry = _pca_rows_step(carry, packed, r0, sample_block, bayesian)
         if verbose:
             print(f"covariance rows {r0 + nr}/{n}")
-        yield r0, nr, np.asarray(carry)[:nr, :n].astype(np.float64)
+        yield r0, nr, host_read(carry)[:nr, :n].astype(np.float64)
 
 
 @functools.partial(jax.jit, donate_argnums=0, static_argnums=3)
@@ -1113,10 +1130,10 @@ def king_homo_rows(ws, sample_block=None, chunk=None, pad_to: int = 128,
         for packed in chunks():
             carry = _king_homo_rows_step(carry, packed, r0, sample_block)
         grams, waf, waf2 = carry
-        c = np.stack([np.asarray(b)[:nr, :n] for b in grams])
+        c = np.stack([host_read(b)[:nr, :n] for b in grams])
         yield (r0, nr, c.astype(np.int64),
-               np.asarray(waf)[:nr, :n].astype(np.float64),
-               np.asarray(waf2)[:nr, :n].astype(np.float64))
+               host_read(waf)[:nr, :n].astype(np.float64),
+               host_read(waf2)[:nr, :n].astype(np.float64))
 
 
 @functools.partial(jax.jit, donate_argnums=0, static_argnums=3)
@@ -1163,9 +1180,9 @@ def eigmix_rows(ws, sample_block=None, chunk=None, pad_to: int = 128,
         for packed in chunks():
             carry = _eigmix_rows_step(carry, packed, r0, sample_block)
         cov, wvg, het = carry
-        yield (r0, nr, np.asarray(cov)[:nr, :n].astype(np.float64),
-               np.asarray(wvg)[:nr, :n].astype(np.float64),
-               np.asarray(het)[:n].astype(np.int64))
+        yield (r0, nr, host_read(cov)[:nr, :n].astype(np.float64),
+               host_read(wvg)[:nr, :n].astype(np.float64),
+               host_read(het)[:n].astype(np.int64))
 
 
 # ---------------------------------------------------------------------------

@@ -38,7 +38,7 @@ from jax import lax
 
 from .decode import decode2bit
 from .pairwise import (MM_PRECISION, _default_float_dtype, guard_count_snps,
-                       norm_precision)
+                       host_read, norm_precision)
 
 
 @dataclass
@@ -385,8 +385,8 @@ def _stats_pass(source, fdt):
         gnum = np.zeros((source.n_chunks, source.chunk), np.int64)
         for j in range(source.n_groups):
             s, n = _slab_stats(source.slab(j))
-            gsum += np.asarray(s, np.int64)
-            gnum += np.asarray(n, np.int64)
+            gsum += host_read(s).astype(np.int64)
+            gnum += host_read(n).astype(np.int64)
     with np.errstate(divide="ignore", invalid="ignore"):
         avg = np.where(gnum > 0, gsum / gnum, 0.0)
         p = avg * 0.5
@@ -649,7 +649,7 @@ def gcta_grm_tiles(source, n_samp: int, method: str = "GCTA",
 
     def flush(pending):
         pi, pj, pr0, pc0, pnr, pnc, dev = pending
-        tile = np.asarray(dev)[:pnr, :pnc].astype(out_dtype)
+        tile = host_read(dev)[:pnr, :pnc].astype(out_dtype)
         tck.save(pi, pj, grm=tile)
         if verbose:
             print(f"GRM tile ({pi},{pj}) rows {pr0}..{pr0 + pnr} x "
@@ -775,7 +775,7 @@ def basis_count_tiles(source, n_samp: int, checkpoint=None,
         checkpoint, meta=(75, source.n_snp, n_samp, group, source.chunk))
 
     def finalize(i, j, nr, nc, out):
-        b = np.stack([np.asarray(a)[:nr, :nc] for a in out]) \
+        b = np.stack([host_read(a)[:nr, :nc] for a in out]) \
             .astype(np.int64)
         tck.save(i, j, b=b)
         if verbose:
@@ -821,7 +821,7 @@ def basis_count_tiles(source, n_samp: int, checkpoint=None,
         carry = _tile_carry([((g, g), jnp.int32)] * 5, mesh)
         out = _basis_tile_scan_c(carry, row_slab(i, slab_i), slab_j)
         slab_i = slab_j = payload = None
-        b = np.stack([np.asarray(a)[:nr, :nc] for a in out]) \
+        b = np.stack([host_read(a)[:nr, :nc] for a in out]) \
             .astype(np.int64)
         out = None
         tck.save(i, j, b=b)
@@ -973,10 +973,10 @@ def eigmix_parts_tiled(ws, group=None, chunk=None, verbose=False,
 
     def settle(p):
         i, j, r0, c0, nr, nc, (cov_t, wvg_t, het_t) = p
-        num_c = np.asarray(cov_t)[:nr, :nc]
-        wvg_c = np.asarray(wvg_t)[:nr, :nc]
+        num_c = host_read(cov_t)[:nr, :nc]
+        wvg_c = host_read(wvg_t)[:nr, :nc]
         if i == j:
-            het_c = np.asarray(het_t)[:nr]
+            het_c = host_read(het_t)[:nr]
             tck.save(i, j, num=num_c, wvg=wvg_c, het=het_c)
         else:
             het_c = None
@@ -1109,10 +1109,10 @@ def king_homo_parts_tiled(ws, group=None, chunk=None, verbose=False,
 
     def settle(pnd):
         i, j, r0, c0, nr, nc, (grams, w1, w2) = pnd
-        b = np.stack([np.asarray(a)[:nr, :nc] for a in grams]) \
+        b = np.stack([host_read(a)[:nr, :nc] for a in grams]) \
             .astype(np.int64)
-        w1c = np.asarray(w1)[:nr, :nc]
-        w2c = np.asarray(w2)[:nr, :nc]
+        w1c = host_read(w1)[:nr, :nc]
+        w2c = host_read(w2)[:nr, :nc]
         tck.save(i, j, b=b, waf=w1c, waf2=w2c)
         write(i, j, r0, c0, nr, nc, b, w1c, w2c)
 

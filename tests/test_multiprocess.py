@@ -81,3 +81,84 @@ def test_two_process_mesh(tmp_path):
         nn = (np.linalg.norm(z["eigenvect"][:, k])
               * np.linalg.norm(rp.eigenvect[:, k]))
         assert d / nn > 0.999, (k, d / nn)
+
+
+def test_four_process_tile_engines(tmp_path):
+    """4 OS processes x 2 devices = one 8-device global mesh running the
+    SUPER-TILE engines (GRM / integer counts / EIGMIX) and BOTH KING
+    screen routes with mesh= — every per-tile output is column-sharded
+    across the process boundary (VERDICT r2 #7)."""
+    worker = os.path.join(os.path.dirname(__file__),
+                          "_mp_worker_tiles.py")
+    out = str(tmp_path / "mp_tiles.npz")
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(pid), "4", str(port), out],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for pid in range(4)]
+    logs = []
+    for p in procs:
+        try:
+            stdout, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("multi-process tile workers timed out")
+        logs.append(stdout.decode(errors="replace"))
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, f"worker failed:\n{log[-3000:]}"
+
+    z = np.load(out)
+
+    # single-process reference on the same data (same planted twins)
+    from snprelate_tpu.io.store import create_geno
+    from snprelate_tpu.models.king import king_ibd_selection
+    from snprelate_tpu.ops.tiles import (eigmix_parts_tiled, grm_tiled,
+                                         pair_counts_tiled)
+    from snprelate_tpu.workspace import init_workspace
+
+    rng = np.random.default_rng(11)
+    n_snp, n_samp = 600, 320
+    g = rng.choice([0, 1, 2, 3], size=(n_snp, n_samp),
+                   p=[0.35, 0.3, 0.3, 0.05]).astype(np.uint8)
+    g[:, 200] = g[:, 5]
+    g[:, 11] = g[:, 10]
+    data = create_geno(g, sample_id=[f"s{i}" for i in range(n_samp)],
+                       snp_id=np.arange(n_snp),
+                       snp_position=np.arange(n_snp) * 50,
+                       snp_chromosome=np.ones(n_snp, np.int32))
+    ws, _ = init_workspace(data, autosome_only=False, remove_monosnp=False,
+                           missing_rate=np.nan, verbose=False)
+
+    grm = grm_tiled(ws, group=128, chunk=128)
+    counts = pair_counts_tiled(ws, group=128, chunk=128)
+    num, wvg, het = eigmix_parts_tiled(ws, group=128, chunk=128)
+    np.testing.assert_allclose(z["grm"], grm, rtol=1e-10, atol=1e-12)
+    np.testing.assert_array_equal(z["counts"], np.stack(counts.base()))
+    np.testing.assert_allclose(z["num"], num, rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(z["wvg"], wvg, rtol=1e-10, atol=1e-12)
+    np.testing.assert_array_equal(z["het"], het)
+
+    ref = king_ibd_selection(data, 0.2, autosome_only=False,
+                             remove_monosnp=False,
+                             missing_rate=float("nan"), tiles=False,
+                             sample_block=128, chunk=128)
+    o = np.lexsort((np.asarray(ref["ID2"], object),
+                    np.asarray(ref["ID1"], object)))
+    assert len(o) >= 2  # the planted twins must be found
+    for route in ("strip", "tile"):
+        np.testing.assert_array_equal(
+            z[f"{route}_id1"], np.asarray(ref["ID1"], object)[o]
+            .astype(str))
+        np.testing.assert_array_equal(
+            z[f"{route}_id2"], np.asarray(ref["ID2"], object)[o]
+            .astype(str))
+        np.testing.assert_allclose(z[f"{route}_ibs0"],
+                                   np.asarray(ref["IBS0"])[o], rtol=1e-12)
+        np.testing.assert_allclose(z[f"{route}_kin"],
+                                   np.asarray(ref["kinship"])[o],
+                                   rtol=1e-12)

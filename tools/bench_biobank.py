@@ -150,16 +150,46 @@ def run(args):
         src = GenSlabSource(7, n, s, group, chunk)
         meter = None
     else:
-        from snprelate_tpu.io.store import create_geno
+        from snprelate_tpu.io.store import SNPData
         from snprelate_tpu.workspace import init_workspace
 
         gen = GenSlabSource(7, n, s, group, chunk)
-        cols = []
-        for j in range(gen.n_groups):
-            sl = np.asarray(gen.slab(j)).reshape(s, group // 4)
-            cols.append(sl)
-        packed = np.concatenate(cols, axis=1)[:, : -(-n // 4)]
-        from snprelate_tpu.io.store import SNPData
+        nb = -(-n // 4)
+        if args.source == "disk":
+            # an ACTUAL on-disk packed store, read back through a memory
+            # map: the host side touches only each slab's byte columns
+            # per load (plus one sequential sweep for the stats pass) —
+            # the disk analog of CGenoReadBySNP reading each block once
+            # per pass (dGenGWAS.cpp:1283-1397)
+            path = args.store_path or "/tmp/biobank_store.packed"
+            if not (os.path.exists(path)
+                    and os.path.getsize(path) == s * nb):
+                t0 = time.time()
+                mm = np.memmap(path, np.uint8, mode="w+", shape=(s, nb))
+                for j in range(gen.n_groups):
+                    sl = np.asarray(gen.slab(j)).reshape(s, group // 4)
+                    c0 = j * (group // 4)
+                    w = min(group // 4, nb - c0)
+                    mm[:, c0: c0 + w] = sl[:, :w]
+                mm.flush()
+                del mm
+                print(json.dumps({"phase": "store_build", "path": path,
+                                  "bytes": s * nb,
+                                  "wall_s": round(time.time() - t0, 1)}),
+                      flush=True)
+            try:  # drop the page cache so the run truly reads the disk
+                with open("/proc/sys/vm/drop_caches", "w") as f:
+                    f.write("3\n")
+                results["page_cache_dropped"] = True
+            except OSError:
+                results["page_cache_dropped"] = False
+            packed = np.memmap(path, np.uint8, mode="r", shape=(s, nb))
+        else:  # "store": in-RAM packed store
+            cols = []
+            for j in range(gen.n_groups):
+                sl = np.asarray(gen.slab(j)).reshape(s, group // 4)
+                cols.append(sl)
+            packed = np.concatenate(cols, axis=1)[:, :nb]
 
         data = SNPData(sample_id=np.asarray([f"s{i}" for i in range(n)],
                                             object),
@@ -436,7 +466,11 @@ if __name__ == "__main__":
     ap.add_argument("--chunk", type=int, default=4096)
     ap.add_argument("--pcs", type=int, default=32)
     ap.add_argument("--iters", type=int, default=4)
-    ap.add_argument("--source", choices=("gen", "store"), default="gen")
+    ap.add_argument("--source", choices=("gen", "store", "disk"),
+                    default="gen")
+    ap.add_argument("--store-path", default=None,
+                    help="--source disk: packed store file (created when "
+                         "missing or of the wrong size; reused otherwise)")
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--tile-rank", metavar="RANK/WORLD", default=None,
                     help="compute only this rank's tile-row share into "

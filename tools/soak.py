@@ -253,7 +253,124 @@ def brute(g):
         corr = gc / (dg[:, None] * dg[None, :])
         np.fill_diagonal(corr, 1.0)
         out["corr_grm"] = corr
+
+    # MoM with kinship constraint (genIBD.cpp:367-377): after the
+    # sequential bounding, pairs with pihat^2 < k2 are projected onto the
+    # HWE line k0=(1-pihat)^2, k1=2 pihat (1-pihat)
+    if out["mom"] is not None:
+        k0m, k1m, _ = out["mom"]
+        k0c = k0m.copy()
+        k1c = k1m.copy()
+        for i in range(n):
+            for j in range(n):
+                if i == j:
+                    continue
+                k2 = 1.0 - k0c[i, j] - k1c[i, j]
+                pihat = k1c[i, j] / 2 + k2
+                if pihat * pihat < k2:
+                    k0c[i, j] = (1 - pihat) ** 2
+                    k1c[i, j] = 2 * pihat * (1 - pihat)
+        out["mom_constrained"] = (k0c, k1c,
+                                  0.5 * (1 - k0c - k1c) + 0.25 * k1c)
+    else:
+        out["mom_constrained"] = None
     return out
+
+
+def _em_haplo_scalar(nA_A, nA_B, nB_A, nB_B, nDH2):
+    """Scalar EM for one SNP pair's haplotype proportions — a fresh
+    per-pair transcription of ProportionHaplo (genLD.cpp:268-331):
+    same 0.01 pseudo-count init, same eps-padded log-likelihood, same
+    sqrt(eps)-relative convergence tolerance, <= 1000 iterations."""
+    import math as m
+
+    eps = np.finfo(np.float64).eps
+    ntot = nA_A + nA_B + nB_A + nB_B + nDH2
+    if ntot <= 0:
+        return (np.nan,) * 4
+    if nDH2 <= 0:
+        return (nA_A / ntot, nA_B / ntot, nB_A / ntot, nB_B / ntot)
+    init = 0.01
+    div = nA_A + nA_B + nB_A + nB_B + 4.0 * init
+    a, b, c, d = ((nA_A + init) / div, (nA_B + init) / div,
+                  (nB_A + init) / div, (nB_B + init) / div)
+    nDH = m.floor(nDH2 / 2)
+
+    def ll(a, b, c, d):
+        return (nA_A * m.log(a + eps) + nA_B * m.log(b + eps)
+                + nB_A * m.log(c + eps) + nB_B * m.log(d + eps)
+                + nDH * m.log(a * d + b * c + eps))
+
+    old = ll(a, b, c, d)
+    contol = max(abs(m.sqrt(eps) * old), eps)
+    for _ in range(1000):
+        p_ad, p_bc = a * d, b * c
+        ndh_ad = p_ad / (p_ad + p_bc) * nDH if p_ad + p_bc > 0 else 0.0
+        ndh_bc = nDH - ndh_ad
+        a = (nA_A + ndh_ad) / ntot
+        b = (nA_B + ndh_bc) / ntot
+        c = (nB_A + ndh_bc) / ntot
+        d = (nB_B + ndh_ad) / ntot
+        new = ll(a, b, c, d)
+        if abs(new - old) <= contol:
+            break
+        old = new
+    return a, b, c, d
+
+
+def brute_ld_pair(g1, g2, method):
+    """One SNP pair's LD by direct scalar counting — fresh transcriptions
+    of genLD.cpp: composite (:215-250), corr/cov (:477-526), r/dprime via
+    the scalar EM haplotype proportions (:268-444). g1/g2: (n,) uint8."""
+    import math as m
+
+    v = (g1 < 3) & (g2 < 3)
+    a, b = g1[v].astype(np.int64), g2[v].astype(np.int64)
+    n = int(v.sum())
+    J = np.zeros((3, 3), np.int64)
+    for x, y in zip(a, b):
+        J[x, y] += 1
+    if method == "composite":
+        if n == 0:
+            return np.nan
+        naa, naA, nAA = J[0].sum(), J[1].sum(), J[2].sum()
+        nbb, nbB, nBB = J[:, 0].sum(), J[:, 1].sum(), J[:, 2].sum()
+        delta = ((J[2, 2] + J[0, 0] - J[0, 2] - J[2, 0]) / (2.0 * n)
+                 - (naa - nAA) * (nbb - nBB) / (2.0 * n * n))
+        pa = (2 * naa + naA) / (2.0 * n)
+        pb = (2 * nbb + nbB) / (2.0 * n)
+        DA = nAA / n - (1 - pa) ** 2
+        DB = nBB / n - (1 - pb) ** 2
+        t = ((1 - pa) * pa + DA) * ((1 - pb) * pb + DB)
+        return delta / m.sqrt(t) if t > 0 else np.nan
+    if method in ("corr", "cov"):
+        X, Y = a.sum(), b.sum()
+        XX, YY, XY = (a * a).sum(), (b * b).sum(), (a * b).sum()
+        if method == "cov":
+            return (XY - X * Y / n) / (n - 1) if n > 1 else np.nan
+        c1 = XX - X * X / n if n > 0 else np.nan
+        c2 = YY - Y * Y / n if n > 0 else np.nan
+        val = c1 * c2
+        return (XY - X * Y / n) / m.sqrt(val) \
+            if (n > 0 and val > 0) else np.nan
+    # r / dprime: known haplotypes from the off-double-het cells
+    # (IncArray, genLD.cpp:155-172)
+    nA_A = 2 * J[2, 2] + J[2, 1] + J[1, 2]
+    nA_B = 2 * J[2, 0] + J[2, 1] + J[1, 0]
+    nB_A = 2 * J[0, 2] + J[0, 1] + J[1, 2]
+    nB_B = 2 * J[0, 0] + J[0, 1] + J[1, 0]
+    pA_A, pA_B, pB_A, pB_B = _em_haplo_scalar(
+        float(nA_A), float(nA_B), float(nB_A), float(nB_B),
+        float(2 * J[1, 1]))
+    pA, p_A = pA_A + pA_B, pA_A + pB_A
+    pB, p_B = pB_A + pB_B, pA_B + pB_B
+    D = np.float64(pA_A - pA * p_A)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        if method == "r":
+            return D / np.sqrt(np.float64(pA * p_A * pB * p_B))
+        lim = np.float64(min(pA * p_B, pB * p_A) if D >= 0
+                         else max(-pA * p_A, -pB * p_B))
+        return D / lim
 
 
 def one(seed, n_snp, n_samp, miss):
@@ -339,6 +456,91 @@ def one(seed, n_snp, n_samp, miss):
     want = b["corr_grm"]
     fin = np.isfinite(want) & np.isfinite(got)
     np.testing.assert_allclose(got[fin], want[fin], rtol=1e-9, atol=1e-12)
+
+    if b["mom_constrained"] is not None:
+        mc = ibd_mom(data, kinship=True, kinship_constraint=True, **kw)
+        for got, want in zip((mc.k0, mc.k1, mc.kinship),
+                             b["mom_constrained"]):
+            got = np.asarray(got, float)
+            fin = np.isfinite(want) & np.isfinite(got)
+            np.testing.assert_array_equal(np.isfinite(want),
+                                          np.isfinite(got))
+            np.testing.assert_allclose(got[fin], want[fin], rtol=1e-9,
+                                       atol=1e-12)
+
+    # LD: full matrix (all 5 measures) + banded vs the dense values, on
+    # the first <= 40 SNPs (the brute side is O(pairs x n) scalar EMs)
+    from snprelate_tpu import ld_mat
+
+    ns = min(n_snp, 40)
+    sub = np.arange(ns)
+    for method in ("composite", "corr", "cov", "r", "dprime"):
+        lm = ld_mat(data, snp_id=sub, slide=-1, method=method)
+        want = np.empty((ns, ns))
+        for i in range(ns):
+            for j in range(i, ns):
+                want[i, j] = want[j, i] = brute_ld_pair(g[i], g[j],
+                                                        method)
+        got = np.asarray(lm.LD, float)
+        offd = ~np.eye(ns, dtype=bool)  # the diagonal is never consumed
+        fin = np.isfinite(want) & np.isfinite(got) & offd
+        np.testing.assert_array_equal(np.isfinite(want) & offd, fin)
+        np.testing.assert_allclose(got[fin], want[fin], rtol=1e-9,
+                                   atol=1e-12)
+        if method == "composite" and ns > 8:
+            bd = np.asarray(ld_mat(data, snp_id=sub, slide=7,
+                                   method=method).LD, float)
+            for k in range(7):
+                for i in range(ns - k - 1):
+                    w, got_v = want[i, i + k + 1], bd[k, i]
+                    if np.isfinite(w) or np.isfinite(got_v):
+                        np.testing.assert_allclose(got_v, w, rtol=1e-9,
+                                                   atol=1e-12)
+
+    # cross (serving) engine: last q samples as queries vs the rest as
+    # the cohort — rectangular counters bit-exact vs brute per-pair
+    # counting, KING-robust kinship vs the genKING.cpp:634-638 formula
+    if n_samp >= 4:
+        from snprelate_tpu.models.king import king_cross
+        from snprelate_tpu.ops.pairwise import cross_pair_counts
+        from snprelate_tpu.workspace import init_workspace
+
+        q = max(1, n_samp // 8)
+        nc = n_samp - q
+        cohort_ids = [f"s{i}" for i in range(nc)]
+        qg = np.ascontiguousarray(g[:, nc:].T)  # (q, n_snp)
+        ws_c, _ = init_workspace(data, sample_id=cohort_ids,
+                                 autosome_only=False,
+                                 remove_monosnp=False,
+                                 missing_rate=np.nan)
+        cc = cross_pair_counts(ws_c, qg)
+        vv_ = g < 3
+        gf = g.astype(np.float64)
+        ib0 = np.zeros((q, nc), np.int64)
+        ib1 = np.zeros((q, nc), np.int64)
+        ib2 = np.zeros((q, nc), np.int64)
+        kin = np.full((q, nc), np.nan)
+        for qi in range(q):
+            for j in range(nc):
+                m = vv_[:, nc + qi] & vv_[:, j]
+                d = np.abs(gf[m, nc + qi] - gf[m, j])
+                ib0[qi, j] = (d == 2).sum()
+                ib1[qi, j] = (d == 1).sum()
+                ib2[qi, j] = (d == 0).sum()
+                n1 = (g[m, nc + qi] == 1).sum()
+                n2 = (g[m, j] == 1).sum()
+                if min(n1, n2) > 0:
+                    kin[qi, j] = 0.5 - (d ** 2).sum() / (4.0 * min(n1, n2))
+        np.testing.assert_array_equal(np.asarray(cc.ibs0), ib0)
+        np.testing.assert_array_equal(np.asarray(cc.ibs1), ib1)
+        np.testing.assert_array_equal(np.asarray(cc.ibs2), ib2)
+        kc = king_cross(data, qg, sample_id=cohort_ids,
+                        autosome_only=False, remove_monosnp=False,
+                        missing_rate=np.nan)
+        got = np.asarray(kc.kinship, float)
+        fin = np.isfinite(kin) & np.isfinite(got)
+        np.testing.assert_array_equal(np.isfinite(kin), np.isfinite(got))
+        np.testing.assert_allclose(got[fin], kin[fin], rtol=1e-12)
 
 
 def main():
