@@ -52,6 +52,45 @@ def main():
     grm = grm_tiled(ws, group=128, chunk=128, mesh=mesh)
     counts = pair_counts_tiled(ws, group=128, chunk=128, mesh=mesh)
     num, wvg, het = eigmix_parts_tiled(ws, group=128, chunk=128, mesh=mesh)
+    from snprelate_tpu.ops.tiles import king_homo_parts_tiled
+
+    khc, kwaf, kwaf2 = king_homo_parts_tiled(ws, group=128, chunk=128,
+                                             mesh=mesh)
+
+    # row-strip engines: every strip's sample columns sharded across the
+    # processes (host_read all-gathers each yielded strip)
+    from snprelate_tpu.ops.pairwise import (basis_gram_rows,
+                                            gcta_parts_rows, pca_cov_rows)
+
+    strips = {}
+    rows_counts = np.empty((5, n_samp, n_samp), np.int64)
+    for r0, nr, blk in basis_gram_rows(ws, sample_block=128, chunk=128,
+                                       mesh=mesh):
+        rows_counts[:, r0:r0 + nr] = blk
+    strips["rows_counts"] = rows_counts
+    rows_cov = np.empty((n_samp, n_samp))
+    rows_vgr = np.empty((n_samp, n_samp), np.int64)
+    for r0, nr, cov_b, vgr_b, _nl in gcta_parts_rows(
+            ws, sample_block=128, chunk=128, mesh=mesh):
+        rows_cov[r0:r0 + nr] = cov_b
+        rows_vgr[r0:r0 + nr] = vgr_b
+    strips["rows_cov"] = rows_cov
+    strips["rows_vgr"] = rows_vgr
+    rows_pca = np.empty((n_samp, n_samp))
+    for r0, nr, cov_b in pca_cov_rows(ws, sample_block=128, chunk=128,
+                                      mesh=mesh):
+        rows_pca[r0:r0 + nr] = cov_b
+    strips["rows_pca"] = rows_pca
+
+    # loadings family (mesh= batches chunks across every device)
+    from snprelate_tpu.models.pca import pca
+    from snprelate_tpu.models.pca_ext import pca_corr, pca_snp_loading
+
+    pr = pca(data, eigen_cnt=4, autosome_only=False, remove_monosnp=False,
+             missing_rate=float("nan"))
+    strips["corr"] = pca_corr(pr, data, snp_id=np.arange(200),
+                              mesh=mesh).snpcorr
+    strips["snpload"] = pca_snp_loading(pr, data, mesh=mesh).snploading
 
     # KING screens: row-strip route and super-tile route
     from snprelate_tpu.models.king import king_ibd_selection
@@ -78,8 +117,10 @@ def main():
         t1, t2, tI, tk = table(tiled)
         np.savez(out, grm=grm, counts=np.stack(counts.base()),
                  num=num, wvg=wvg, het=het,
+                 khc=np.stack(khc.base()), kwaf=kwaf, kwaf2=kwaf2,
                  strip_id1=s1, strip_id2=s2, strip_ibs0=sI, strip_kin=sk,
-                 tile_id1=t1, tile_id2=t2, tile_ibs0=tI, tile_kin=tk)
+                 tile_id1=t1, tile_id2=t2, tile_ibs0=tI, tile_kin=tk,
+                 **strips)
     import jax.experimental.multihost_utils as mh
 
     mh.sync_global_devices("done")

@@ -103,7 +103,7 @@ def test_four_process_tile_engines(tmp_path):
     logs = []
     for p in procs:
         try:
-            stdout, _ = p.communicate(timeout=600)
+            stdout, _ = p.communicate(timeout=900)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -142,6 +142,46 @@ def test_four_process_tile_engines(tmp_path):
     np.testing.assert_allclose(z["num"], num, rtol=1e-10, atol=1e-12)
     np.testing.assert_allclose(z["wvg"], wvg, rtol=1e-10, atol=1e-12)
     np.testing.assert_array_equal(z["het"], het)
+
+    from snprelate_tpu.ops.tiles import king_homo_parts_tiled
+    khc, kwaf, kwaf2 = king_homo_parts_tiled(ws, group=128, chunk=128)
+    np.testing.assert_array_equal(z["khc"], np.stack(khc.base()))
+    np.testing.assert_allclose(z["kwaf"], kwaf, rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(z["kwaf2"], kwaf2, rtol=1e-10, atol=1e-12)
+
+    # row-strip engines across the process boundary
+    from snprelate_tpu.ops.pairwise import (basis_gram_rows,
+                                            gcta_parts_rows, pca_cov_rows)
+
+    want = np.empty((5, n_samp, n_samp), np.int64)
+    for r0, nr, blk in basis_gram_rows(ws, sample_block=128, chunk=128):
+        want[:, r0:r0 + nr] = blk
+    np.testing.assert_array_equal(z["rows_counts"], want)
+    wc = np.empty((n_samp, n_samp))
+    wv = np.empty((n_samp, n_samp), np.int64)
+    for r0, nr, cov_b, vgr_b, _nl in gcta_parts_rows(ws, sample_block=128,
+                                                     chunk=128):
+        wc[r0:r0 + nr] = cov_b
+        wv[r0:r0 + nr] = vgr_b
+    np.testing.assert_allclose(z["rows_cov"], wc, rtol=1e-10, atol=1e-12)
+    np.testing.assert_array_equal(z["rows_vgr"], wv)
+    wp = np.empty((n_samp, n_samp))
+    for r0, nr, cov_b in pca_cov_rows(ws, sample_block=128, chunk=128):
+        wp[r0:r0 + nr] = cov_b
+    np.testing.assert_allclose(z["rows_pca"], wp, rtol=1e-10, atol=1e-12)
+
+    # loadings family
+    from snprelate_tpu.models.pca import pca as pca_fn
+    from snprelate_tpu.models.pca_ext import pca_corr, pca_snp_loading
+
+    pr = pca_fn(data, eigen_cnt=4, autosome_only=False,
+                remove_monosnp=False, missing_rate=float("nan"))
+    np.testing.assert_allclose(
+        z["corr"], pca_corr(pr, data, snp_id=np.arange(200)).snpcorr,
+        rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(
+        z["snpload"], pca_snp_loading(pr, data).snploading,
+        rtol=1e-10, atol=1e-12)
 
     ref = king_ibd_selection(data, 0.2, autosome_only=False,
                              remove_monosnp=False,
