@@ -46,8 +46,11 @@ def joint_table(geno_i: np.ndarray, geno_j: np.ndarray,
     if use_device and (geno_i.shape[0] * geno_j.shape[0] > 4096):
         c = _joint_tile(jnp.asarray(pi), jnp.asarray(pj))
         return np.asarray(c).astype(np.int64)
-    return np.einsum("ain,bjn->abij", pi, pj, dtype=np.int64,
-                     optimize=True)
+    # upcast BEFORE contracting: einsum's optimize=True routes through
+    # tensordot/BLAS in the operand dtype and silently ignores dtype=,
+    # wrapping int8 once a joint cell exceeds 127 (i.e. >127 samples)
+    return np.einsum("ain,bjn->abij", pi.astype(np.int64),
+                     pj.astype(np.int64), optimize=True)
 
 
 def em_haplo(nA_A, nA_B, nB_A, nB_B, nDH2):

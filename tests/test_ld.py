@@ -177,3 +177,38 @@ def test_prune_banded_equals_scalar():
     pos2[10], pos2[11] = pos2[11] + 1000, pos2[10]
     assert _prune_chromosome_banded(g, pos2, 0, 50_000, 100, 0.2,
                                     "composite") is None
+
+
+def test_joint_table_host_path_above_127_samples():
+    """Regression: the host einsum path of joint_table wrapped int8 once a
+    joint cell exceeded 127 (einsum's optimize=True contracts in the
+    operand dtype, silently ignoring dtype=int64). 257 samples with
+    common genotype pairs push cells past 127; the host path must match
+    the device matmul path and direct counting exactly."""
+    from snprelate_tpu.ops.ld import joint_table, ld_from_joint
+
+    rng = np.random.default_rng(1028)
+    n_snp, n_samp = 12, 257
+    p = rng.uniform(0.02, 0.98, n_snp)
+    g = (rng.random((n_snp, n_samp)) < p[:, None]).astype(np.uint8)
+    g += (rng.random((n_snp, n_samp)) < p[:, None]).astype(np.uint8)
+    g[rng.random((n_snp, n_samp)) < 0.1] = 3
+
+    J_host = joint_table(g, g, use_device=False)
+    J_dev = joint_table(g, g, use_device=True)
+    np.testing.assert_array_equal(J_host, J_dev)
+    # direct counting for one high-count pair
+    direct = np.zeros((3, 3), np.int64)
+    a, b = g[0], g[1]
+    m = (a < 3) & (b < 3)
+    for x, y in zip(a[m], b[m]):
+        direct[x, y] += 1
+    np.testing.assert_array_equal(J_host[:, :, 0, 1], direct)
+    assert J_host.max() > 127  # the regression's trigger condition
+
+    # corr from the host joint table == numpy pairwise-complete corr
+    got = ld_from_joint(J_host[:, :, 0, 1], "corr")
+    af = a[m].astype(float)
+    bf = b[m].astype(float)
+    want = np.corrcoef(af, bf)[0, 1]
+    np.testing.assert_allclose(got, want, rtol=1e-12)
