@@ -349,7 +349,11 @@ class TileGridCheckpointer:
                     _o.remove(fn)
                 _o.remove(mfn)
             if not _o.path.exists(mfn):
-                tmp = mfn + ".tmp"
+                # pid-suffixed tmp: concurrent rank processes racing to
+                # create the (byte-identical) meta must not share one tmp
+                # path — os.replace by the winner leaves the loser's
+                # replace raising FileNotFoundError
+                tmp = mfn + f".tmp{_o.getpid()}"
                 with open(tmp, "wb") as f:
                     np.save(f, self.meta)
                 _o.replace(tmp, mfn)
