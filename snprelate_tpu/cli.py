@@ -112,6 +112,20 @@ def main(argv=None) -> int:
                    help="crash-resume checkpoint file prefix (one file, "
                         "updated per chunk; <FILE>.tile*.npy per tile on "
                         "the row-tiled paths)")
+    p.add_argument("--rank", metavar="RANK/WORLD",
+                   help="multi-host randomized PCA: run as this rank of "
+                        "WORLD independent processes coordinating only "
+                        "through --workdir (shared filesystem); rank 0 "
+                        "merges and writes the output files, the others "
+                        "exit after their projection")
+    p.add_argument("--workdir", metavar="DIR",
+                   help="shared artifact directory for --rank")
+    p.add_argument("--iters", type=int, default=4,
+                   help="randomized power passes (--rank mode)")
+    p.add_argument("--aux-dim", type=int, default=None,
+                   help="randomized subspace width (default 2*eigen-cnt)")
+    p.add_argument("--barrier-timeout", type=float, default=3600.0,
+                   help="max seconds to wait on other ranks' artifacts")
     _add_filter_args(p)
 
     p = sub.add_parser("grm", help="GRM -> SNPRELATE_OUTPUT GDS")
@@ -332,8 +346,32 @@ def run(a) -> str:
         from .models.pca import pca
 
         data = _open(a.gds)
-        r = pca(data, eigen_cnt=a.eigen_cnt, algorithm=a.algorithm,
-                seed=a.seed, checkpoint=a.checkpoint, **_filters(data, a))
+        if a.rank:
+            from .models.pca_rank import pca_rank_process
+            from .ops.tiles import (StoreSlabSource, auto_tile_group,
+                                    parse_tile_rank)
+            from .workspace import init_workspace
+
+            if not a.workdir:
+                raise SystemExit("--rank needs --workdir (the shared "
+                                 "artifact directory)")
+            tr = parse_tile_rank(a.rank)
+            rank, world = tr if tr is not None else (0, 1)
+            ws, _ = init_workspace(data, **_filters(data, a))
+            group = auto_tile_group(ws.n_snp, n_samp=ws.n_samp)
+            src = StoreSlabSource(ws, group, min(4096, ws.n_snp))
+            r = pca_rank_process(
+                src, ws.n_samp, a.workdir, rank, world,
+                eigen_cnt=a.eigen_cnt, aux_dim=a.aux_dim,
+                iter_num=a.iters, seed=a.seed, sample_id=ws.sample_id,
+                snp_id=ws.snp_id, timeout=a.barrier_timeout)
+            if r is None:
+                return (f"PCA rank {a.rank}: power/projection artifacts "
+                        f"written to {a.workdir}; rank 0 assembles")
+        else:
+            r = pca(data, eigen_cnt=a.eigen_cnt, algorithm=a.algorithm,
+                    seed=a.seed, checkpoint=a.checkpoint,
+                    **_filters(data, a))
         np.savetxt(a.out + ".eigenval.txt", r.eigenval[:a.eigen_cnt])
         with open(a.out + ".eigenvec.csv", "w") as f:
             f.write("sample.id," + ",".join(
@@ -341,7 +379,8 @@ def run(a) -> str:
             for s, row in zip(r.sample_id, r.eigenvect):
                 f.write(str(s) + "," + ",".join(f"{v:.10g}" for v in row)
                         + "\n")
-        return (f"PCA ({a.algorithm}): wrote {a.out}.eigenval.txt and "
+        algo = f"rank-distributed x{a.rank}" if a.rank else a.algorithm
+        return (f"PCA ({algo}): wrote {a.out}.eigenval.txt and "
                 f"{a.out}.eigenvec.csv ({len(r.sample_id)} samples x "
                 f"{r.eigenvect.shape[1]} PCs)")
 

@@ -321,6 +321,69 @@ def pca_rank_assemble(workdir: str, world: int, n_samp: int,
                      eigenval, eigenvect, vp, trace2, False, None)
 
 
+def _wait_for(paths, poll: float, timeout: float, what: str):
+    """Filesystem barrier: block until every path exists (multi-host
+    ranks coordinate through the shared workdir only)."""
+    import time
+
+    deadline = time.time() + timeout
+    missing = list(paths)
+    while True:
+        missing = [p for p in missing if not os.path.exists(p)]
+        if not missing:
+            return
+        if time.time() >= deadline:
+            raise TimeoutError(
+                f"pca rank barrier timed out waiting for {what}: "
+                f"{len(missing)} artifact(s) missing, e.g. {missing[0]}")
+        time.sleep(poll)
+
+
+def pca_rank_process(source, n_samp: int, workdir: str, rank: int,
+                     world: int, eigen_cnt: int = 32, aux_dim=None,
+                     iter_num: int = 4, seed=None, sample_id=None,
+                     snp_id=None, poll: float = 2.0,
+                     timeout: float = 3600.0, verbose: bool = False):
+    """One rank's COMPLETE life cycle of the distributed randomized PCA —
+    the entry point an actual multi-host deployment runs, one process
+    per host against a shared filesystem (the same deployment contract
+    as grm(tile_rank=)). Rank 0 additionally performs the tiny reduce /
+    assemble steps; every other rank synchronizes on the files rank 0
+    writes. Returns PCAResult on rank 0, None elsewhere.
+
+    Phases (see module docstring): for it in 0..iter_num-1 every rank
+    writes p{it}.r{rank}.npy, rank 0 merges them into g{it+1}.npy; then
+    every rank writes its projection artifacts and rank 0 assembles."""
+    if aux_dim is None:
+        aux_dim = 2 * eigen_cnt
+    if not (0 <= rank < world):
+        raise ValueError(f"pca rank {rank} outside world {world}")
+    os.makedirs(workdir, exist_ok=True)
+    for it in range(iter_num):
+        if it > 0 and rank != 0:
+            _wait_for([_g_path(workdir, it)], poll, timeout,
+                      f"G_{it} (rank 0's reduce of pass {it - 1})")
+        pca_rank_power(source, n_samp, workdir, rank, world, it, aux_dim,
+                       seed=seed, verbose=verbose)
+        if rank == 0:
+            _wait_for([os.path.join(workdir, f"p{it:03d}.r{r}.npy")
+                       for r in range(world)], poll, timeout,
+                      f"power-pass-{it} partials")
+            pca_rank_reduce(workdir, world, it, verbose=verbose)
+    if rank != 0 and iter_num > 0:
+        _wait_for([_g_path(workdir, iter_num)], poll, timeout,
+                  f"G_{iter_num} (rank 0's final reduce)")
+    pca_rank_project(source, n_samp, workdir, rank, world, iter_num,
+                     aux_dim, seed=seed, verbose=verbose)
+    if rank != 0:
+        return None
+    _wait_for([os.path.join(workdir, f"{k}.r{r}.npy")
+               for r in range(world) for k in ("c", "w", "tr")],
+              poll, timeout, "projection artifacts")
+    return pca_rank_assemble(workdir, world, n_samp, eigen_cnt,
+                             sample_id=sample_id, snp_id=snp_id)
+
+
 def randomized_pca_ranked(make_source, n_samp: int, workdir: str,
                           world: int = 1, eigen_cnt: int = 32,
                           aux_dim=None, iter_num: int = 4, seed=None,

@@ -128,3 +128,63 @@ def test_reduce_missing_rank_raises(tmp_path):
     PR.pca_rank_power(src, ws.n_samp, wd, 0, 2, 0, 8, seed=1)
     with pytest.raises(FileNotFoundError, match="rank 1"):
         PR.pca_rank_reduce(wd, 2, 0)
+
+
+def test_cli_rank_two_os_processes(tmp_path):
+    """`python -m snprelate_tpu pca --rank R/2 --workdir D` as two
+    concurrent OS processes — the deployable multi-host surface: the
+    filesystem barriers in pca_rank_process sequence the phases, rank 0
+    writes the output files. Must match a --rank 0/1 (world=1) run of
+    the same CLI to the world-invariance tolerance."""
+    import os
+    import subprocess
+    import sys
+
+    from snprelate_tpu.io.store import example_filename
+
+    env = dict(os.environ)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+
+    def args(rank_spec, wd, out):
+        return [sys.executable, "-c",
+                "import jax, sys\n"
+                "jax.config.update('jax_platforms', 'cpu')\n"
+                "jax.config.update('jax_enable_x64', True)\n"
+                "from snprelate_tpu.cli import main\n"
+                "sys.exit(main(sys.argv[1:]))",
+                "pca", example_filename(), "--rank", rank_spec,
+                "--workdir", wd, "--out", out, "--eigen-cnt", "4",
+                "--iters", "2", "--aux-dim", "12", "--seed", "5",
+                "--barrier-timeout", "540", "--quiet"]
+
+    base_out = str(tmp_path / "base")
+    p = subprocess.run(args("0/1", str(tmp_path / "w1"), base_out),
+                       env=env, capture_output=True, timeout=600)
+    assert p.returncode == 0, p.stdout.decode() + p.stderr.decode()
+
+    out2 = str(tmp_path / "ranked")
+    procs = [subprocess.Popen(args(f"{r}/2", str(tmp_path / "w2"), out2),
+                              env=env, stdout=subprocess.PIPE,
+                              stderr=subprocess.STDOUT)
+             for r in range(2)]
+    for p in procs:
+        try:
+            log, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("pca rank workers timed out")
+        assert p.returncode == 0, log.decode(errors="replace")[-3000:]
+
+    ev1 = np.loadtxt(base_out + ".eigenval.txt")
+    ev2 = np.loadtxt(out2 + ".eigenval.txt")
+    np.testing.assert_allclose(ev2, ev1, rtol=1e-8)
+    v1 = np.loadtxt(base_out + ".eigenvec.csv", delimiter=",",
+                    skiprows=1, usecols=range(1, 5))
+    v2 = np.loadtxt(out2 + ".eigenvec.csv", delimiter=",",
+                    skiprows=1, usecols=range(1, 5))
+    for k in range(4):
+        c = abs(np.dot(v1[:, k], v2[:, k])
+                / (np.linalg.norm(v1[:, k]) * np.linalg.norm(v2[:, k])))
+        assert c > 1 - 1e-8, (k, c)
