@@ -280,7 +280,14 @@ _LZ4_MAGIC = b"\x04\x22\x4d\x18"
 
 def _lz4_block_decompress(src: bytes) -> bytes:
     """Decode one raw LZ4 block (the standard sequence format: token,
-    literals, 2-byte offset, match with overlap-replication semantics)."""
+    literals, 2-byte offset, match with overlap-replication semantics).
+    Prefers the native codec (codec_lz4_block, ~GB/s); this byte loop is
+    the no-compiler fallback."""
+    from ..native import lz4_block
+
+    native = lz4_block(src)
+    if native is not None:
+        return native
     out = bytearray()
     i, n = 0, len(src)
     while i < n:

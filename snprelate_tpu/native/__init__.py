@@ -67,6 +67,11 @@ def get_lib():
             lib.codec_vcf_gt.restype = i64
         except AttributeError:
             pass  # stale .so without the VCF parser: wrappers fall back
+        try:
+            lib.codec_lz4_block.argtypes = [u8p, i64, u8p, i64]
+            lib.codec_lz4_block.restype = i64
+        except AttributeError:
+            pass  # stale .so without LZ4: wrapper falls back
         lib.codec_num_threads.restype = ctypes.c_int
         _lib = lib
         return _lib
@@ -138,3 +143,24 @@ def vcf_gt_line(rest: bytes, gt_idx: int, n: int):
     out = np.full(n, 3, np.uint8)
     lib.codec_vcf_gt(rest, len(rest), gt_idx, _u8p(out), n)
     return out
+
+
+def lz4_block(src: bytes, expected: int | None = None):
+    """Decode one raw LZ4 block natively; None when the library (or the
+    symbol, for a stale .so) is unavailable — io/gds.py then runs its
+    pure-python decoder. ``expected`` sizes the output buffer when the
+    caller knows the decompressed length (GDS block streams do)."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "codec_lz4_block"):
+        return None
+    srcb = np.frombuffer(src, np.uint8)
+    cap = expected if expected else max(4 << 20, 32 * len(src))
+    while True:
+        out = np.empty(cap, np.uint8)
+        n = lib.codec_lz4_block(_u8p(srcb), len(srcb), _u8p(out), cap)
+        if n == -2:
+            cap *= 4
+            continue
+        if n < 0:
+            raise ValueError("LZ4 block: malformed input")
+        return out[:n].tobytes()

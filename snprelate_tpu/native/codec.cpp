@@ -141,6 +141,59 @@ int codec_num_threads(void)
 #endif
 }
 
+// Decode one raw LZ4 block (token / literals / 2-byte offset / match
+// with overlap-replication semantics) — the native path behind
+// io/gds.py::_lz4_block_decompress (the reference reads LZ4 nodes
+// through gdsfmt's bundled native LZ4; a byte-loop in Python is ~1000x
+// off for biobank-sized genotype nodes).
+// Returns bytes written, -1 on malformed input, -2 if dst_cap is too
+// small (caller retries with a larger buffer).
+int64_t codec_lz4_block(const uint8_t *src, int64_t n, uint8_t *dst,
+                        int64_t cap)
+{
+    int64_t i = 0, o = 0;
+    while (i < n) {
+        uint32_t token = src[i++];
+        int64_t lit = (int64_t)(token >> 4);
+        if (lit == 15) {
+            uint8_t b;
+            do {
+                if (i >= n) return -1;
+                b = src[i++];
+                lit += b;
+            } while (b == 255);
+        }
+        if (i + lit > n) return -1;
+        if (o + lit > cap) return -2;
+        memcpy(dst + o, src + i, (size_t)lit);
+        i += lit;
+        o += lit;
+        if (i >= n) break;  // final sequence: literals only
+        if (i + 2 > n) return -1;
+        int64_t off = (int64_t)src[i] | ((int64_t)src[i + 1] << 8);
+        i += 2;
+        if (off == 0 || off > o) return -1;
+        int64_t ml = (int64_t)(token & 15);
+        if (ml == 15) {
+            uint8_t b;
+            do {
+                if (i >= n) return -1;
+                b = src[i++];
+                ml += b;
+            } while (b == 255);
+        }
+        ml += 4;
+        if (o + ml > cap) return -2;
+        if (off >= ml) {
+            memcpy(dst + o, dst + o - off, (size_t)ml);
+        } else {  // overlapping match: byte-wise replicates the pattern
+            for (int64_t k = 0; k < ml; k++) dst[o + k] = dst[o + k - off];
+        }
+        o += ml;
+    }
+    return o;
+}
+
 
 // Parse the genotype columns of one VCF line (the tab-separated region
 // starting at the first sample column) into REF-allele dosage codes

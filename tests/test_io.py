@@ -188,3 +188,80 @@ def test_seqarray_layered_decode():
     assert g.shape == (2, 3)
     assert list(g[0]) == [2, 1, 3]       # (0,0)=2 ref, (0,1)=1, 3=missing
     assert list(g[1]) == [1, 3, 1]       # (0,5)->1; (15,...)=missing; (4,0)->1
+
+
+def test_lz4_native_matches_python():
+    """Differential fuzz of the native LZ4 block decoder against the
+    pure-python fallback: randomized valid sequences (literal runs,
+    matches incl. overlap replication, 15+ extension bytes) must decode
+    identically through both, and malformed inputs must raise in both."""
+    from snprelate_tpu.io import gds as G
+    from snprelate_tpu.native import lz4_block
+
+    if lz4_block(b"") is None:
+        pytest.skip("native codec unavailable")
+
+    def py_decode(blk):
+        # force the pure-python path (bypass the native preference)
+        import unittest.mock as mock
+
+        with mock.patch("snprelate_tpu.native.lz4_block",
+                        lambda *a, **k: None):
+            return G._lz4_block_decompress(blk)
+
+    rng = np.random.default_rng(11)
+    for case in range(200):
+        out = bytearray()
+        blk = bytearray()
+        n_seq = int(rng.integers(1, 8))
+        for s in range(n_seq):
+            lit = int(rng.integers(0, 40)) if rng.random() < 0.8 \
+                else int(rng.integers(15, 400))
+            literals = rng.integers(0, 256, lit, np.uint8).tobytes()
+            last = s == n_seq - 1
+            if last:
+                tok_m = 0
+            else:
+                ml = int(rng.integers(4, 30)) if rng.random() < 0.8 \
+                    else int(rng.integers(19, 300))
+                tok_m = min(ml - 4, 15)
+            blk.append((min(lit, 15) << 4) | tok_m)
+            if lit >= 15:
+                r = lit - 15
+                while r >= 255:
+                    blk.append(255)
+                    r -= 255
+                blk.append(r)
+            blk += literals
+            out += literals
+            if last:
+                break
+            off = int(rng.integers(1, max(2, len(out) + 1)))
+            off = min(off, len(out))
+            if off == 0:
+                break
+            blk += bytes([off & 0xFF, off >> 8])
+            if ml - 4 >= 15:
+                r = ml - 4 - 15
+                while r >= 255:
+                    blk.append(255)
+                    r -= 255
+                blk.append(r)
+            # expected: overlap-replicating match copy
+            start = len(out) - off
+            for k in range(ml):
+                out.append(out[start + k])
+        want = bytes(out)
+        got_native = lz4_block(bytes(blk))
+        got_py = py_decode(bytes(blk))
+        assert got_native == want, f"native mismatch case {case}"
+        assert got_py == want, f"python mismatch case {case}"
+
+    # malformed: zero offset / offset before start reject in both
+    for bad in (bytes([0x04]) + b"ab",                       # truncated
+                bytes([0x10]) + b"a" + bytes([0x00, 0x00]),  # offset 0
+                bytes([0x10]) + b"a" + bytes([0x05, 0x00])):  # off > out
+        with pytest.raises((ValueError, IndexError)):
+            lz4_block(bad)
+        with pytest.raises((ValueError, IndexError)):
+            py_decode(bad)
