@@ -64,7 +64,12 @@ def main():
                 delta = fn(d)
                 return jax.tree.map(lambda a, b: a + b, c, delta), ()
             out, _ = lax.scan(step, init, data)
-            return jax.tree.leaves(out)[0]
+            # DCE guard: consume EVERY carry leaf (a full reduction per
+            # leaf, once per run — returning just leaves[0] lets the
+            # compiler delete the other grams' matmuls entirely, which
+            # the current toolchain now does)
+            return sum(jnp.sum(v, dtype=jnp.float32)
+                       for v in jax.tree.leaves(out))
         return run
 
     gram_ops = 2.0 * nch * 4 * n * n * s
@@ -155,7 +160,7 @@ def main():
             def step(c, d):
                 return tuple(a + b for a, b in zip(c, covb(d))), ()
             out, _ = lax.scan(step, init, data)
-            return out[0]
+            return sum(jnp.sum(v) for v in out)  # DCE guard: all blocks
 
         t = timeit(run, xf)
         frac = nbl / (nblk * nblk)
