@@ -90,7 +90,11 @@ def _g_path(workdir, i):
 
 def _g0(n_pad: int, n_samp: int, aux_dim: int, seed):
     """The shared initial subspace — regenerated from the seed by every
-    rank (deterministic, so no g000 file needs to exist)."""
+    rank (deterministic, so no g000 file needs to exist). A concrete seed
+    is REQUIRED: seed=None would draw OS entropy, silently giving every
+    rank a different G0 and making the summed partials garbage."""
+    if seed is None:
+        seed = 0
     rng = np.random.default_rng(seed)
     g = np.zeros((n_pad, aux_dim))
     g[:n_samp] = rng.standard_normal((n_samp, aux_dim))
@@ -321,6 +325,27 @@ def pca_rank_assemble(workdir: str, world: int, n_samp: int,
                      eigenval, eigenvect, vp, trace2, False, None)
 
 
+def _guard_workdir(workdir, params: tuple):
+    """Refuse a workdir holding another run's artifacts: stale g/p files
+    from a different (cohort, aux, iters, world, seed) would satisfy the
+    barriers and silently poison the reduces. Same-params meta writes are
+    byte-identical pid-tmp atomic replaces (concurrent ranks race-free)."""
+    os.makedirs(workdir, exist_ok=True)
+    meta = np.asarray(params, np.int64)
+    mfn = os.path.join(workdir, "meta.npy")
+    if os.path.exists(mfn):
+        if not np.array_equal(np.load(mfn), meta):
+            raise ValueError(
+                f"pca workdir {workdir!r} holds artifacts of a different "
+                f"run (meta mismatch) — point the ranks at a fresh "
+                f"directory")
+        return
+    tmp = mfn + f".tmp{os.getpid()}"
+    with open(tmp, "wb") as f:
+        np.save(f, meta)
+    os.replace(tmp, mfn)
+
+
 def _wait_for(paths, poll: float, timeout: float, what: str):
     """Filesystem barrier: block until every path exists (multi-host
     ranks coordinate through the shared workdir only)."""
@@ -358,7 +383,9 @@ def pca_rank_process(source, n_samp: int, workdir: str, rank: int,
         aux_dim = 2 * eigen_cnt
     if not (0 <= rank < world):
         raise ValueError(f"pca rank {rank} outside world {world}")
-    os.makedirs(workdir, exist_ok=True)
+    _guard_workdir(workdir, (n_samp, source.n_chunks, source.group,
+                             source.chunk, aux_dim, iter_num, world,
+                             0 if seed is None else int(seed)))
     for it in range(iter_num):
         if it > 0 and rank != 0:
             _wait_for([_g_path(workdir, it)], poll, timeout,

@@ -188,3 +188,22 @@ def test_cli_rank_two_os_processes(tmp_path):
         c = abs(np.dot(v1[:, k], v2[:, k])
                 / (np.linalg.norm(v1[:, k]) * np.linalg.norm(v2[:, k])))
         assert c > 1 - 1e-8, (k, c)
+
+
+def test_workdir_guard_rejects_stale_artifacts(tmp_path):
+    """A workdir holding another run's artifacts must be refused, not
+    silently merged (stale g/p files would satisfy the barriers)."""
+    from snprelate_tpu.models.pca_rank import pca_rank_process
+    from snprelate_tpu.ops.tiles import StoreSlabSource
+
+    ws = _structured(n_snp=256, n_samp=60)
+    wd = str(tmp_path / "w")
+    src = StoreSlabSource(ws, group=64, chunk=64)
+    pca_rank_process(src, ws.n_samp, wd, 0, 1, eigen_cnt=4, aux_dim=8,
+                     iter_num=1, seed=3)
+    # same params: reuse is fine (idempotent)
+    pca_rank_process(src, ws.n_samp, wd, 0, 1, eigen_cnt=4, aux_dim=8,
+                     iter_num=1, seed=3)
+    with pytest.raises(ValueError, match="different"):
+        pca_rank_process(src, ws.n_samp, wd, 0, 1, eigen_cnt=4,
+                         aux_dim=8, iter_num=1, seed=4)
