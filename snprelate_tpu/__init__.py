@@ -34,7 +34,9 @@ def _setup_compile_cache():
 
 _setup_compile_cache()
 
-from .io.store import SNPData, create_geno, open_snp_gds, example_filename
+from .io.store import (SNPData, create_geno, open_snp_gds,
+                       example_filename, open_packed_store,
+                       save_packed_store)
 from .io.seqarray import open_seq_gds, write_seq_gds
 from .io.gds import open_gds, write_snp_gds
 from .io.convert import (bed_to_snpdata, snpdata_to_bed, vcf_to_snpdata,

@@ -9,6 +9,7 @@ device-side decode happens in ``ops/decode.py``.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 from typing import Any, Optional, Sequence
 
@@ -226,3 +227,71 @@ def open_snp_gds(path: str, readonly: bool = True,
 def example_filename() -> str:
     """snpgdsExampleFileName analog — the bundled HapMap subset."""
     return "/root/reference/inst/extdata/hapmap_geno.gds"
+
+
+def save_packed_store(data: SNPData, path: str,
+                      snp_chunk: int = 65536) -> None:
+    """Write a memory-mappable biobank store: ``<path>.packed`` holds the
+    raw 2-bit snp-major genotype matrix byte-for-byte, ``<path>.meta.npz``
+    the identifiers/annotations. The on-disk container SURVEY §7 layer 1
+    calls for: open_packed_store() memory-maps the matrix, so analyses at
+    100k x 1M scale stream slabs straight off disk without ever holding
+    (or decompressing) the cohort in RAM — the role gdsfmt's seekable
+    compressed nodes play for the reference (dGenGWAS.cpp:1283-1397),
+    re-designed as a flat mmap for O(1) byte-column slab extraction
+    (ops/tiles.py StoreSlabSource's access pattern).
+
+    ``snp_chunk`` bounds the write working set (rows per copy)."""
+    mm = np.memmap(path + ".packed", np.uint8, mode="w+",
+                   shape=data.genotype_packed.shape)
+    for s in range(0, data.genotype_packed.shape[0], snp_chunk):
+        e = min(s + snp_chunk, data.genotype_packed.shape[0])
+        mm[s:e] = data.genotype_packed[s:e]
+    mm.flush()
+    del mm
+    meta = {
+        "sample_id": np.asarray(data.sample_id, object),
+        "snp_id": np.asarray(data.snp_id),
+        "n_samp": np.int64(data.n_samp),
+        "snp_position": np.asarray(data.snp_position),
+        "snp_chromosome": np.asarray(data.snp_chromosome),
+        "autosome_start": np.int64(data.autosome_start),
+        "autosome_end": np.int64(data.autosome_end),
+    }
+    if data.snp_allele is not None:
+        meta["snp_allele"] = np.asarray(data.snp_allele, object)
+    if data.snp_rs_id is not None:
+        meta["snp_rs_id"] = np.asarray(data.snp_rs_id, object)
+    tmp = path + f".meta.npz.tmp{os.getpid()}"
+    with open(tmp, "wb") as f:
+        np.savez(f, **meta)
+    os.replace(tmp, path + ".meta.npz")
+
+
+def open_packed_store(path: str, mmap: bool = True) -> SNPData:
+    """Open a save_packed_store() container; the genotype matrix is a
+    read-only memory map (mmap=True), so every engine that walks packed
+    slabs (the super-tile GRM/count engines, the randomized-PCA slab
+    sweeps, the KING screens) reads only the byte columns it touches."""
+    with np.load(path + ".meta.npz", allow_pickle=True) as z:
+        n_samp = int(z["n_samp"])
+        n_snp = len(z["snp_id"])
+        kw = dict(
+            sample_id=z["sample_id"].astype(object),
+            snp_id=z["snp_id"],
+            n_samp=n_samp,
+            snp_position=z["snp_position"],
+            snp_chromosome=z["snp_chromosome"],
+            autosome_start=int(z["autosome_start"]),
+            autosome_end=int(z["autosome_end"]),
+        )
+        if "snp_allele" in z.files:
+            kw["snp_allele"] = z["snp_allele"].astype(object)
+        if "snp_rs_id" in z.files:
+            kw["snp_rs_id"] = z["snp_rs_id"].astype(object)
+    nb = -(-n_samp // 4)
+    packed = np.memmap(path + ".packed", np.uint8,
+                       mode="r" if mmap else "c", shape=(n_snp, nb))
+    if not mmap:
+        packed = np.asarray(packed)
+    return SNPData(genotype_packed=packed, **kw)
