@@ -78,8 +78,14 @@ def _filters(data, a):
 
 
 def _open(path):
-    from .io.store import open_snp_gds
+    import os
 
+    from .io.store import open_packed_store, open_snp_gds
+
+    # a save_packed_store() prefix (memory-mapped biobank container)
+    # works wherever a GDS path does
+    if os.path.exists(str(path) + ".meta.npz"):
+        return open_packed_store(str(path))
     return open_snp_gds(path)
 
 

@@ -301,3 +301,23 @@ def test_packed_store_roundtrip(tmp_path):
     gb = sr.grm(back, method="GCTA", **kw)
     np.testing.assert_allclose(np.asarray(gb.grm), np.asarray(ga.grm),
                                rtol=1e-12)
+
+
+def test_cli_accepts_packed_store_prefix(tmp_path, capsys):
+    """Every CLI command opens a save_packed_store() prefix like a GDS
+    path (the memmap biobank container as a first-class input)."""
+    from snprelate_tpu.cli import main
+    from snprelate_tpu.io.store import create_geno, save_packed_store
+
+    rng = np.random.default_rng(3)
+    g = rng.integers(0, 3, (200, 40), np.uint8)
+    data = create_geno(g, [f"s{i}" for i in range(40)], np.arange(200),
+                       np.arange(200) * 10 + 1, np.ones(200, np.int32))
+    p = str(tmp_path / "cohort")
+    save_packed_store(data, p)
+    out = str(tmp_path / "freq.csv")
+    assert main(["freq", p, "--out", out]) == 0
+    got = np.loadtxt(out, delimiter=",", skiprows=1, usecols=1)
+    v = g < 3
+    want = np.where(v, g, 0).sum(1) / (2.0 * v.sum(1))
+    np.testing.assert_allclose(got, want, rtol=1e-8)
