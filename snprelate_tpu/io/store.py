@@ -249,19 +249,34 @@ def save_packed_store(data: SNPData, path: str,
         mm[s:e] = data.genotype_packed[s:e]
     mm.flush()
     del mm
+    write_packed_meta(
+        path, data.sample_id, data.snp_id, data.n_samp,
+        data.snp_position, data.snp_chromosome,
+        autosome_start=data.autosome_start,
+        autosome_end=data.autosome_end,
+        snp_allele=data.snp_allele, snp_rs_id=data.snp_rs_id)
+
+
+def write_packed_meta(path: str, sample_id, snp_id, n_samp,
+                      snp_position, snp_chromosome, autosome_start=1,
+                      autosome_end=22, snp_allele=None,
+                      snp_rs_id=None) -> None:
+    """Write just the ``<path>.meta.npz`` sidecar of a packed store —
+    for writers that stream ``<path>.packed`` themselves (e.g. a cohort
+    generator building the matrix incrementally in bounded RAM)."""
     meta = {
-        "sample_id": np.asarray(data.sample_id, object),
-        "snp_id": np.asarray(data.snp_id),
-        "n_samp": np.int64(data.n_samp),
-        "snp_position": np.asarray(data.snp_position),
-        "snp_chromosome": np.asarray(data.snp_chromosome),
-        "autosome_start": np.int64(data.autosome_start),
-        "autosome_end": np.int64(data.autosome_end),
+        "sample_id": np.asarray(sample_id, object),
+        "snp_id": np.asarray(snp_id),
+        "n_samp": np.int64(n_samp),
+        "snp_position": np.asarray(snp_position),
+        "snp_chromosome": np.asarray(snp_chromosome),
+        "autosome_start": np.int64(autosome_start),
+        "autosome_end": np.int64(autosome_end),
     }
-    if data.snp_allele is not None:
-        meta["snp_allele"] = np.asarray(data.snp_allele, object)
-    if data.snp_rs_id is not None:
-        meta["snp_rs_id"] = np.asarray(data.snp_rs_id, object)
+    if snp_allele is not None:
+        meta["snp_allele"] = np.asarray(snp_allele, object)
+    if snp_rs_id is not None:
+        meta["snp_rs_id"] = np.asarray(snp_rs_id, object)
     tmp = path + f".meta.npz.tmp{os.getpid()}"
     with open(tmp, "wb") as f:
         np.savez(f, **meta)

@@ -156,16 +156,22 @@ def run(args):
         gen = GenSlabSource(7, n, s, group, chunk)
         nb = -(-n // 4)
         if args.source == "disk":
-            # an ACTUAL on-disk packed store, read back through a memory
+            # an ACTUAL on-disk packed store (the save_packed_store /
+            # open_packed_store container), read back through a memory
             # map: the host side touches only each slab's byte columns
             # per load (plus one sequential sweep for the stats pass) —
             # the disk analog of CGenoReadBySNP reading each block once
             # per pass (dGenGWAS.cpp:1283-1397)
-            path = args.store_path or "/tmp/biobank_store.packed"
-            if not (os.path.exists(path)
-                    and os.path.getsize(path) == s * nb):
+            from snprelate_tpu.io.store import (open_packed_store,
+                                                write_packed_meta)
+
+            prefix = args.store_path or "/tmp/biobank_store"
+            pfn = prefix + ".packed"
+            if not (os.path.exists(pfn)
+                    and os.path.getsize(pfn) == s * nb
+                    and os.path.exists(prefix + ".meta.npz")):
                 t0 = time.time()
-                mm = np.memmap(path, np.uint8, mode="w+", shape=(s, nb))
+                mm = np.memmap(pfn, np.uint8, mode="w+", shape=(s, nb))
                 for j in range(gen.n_groups):
                     sl = np.asarray(gen.slab(j)).reshape(s, group // 4)
                     c0 = j * (group // 4)
@@ -173,7 +179,12 @@ def run(args):
                     mm[:, c0: c0 + w] = sl[:, :w]
                 mm.flush()
                 del mm
-                print(json.dumps({"phase": "store_build", "path": path,
+                write_packed_meta(
+                    prefix, np.asarray([f"s{i}" for i in range(n)],
+                                       object),
+                    np.arange(s), n, np.arange(s) * 10,
+                    np.ones(s, np.int32))
+                print(json.dumps({"phase": "store_build", "path": prefix,
                                   "bytes": s * nb,
                                   "wall_s": round(time.time() - t0, 1)}),
                       flush=True)
@@ -183,19 +194,18 @@ def run(args):
                 results["page_cache_dropped"] = True
             except OSError:
                 results["page_cache_dropped"] = False
-            packed = np.memmap(path, np.uint8, mode="r", shape=(s, nb))
+            data = open_packed_store(prefix)
         else:  # "store": in-RAM packed store
             cols = []
             for j in range(gen.n_groups):
                 sl = np.asarray(gen.slab(j)).reshape(s, group // 4)
                 cols.append(sl)
             packed = np.concatenate(cols, axis=1)[:, :nb]
-
-        data = SNPData(sample_id=np.asarray([f"s{i}" for i in range(n)],
-                                            object),
-                       snp_id=np.arange(s), genotype_packed=packed,
-                       n_samp=n, snp_position=np.arange(s) * 10,
-                       snp_chromosome=np.ones(s, np.int32))
+            data = SNPData(
+                sample_id=np.asarray([f"s{i}" for i in range(n)], object),
+                snp_id=np.arange(s), genotype_packed=packed,
+                n_samp=n, snp_position=np.arange(s) * 10,
+                snp_chromosome=np.ones(s, np.int32))
         ws, _ = init_workspace(data, autosome_only=False,
                                remove_monosnp=False,
                                missing_rate=np.nan)
