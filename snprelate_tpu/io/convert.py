@@ -217,81 +217,132 @@ def _vcf_gt_code(cell: str, gt_idx: int) -> int:
 def vcf_to_snpdata(vcf_fn, method="biallelic.only", ref_allele=None,
                    ignore_chr_prefix="chr", verbose=False, out_fn=None,
                    snpfirstdim=False, compress_annotation="ZIP_RA.max",
-                   compress_geno="", option=None, nblock=1024) -> SNPData:
+                   compress_geno="", option=None, nblock=1024,
+                   out_store=None) -> SNPData:
     """snpgdsVCF2GDS analog (R/Conversion.R:972-1155): parse VCF genotypes
     to dosage of the reference allele. method='biallelic.only' keeps only
     biallelic SNVs; method='copy.num.of.ref' codes any variant by the copy
-    number of the reference allele."""
+    number of the reference allele.
+
+    Genotype rows are packed to 2-bit AS THEY PARSE (never a dense
+    (n_snp, n_samp) matrix — the reference likewise appends per line
+    block, gnrParseVCF4 ConvToGDS.cpp:645-1013). With ``out_store=``
+    the packed blocks stream straight into ``<out_store>.packed`` every
+    ``nblock`` variants and the return value is the reopened
+    memory-mapped container: biobank-scale ingestion in O(nblock x
+    n_samp) genotype RAM."""
     fns = [vcf_fn] if isinstance(vcf_fn, str) else list(vcf_fn)
     sample_id = None
     rows = []
-    genos = []
-    for fn in fns:
-        with _open(fn) as f:
-            for line in f:
-                if line.startswith("##"):
-                    continue
-                if line.startswith("#CHROM"):
-                    cols = line.rstrip("\r\n").split("\t")
-                    sids = cols[9:]
-                    if sample_id is None:
-                        sample_id = sids
-                    elif sample_id != sids:
-                        raise ValueError("Different samples across VCF files")
-                    continue
-                parts = line.rstrip("\r\n").split("\t", 9)
-                if len(parts) < 10:
-                    continue
-                chrom, pos, vid, ref, alt = parts[0], parts[1], parts[2], \
-                    parts[3], parts[4]
-                qual, filt = parts[5], parts[6]
-                fmt = parts[8].split(":")
-                try:
-                    gt_idx = fmt.index("GT")
-                except ValueError:
-                    continue
-                alts = alt.split(",")
-                if method == "biallelic.only":
-                    if len(alts) != 1 or len(ref) != 1 or len(alts[0]) != 1 \
-                            or alts[0] not in "ACGTacgt" or ref not in "ACGTacgt":
+    packed_blocks = []
+    buf = []
+    store_f = (open(str(out_store) + ".packed", "wb")
+               if out_store is not None else None)
+
+    def flush():
+        if not buf:
+            return
+        blk = np.stack(buf)
+        buf.clear()
+        if store_f is not None:
+            store_f.write(blk.tobytes())
+        else:
+            packed_blocks.append(blk)
+
+    try:
+        for fn in fns:
+            with _open(fn) as f:
+                for line in f:
+                    if line.startswith("##"):
                         continue
-                if ignore_chr_prefix and chrom.startswith(ignore_chr_prefix):
-                    chrom = chrom[len(ignore_chr_prefix):]
-                nsp = len(sample_id)
-                g = vcf_gt_line(parts[9].encode(), gt_idx, nsp)
-                if g is None:  # no native codec: memoized python parser
-                    g = np.full(nsp, 3, np.uint8)
-                    for i, cell in enumerate(parts[9].split("\t")[:nsp]):
-                        g[i] = _vcf_gt_code(cell, gt_idx)
-                rows.append((chrom, int(pos), vid, ref, alts[0] if alts else "",
-                             qual, filt))
-                genos.append(g)
+                    if line.startswith("#CHROM"):
+                        cols = line.rstrip("\r\n").split("\t")
+                        sids = cols[9:]
+                        if sample_id is None:
+                            sample_id = sids
+                        elif sample_id != sids:
+                            raise ValueError(
+                                "Different samples across VCF files")
+                        continue
+                    parts = line.rstrip("\r\n").split("\t", 9)
+                    if len(parts) < 10:
+                        continue
+                    chrom, pos, vid, ref, alt = parts[0], parts[1], \
+                        parts[2], parts[3], parts[4]
+                    qual, filt = parts[5], parts[6]
+                    fmt = parts[8].split(":")
+                    try:
+                        gt_idx = fmt.index("GT")
+                    except ValueError:
+                        continue
+                    alts = alt.split(",")
+                    if method == "biallelic.only":
+                        if len(alts) != 1 or len(ref) != 1 \
+                                or len(alts[0]) != 1 \
+                                or alts[0] not in "ACGTacgt" \
+                                or ref not in "ACGTacgt":
+                            continue
+                    if ignore_chr_prefix and chrom.startswith(
+                            ignore_chr_prefix):
+                        chrom = chrom[len(ignore_chr_prefix):]
+                    nsp = len(sample_id)
+                    g = vcf_gt_line(parts[9].encode(), gt_idx, nsp)
+                    if g is None:  # no native codec: memoized py parser
+                        g = np.full(nsp, 3, np.uint8)
+                        for i, cell in enumerate(
+                                parts[9].split("\t")[:nsp]):
+                            g[i] = _vcf_gt_code(cell, gt_idx)
+                    a, b = ref, alts[0] if alts else ""
+                    if ref_allele is not None:
+                        # ref-allele switch applied inline (the parse
+                        # order defines the variant index)
+                        i = len(rows)
+                        want = ref_allele[i] if i < len(ref_allele) \
+                            else None
+                        if want is not None and want == b and want != a:
+                            g = np.where(g <= 2, 2 - g, 3).astype(np.uint8)
+                            a, b = b, a
+                    rows.append((chrom, int(pos), vid, a, b, qual, filt))
+                    buf.append(pack2bit(g[None])[0])
+                    if len(buf) >= nblock:
+                        flush()
+        flush()
+    finally:
+        if store_f is not None:
+            store_f.close()
     n_snp = len(rows)
-    geno = np.stack(genos) if genos else np.zeros((0, len(sample_id or [])),
-                                                  np.uint8)
-    if ref_allele is not None:
-        if len(ref_allele) != n_snp:
-            raise ValueError("'ref.allele' has the wrong length")
-        for i, want in enumerate(ref_allele):
-            if want is None:
-                continue
-            chrom, pos, vid, ref, alt, qual, filt = rows[i]
-            if want == alt and want != ref:
-                g = geno[i]
-                geno[i] = np.where(g <= 2, 2 - g, 3)
-                rows[i] = (chrom, pos, vid, alt, ref, qual, filt)
+    if ref_allele is not None and len(ref_allele) != n_snp:
+        raise ValueError("'ref.allele' has the wrong length")
+    nsp = len(sample_id or [])
     qual_arr = np.array([float(r[5]) if r[5] not in (".", "") else np.nan
                          for r in rows])
     filt_arr = np.asarray([r[6] for r in rows], object)
+    annot = {"qual": qual_arr, "filter": filt_arr}
+    if out_store is not None:
+        from .store import open_packed_store, write_packed_meta
+
+        write_packed_meta(
+            out_store, np.asarray(sample_id or [], object),
+            np.arange(1, n_snp + 1), nsp,
+            np.asarray([r[1] for r in rows], np.int64),
+            np.asarray([r[0] for r in rows], object),
+            snp_allele=np.asarray([f"{r[3]}/{r[4]}" for r in rows],
+                                  object),
+            snp_rs_id=np.asarray([r[2] for r in rows], object),
+            snp_annot=annot)
+        sd = open_packed_store(str(out_store))
+        return _maybe_write_gds(sd, out_fn, snpfirstdim)
+    packed = (np.concatenate(packed_blocks) if packed_blocks
+              else np.zeros((0, -(-nsp // 4)), np.uint8))
     sd = SNPData(
         sample_id=np.asarray(sample_id or [], object),
         snp_id=np.arange(1, n_snp + 1),
-        genotype_packed=pack2bit(geno), n_samp=len(sample_id or []),
+        genotype_packed=packed, n_samp=nsp,
         snp_position=np.asarray([r[1] for r in rows], np.int64),
         snp_chromosome=np.asarray([r[0] for r in rows], object),
         snp_allele=np.asarray([f"{r[3]}/{r[4]}" for r in rows], object),
         snp_rs_id=np.asarray([r[2] for r in rows], object))
-    sd.snp_annot = {"qual": qual_arr, "filter": filt_arr}
+    sd.snp_annot = annot
     return _maybe_write_gds(sd, out_fn, snpfirstdim)
 
 

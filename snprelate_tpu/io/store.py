@@ -254,16 +254,18 @@ def save_packed_store(data: SNPData, path: str,
         data.snp_position, data.snp_chromosome,
         autosome_start=data.autosome_start,
         autosome_end=data.autosome_end,
-        snp_allele=data.snp_allele, snp_rs_id=data.snp_rs_id)
+        snp_allele=data.snp_allele, snp_rs_id=data.snp_rs_id,
+        snp_annot=getattr(data, "snp_annot", None))
 
 
 def write_packed_meta(path: str, sample_id, snp_id, n_samp,
                       snp_position, snp_chromosome, autosome_start=1,
                       autosome_end=22, snp_allele=None,
-                      snp_rs_id=None) -> None:
+                      snp_rs_id=None, snp_annot=None) -> None:
     """Write just the ``<path>.meta.npz`` sidecar of a packed store —
-    for writers that stream ``<path>.packed`` themselves (e.g. a cohort
-    generator building the matrix incrementally in bounded RAM)."""
+    for writers that stream ``<path>.packed`` themselves (e.g. the
+    bounded-RAM VCF ingester or a cohort generator building the matrix
+    incrementally)."""
     meta = {
         "sample_id": np.asarray(sample_id, object),
         "snp_id": np.asarray(snp_id),
@@ -277,6 +279,8 @@ def write_packed_meta(path: str, sample_id, snp_id, n_samp,
         meta["snp_allele"] = np.asarray(snp_allele, object)
     if snp_rs_id is not None:
         meta["snp_rs_id"] = np.asarray(snp_rs_id, object)
+    for k, v in (snp_annot or {}).items():
+        meta[f"annot.{k}"] = np.asarray(v)
     tmp = path + f".meta.npz.tmp{os.getpid()}"
     with open(tmp, "wb") as f:
         np.savez(f, **meta)
@@ -304,9 +308,14 @@ def open_packed_store(path: str, mmap: bool = True) -> SNPData:
             kw["snp_allele"] = z["snp_allele"].astype(object)
         if "snp_rs_id" in z.files:
             kw["snp_rs_id"] = z["snp_rs_id"].astype(object)
+        annot = {k[len("annot."):]: z[k] for k in z.files
+                 if k.startswith("annot.")}
     nb = -(-n_samp // 4)
     packed = np.memmap(path + ".packed", np.uint8,
                        mode="r" if mmap else "c", shape=(n_snp, nb))
     if not mmap:
         packed = np.asarray(packed)
-    return SNPData(genotype_packed=packed, **kw)
+    sd = SNPData(genotype_packed=packed, **kw)
+    if annot:
+        sd.snp_annot = annot
+    return sd

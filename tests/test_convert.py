@@ -44,6 +44,36 @@ def test_vcf_reader():
     assert d2.n_snp == 5
 
 
+def test_vcf_streaming_store(tmp_path):
+    """out_store= streams packed blocks into the container in bounded RAM
+    (nblock=1 forces a flush per variant); the reopened memmap store must
+    equal the in-RAM parse — genotypes, metadata, annotations, and the
+    inline ref-allele switch."""
+    from snprelate_tpu import vcf_to_snpdata
+
+    d = vcf_to_snpdata(f"{EXT}/sequence.vcf")
+    ds = vcf_to_snpdata(f"{EXT}/sequence.vcf",
+                        out_store=str(tmp_path / "seq"), nblock=1)
+    assert isinstance(ds.genotype_packed, np.memmap)
+    assert np.array_equal(ds.geno(), d.geno())
+    assert list(ds.sample_id) == list(d.sample_id)
+    assert np.array_equal(ds.snp_position, d.snp_position)
+    assert list(ds.snp_allele) == list(d.snp_allele)
+    assert list(ds.snp_annot["filter"]) == list(d.snp_annot["filter"])
+    np.testing.assert_array_equal(ds.snp_annot["qual"],
+                                  d.snp_annot["qual"])
+
+    # ref-allele switch is applied inline on the streaming path too
+    ra = [a.split("/")[1] for a in d.snp_allele]  # force a flip everywhere
+    df = vcf_to_snpdata(f"{EXT}/sequence.vcf", ref_allele=ra)
+    dsf = vcf_to_snpdata(f"{EXT}/sequence.vcf", ref_allele=ra,
+                         out_store=str(tmp_path / "seqf"))
+    assert np.array_equal(dsf.geno(), df.geno())
+    assert list(dsf.snp_allele) == list(df.snp_allele)
+    g, gf = d.geno(), df.geno()
+    assert np.array_equal(gf, np.where(g <= 2, 2 - g, 3))
+
+
 def test_ped_roundtrip(tmp_path, hapmap):
     from snprelate_tpu import snpdata_to_ped, ped_to_snpdata
 
