@@ -309,6 +309,14 @@ def main(argv=None) -> int:
         p.add_argument("src", nargs="+" if name == "ped2gds" else None)
         p.add_argument("dst")
         p.add_argument("--quiet", action="store_true")
+        if name in ("vcf2gds", "bed2gds"):
+            p.add_argument("--store", action="store_true",
+                           help="treat DST as a packed-store prefix and "
+                                "stream the conversion into "
+                                "DST.packed/.meta.npz in bounded RAM "
+                                "(biobank-scale ingestion; every other "
+                                "command accepts the prefix as its GDS "
+                                "argument)")
 
     a = ap.parse_args(argv)
     from .utils.profile import maybe_env_trace
@@ -637,9 +645,16 @@ def run(a) -> str:
 
     quiet = getattr(a, "quiet", True)
     if cmd == "vcf2gds":
+        if getattr(a, "store", False):
+            cv.vcf_to_snpdata(a.src, verbose=not quiet, out_store=a.dst)
+            return f"{cmd}: wrote {a.dst}.packed"
         write_snp_gds(cv.vcf_to_snpdata(a.src, verbose=not quiet), a.dst)
     elif cmd == "bed2gds":
         base = a.src[:-4] if a.src.endswith(".bed") else a.src
+        if getattr(a, "store", False):
+            cv.bed_to_snpdata(base + ".bed", base + ".fam", base + ".bim",
+                              verbose=not quiet, out_store=a.dst)
+            return f"{cmd}: wrote {a.dst}.packed"
         write_snp_gds(cv.bed_to_snpdata(base + ".bed", base + ".fam",
                                         base + ".bim", verbose=not quiet),
                       a.dst)

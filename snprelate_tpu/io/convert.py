@@ -26,6 +26,24 @@ from ..native import vcf_gt_line
 _BED_CVT = np.array([2, 3, 1, 0], np.uint8)  # ConvToGDS.cpp:586
 _BED_INV = {2: 0, 3: 1, 1: 2, 0: 3}
 
+_BED_BYTE_LUT = None
+
+
+def _bed_byte_lut() -> np.ndarray:
+    """256-entry byte LUT remapping a packed PLINK BED byte (4 genotypes,
+    2 bits each, code map _BED_CVT) straight to our packed 2-bit coding —
+    snp-major BED -> packed store is then a pure table lookup, never a
+    dense genotype matrix."""
+    global _BED_BYTE_LUT
+    if _BED_BYTE_LUT is None:
+        v = np.arange(256, dtype=np.uint16)
+        out = np.zeros(256, np.uint16)
+        for k in range(4):
+            out |= _BED_CVT[(v >> (2 * k)) & 3].astype(np.uint16) \
+                << (2 * k)
+        _BED_BYTE_LUT = out.astype(np.uint8)
+    return _BED_BYTE_LUT
+
 CHROM_CODE_DEFAULT = {"X": 23, "XY": 24, "Y": 25, "M": 26, "MT": 26}
 
 
@@ -43,10 +61,16 @@ def bed_to_snpdata(bed_fn, fam_fn=None, bim_fn=None, family=False,
                    cvt_chr="int", cvt_snpid="auto", verbose=False,
                    out_gdsfn=None, snpfirstdim=False,
                    compress_annotation="ZIP_RA.max", compress_geno="",
-                   option=None) -> SNPData:
+                   option=None, out_store=None) -> SNPData:
     """snpgdsBED2GDS analog: read PLINK .bed/.bim/.fam into SNPData.
     With out_gdsfn, also writes the SNP GDS file (compress options accepted
-    for call compatibility; our writer uses ZIP)."""
+    for call compatibility; our writer uses ZIP).
+
+    snp-major BED (the PLINK default) converts via a 256-entry byte LUT in
+    streamed blocks — the dense genotype matrix is never materialized, so
+    biobank-scale BED files convert in O(block) RAM; ``out_store=``
+    streams the remapped blocks straight into the packed container and
+    returns the reopened memory map."""
     if fam_fn is None and bim_fn is None:
         base = bed_fn[:-4] if bed_fn.endswith(".bed") else bed_fn
         for ext in ("", ".gz"):
@@ -89,20 +113,6 @@ def bed_to_snpdata(bed_fn, fam_fn=None, bim_fn=None, family=False,
         snp_id = np.arange(1, n_snp + 1)
         snp_rs = np.asarray(rs, object)
 
-    with _open(bed_fn, "rb") as f:
-        raw = f.read()
-    if raw[0] != 0x6C or raw[1] != 0x1B:
-        raise ValueError("Invalid prefix in the bed file.")
-    snp_major = raw[2] == 1
-    body = np.frombuffer(raw, np.uint8, offset=3)
-    codes = np.stack([(body >> (2 * k)) & 3 for k in range(4)], 1).reshape(-1)
-    if snp_major:
-        stride = -(-n_samp // 4) * 4
-        g = _BED_CVT[codes[: n_snp * stride].reshape(n_snp, stride)[:, :n_samp]]
-    else:
-        stride = -(-n_snp // 4) * 4
-        g = _BED_CVT[codes[: n_samp * stride].reshape(n_samp, stride)
-                     [:, :n_snp]].T
     annot = {}
     if family:
         annot = {"family.id": np.asarray(fam_id, object),
@@ -110,12 +120,74 @@ def bed_to_snpdata(bed_fn, fam_fn=None, bim_fn=None, family=False,
                  "mother.id": np.asarray([r[3] for r in fam], object),
                  "sex": np.asarray([r[4] for r in fam], object),
                  "phenotype": np.asarray([r[5] for r in fam], object)}
+
+    with _open(bed_fn, "rb") as f:
+        head = f.read(3)
+        if len(head) < 3 or head[0] != 0x6C or head[1] != 0x1B:
+            raise ValueError("Invalid prefix in the bed file.")
+        snp_major = head[2] == 1
+        if snp_major:
+            # streamed byte-LUT remap: BED's snp-major 2-bit rows ARE our
+            # packed layout up to the per-genotype code map; the pad
+            # fields of the last byte (BED pads with code 0 = dosage 2)
+            # are forced to missing (3) to match pack2bit's convention
+            nb = -(-n_samp // 4)
+            lut = _bed_byte_lut()
+            keep = n_samp % 4
+            am = np.uint8((1 << (2 * keep)) - 1) if keep else np.uint8(255)
+            om = np.uint8(0xFF & ~int(am)) if keep else np.uint8(0)
+            out_f = (open(str(out_store) + ".packed", "wb")
+                     if out_store is not None else None)
+            blocks = []
+            block = max(1, (1 << 24) // max(nb, 1))
+            done = 0
+            try:
+                while done < n_snp:
+                    m = min(block, n_snp - done)
+                    raw = f.read(m * nb)
+                    if len(raw) < m * nb:
+                        raise ValueError("bed file truncated")
+                    pk = lut[np.frombuffer(raw, np.uint8)].reshape(m, nb)
+                    if keep:
+                        pk[:, -1] = (pk[:, -1] & am) | om
+                    if out_f is not None:
+                        out_f.write(pk.tobytes())
+                    else:
+                        blocks.append(pk)
+                    done += m
+            finally:
+                if out_f is not None:
+                    out_f.close()
+            packed = (None if out_store is not None else
+                      (np.concatenate(blocks) if blocks
+                       else np.zeros((0, nb), np.uint8)))
+        else:
+            body = np.frombuffer(head[3:] + f.read(), np.uint8)
+            codes = np.stack([(body >> (2 * k)) & 3 for k in range(4)],
+                             1).reshape(-1)
+            stride = -(-n_snp // 4) * 4
+            g = _BED_CVT[codes[: n_samp * stride].reshape(n_samp, stride)
+                         [:, :n_snp]].T
+            packed = pack2bit(np.ascontiguousarray(g))
+            if out_store is not None:
+                with open(str(out_store) + ".packed", "wb") as out_f:
+                    out_f.write(packed.tobytes())
+
+    allele = np.asarray([f"{x}/{y}" for x, y in zip(a1, a2)], object)
+    if out_store is not None:
+        from .store import open_packed_store, write_packed_meta
+
+        write_packed_meta(str(out_store), np.asarray(sample_id, object),
+                          snp_id, n_samp, np.asarray(pos), chrom,
+                          snp_allele=allele, snp_rs_id=snp_rs,
+                          sample_annot=annot)
+        sd = open_packed_store(str(out_store))
+        return _maybe_write_gds(sd, out_gdsfn, snpfirstdim)
     sd = SNPData(
         sample_id=np.asarray(sample_id, object), snp_id=snp_id,
-        genotype_packed=pack2bit(np.ascontiguousarray(g)), n_samp=n_samp,
+        genotype_packed=packed, n_samp=n_samp,
         snp_position=np.asarray(pos), snp_chromosome=chrom,
-        snp_allele=np.asarray([f"{x}/{y}" for x, y in zip(a1, a2)], object),
-        snp_rs_id=snp_rs, sample_annot=annot)
+        snp_allele=allele, snp_rs_id=snp_rs, sample_annot=annot)
     return _maybe_write_gds(sd, out_gdsfn, snpfirstdim)
 
 

@@ -255,13 +255,15 @@ def save_packed_store(data: SNPData, path: str,
         autosome_start=data.autosome_start,
         autosome_end=data.autosome_end,
         snp_allele=data.snp_allele, snp_rs_id=data.snp_rs_id,
-        snp_annot=getattr(data, "snp_annot", None))
+        snp_annot=getattr(data, "snp_annot", None),
+        sample_annot=data.sample_annot)
 
 
 def write_packed_meta(path: str, sample_id, snp_id, n_samp,
                       snp_position, snp_chromosome, autosome_start=1,
                       autosome_end=22, snp_allele=None,
-                      snp_rs_id=None, snp_annot=None) -> None:
+                      snp_rs_id=None, snp_annot=None,
+                      sample_annot=None) -> None:
     """Write just the ``<path>.meta.npz`` sidecar of a packed store —
     for writers that stream ``<path>.packed`` themselves (e.g. the
     bounded-RAM VCF ingester or a cohort generator building the matrix
@@ -281,6 +283,8 @@ def write_packed_meta(path: str, sample_id, snp_id, n_samp,
         meta["snp_rs_id"] = np.asarray(snp_rs_id, object)
     for k, v in (snp_annot or {}).items():
         meta[f"annot.{k}"] = np.asarray(v)
+    for k, v in (sample_annot or {}).items():
+        meta[f"sannot.{k}"] = np.asarray(v)
     tmp = path + f".meta.npz.tmp{os.getpid()}"
     with open(tmp, "wb") as f:
         np.savez(f, **meta)
@@ -310,6 +314,8 @@ def open_packed_store(path: str, mmap: bool = True) -> SNPData:
             kw["snp_rs_id"] = z["snp_rs_id"].astype(object)
         annot = {k[len("annot."):]: z[k] for k in z.files
                  if k.startswith("annot.")}
+        kw["sample_annot"] = {k[len("sannot."):]: z[k].astype(object)
+                              for k in z.files if k.startswith("sannot.")}
     nb = -(-n_samp // 4)
     packed = np.memmap(path + ".packed", np.uint8,
                        mode="r" if mmap else "c", shape=(n_snp, nb))

@@ -233,6 +233,16 @@ def test_cli_converters(tmp_path):
     orig = open_snp_gds(GDS)
     assert data.n_samp == orig.n_samp and data.n_snp == orig.n_snp
 
+    # --store streams into the packed container; downstream commands
+    # accept the prefix wherever a GDS path goes
+    prefix = str(tmp_path / "xstore")
+    main(["bed2gds", bed + ".bed", prefix, "--quiet", "--store"])
+    from snprelate_tpu.io.store import open_packed_store
+
+    ds = open_packed_store(prefix)
+    assert ds.n_samp == orig.n_samp and ds.n_snp == orig.n_snp
+    assert main(["summary", prefix]) == 0
+
 
 def test_cli_grm_tile_rank(tmp_path):
     import os

@@ -44,6 +44,27 @@ def test_vcf_reader():
     assert d2.n_snp == 5
 
 
+def test_bed_streaming_store(tmp_path):
+    """BED -> packed store via the byte-LUT streamed path equals the
+    in-RAM conversion (plinkhapmap has 279 samples, so the last-byte
+    missing-pad masking is exercised)."""
+    from snprelate_tpu import bed_to_snpdata
+
+    ext = "/root/reference/inst/extdata"
+    args = (f"{ext}/plinkhapmap.bed.gz", f"{ext}/plinkhapmap.fam.gz",
+            f"{ext}/plinkhapmap.bim.gz")
+    d = bed_to_snpdata(*args, family=True)
+    ds = bed_to_snpdata(*args, family=True,
+                        out_store=str(tmp_path / "hap"))
+    assert isinstance(ds.genotype_packed, np.memmap)
+    assert np.array_equal(ds.genotype_packed, d.genotype_packed)
+    assert np.array_equal(ds.geno(), d.geno())
+    assert list(ds.sample_id) == list(d.sample_id)
+    assert list(ds.snp_allele) == list(d.snp_allele)
+    assert list(ds.sample_annot["family.id"]) == \
+        list(d.sample_annot["family.id"])
+
+
 def test_vcf_streaming_store(tmp_path):
     """out_store= streams packed blocks into the container in bounded RAM
     (nblock=1 forces a flush per variant); the reopened memmap store must
