@@ -317,16 +317,20 @@ def _load_tile(checkpoint: str, i: int, j: int):
         return {k: z[k] for k in z.files}
 
 
-def grm_tile_row_blocks(checkpoint: str, method: str, n: int, group: int):
+def grm_tile_row_blocks(checkpoint: str, method: str, n: int, group: int,
+                        dtype=np.float64):
     """In-order (r0, rows) GRM row blocks assembled from a completed
     super-tile grid checkpoint (ops.tiles.gcta_grm_tiles artifacts) in
     O(group x n) memory: row block i = [tile(j,i)^T for j < i] +
     [tile(i,j) for j >= i]. Eigenstrat tiles are raw covariance; the
-    caller applies the (n-1)/trace scale (see grm_tiles_to_gds)."""
+    caller applies the (n-1)/trace scale (see grm_tiles_to_gds).
+    dtype=np.float32 assembles in the tiles' native precision (half the
+    block RAM/bandwidth — the right choice for a single-precision
+    artifact)."""
     k = -(-n // group)
     for i in range(k):
         nr = min(group, n - i * group)
-        rows = np.empty((nr, n))
+        rows = np.empty((nr, n), dtype)
         for j in range(k):
             saved = _load_tile(checkpoint, min(i, j), max(i, j))
             if saved is None:
@@ -374,11 +378,14 @@ def grm_tiles_to_gds(checkpoint: str, out_fn: str, sample_id, snp_id,
             tr += float(np.trace(saved["grm"][:nr, :nr]))
         scale = (n - 1) / tr
 
+    dt = np.float32 if prec in ("single", "float32") else np.float64
+
     def blocks():
-        for r0, rows in grm_tile_row_blocks(checkpoint, method, n, group):
+        for r0, rows in grm_tile_row_blocks(checkpoint, method, n, group,
+                                            dtype=dt):
             if verbose:
                 print(f"GRM artifact rows {r0 + rows.shape[0]}/{n}")
-            yield r0, rows * scale if scale != 1.0 else rows
+            yield r0, rows * dt(scale) if scale != 1.0 else rows
 
     save_grm_rows(out_fn, sample_id, snp_id, method, blocks(), n,
                   prec=prec, compress=compress)

@@ -308,8 +308,12 @@ def run(args):
         t0 = time.time()
         stats = {"dsum": 0.0, "dcnt": 0, "osum": 0.0, "ocnt": 0}
 
+        adt = (np.float32 if args.artifact_prec in ("single", "float32")
+               else np.float64)
+
         def counted():
-            for r0, rws in grm_tile_row_blocks(ck, "GCTA", n, got[0]):
+            for r0, rws in grm_tile_row_blocks(ck, "GCTA", n, got[0],
+                                               dtype=adt):
                 nr = rws.shape[0]
                 blk = rws[:, r0: r0 + nr]
                 d = np.diag(blk)
