@@ -394,7 +394,7 @@ def vcf_to_snpdata(vcf_fn, method="biallelic.only", ref_allele=None,
         from .store import open_packed_store, write_packed_meta
 
         write_packed_meta(
-            out_store, np.asarray(sample_id or [], object),
+            str(out_store), np.asarray(sample_id or [], object),
             np.arange(1, n_snp + 1), nsp,
             np.asarray([r[1] for r in rows], np.int64),
             np.asarray([r[0] for r in rows], object),

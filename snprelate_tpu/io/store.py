@@ -318,9 +318,11 @@ def open_packed_store(path: str, mmap: bool = True) -> SNPData:
                               for k in z.files if k.startswith("sannot.")}
     nb = -(-n_samp // 4)
     packed = np.memmap(path + ".packed", np.uint8,
-                       mode="r" if mmap else "c", shape=(n_snp, nb))
+                       mode="r", shape=(n_snp, nb))
     if not mmap:
-        packed = np.asarray(packed)
+        # np.asarray on a memmap is a view (no copy): np.array forces the
+        # in-RAM materialization mmap=False promises
+        packed = np.array(packed)
     sd = SNPData(genotype_packed=packed, **kw)
     if annot:
         sd.snp_annot = annot
