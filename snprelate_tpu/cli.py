@@ -83,8 +83,12 @@ def _open(path):
     from .io.store import open_packed_store, open_snp_gds
 
     # a save_packed_store() prefix (memory-mapped biobank container)
-    # works wherever a GDS path does
-    if os.path.exists(str(path) + ".meta.npz"):
+    # works wherever a GDS path does — but only when BOTH container
+    # files exist and the path itself is not a file (a stale sibling
+    # .meta.npz must never hijack a real GDS path)
+    if (not os.path.isfile(str(path))
+            and os.path.exists(str(path) + ".meta.npz")
+            and os.path.exists(str(path) + ".packed")):
         return open_packed_store(str(path))
     return open_snp_gds(path)
 
@@ -111,7 +115,8 @@ def main(argv=None) -> int:
     p.add_argument("--out", required=True, metavar="PREFIX")
     p.add_argument("--eigen-cnt", type=int, default=32)
     p.add_argument("--algorithm", choices=["exact", "randomized"],
-                   default="exact")
+                   default=None, help="default exact (--rank implies "
+                                      "randomized)")
     p.add_argument("--seed", type=int, default=0,
                    help="randomized-algorithm seed")
     p.add_argument("--checkpoint", metavar="FILE",
@@ -369,6 +374,13 @@ def run(a) -> str:
             if not a.workdir:
                 raise SystemExit("--rank needs --workdir (the shared "
                                  "artifact directory)")
+            if a.algorithm == "exact":
+                raise SystemExit("--rank runs the rank-distributed "
+                                 "RANDOMIZED algorithm; drop --algorithm "
+                                 "exact or drop --rank")
+            if getattr(a, "checkpoint", None):
+                raise SystemExit("--rank resumes through --workdir "
+                                 "artifacts, not --checkpoint; drop one")
             tr = parse_tile_rank(a.rank)
             rank, world = tr if tr is not None else (0, 1)
             ws, _ = init_workspace(data, **_filters(data, a))
@@ -383,7 +395,8 @@ def run(a) -> str:
                 return (f"PCA rank {a.rank}: power/projection artifacts "
                         f"written to {a.workdir}; rank 0 assembles")
         else:
-            r = pca(data, eigen_cnt=a.eigen_cnt, algorithm=a.algorithm,
+            r = pca(data, eigen_cnt=a.eigen_cnt,
+                    algorithm=a.algorithm or "exact",
                     seed=a.seed, checkpoint=a.checkpoint,
                     **_filters(data, a))
         np.savetxt(a.out + ".eigenval.txt", r.eigenval[:a.eigen_cnt])
@@ -393,7 +406,8 @@ def run(a) -> str:
             for s, row in zip(r.sample_id, r.eigenvect):
                 f.write(str(s) + "," + ",".join(f"{v:.10g}" for v in row)
                         + "\n")
-        algo = f"rank-distributed x{a.rank}" if a.rank else a.algorithm
+        algo = (f"rank-distributed x{a.rank}" if a.rank
+                else a.algorithm or "exact")
         return (f"PCA ({algo}): wrote {a.out}.eigenval.txt and "
                 f"{a.out}.eigenvec.csv ({len(r.sample_id)} samples x "
                 f"{r.eigenvect.shape[1]} PCs)")

@@ -314,7 +314,9 @@ def vcf_to_snpdata(vcf_fn, method="biallelic.only", ref_allele=None,
     def flush():
         if not buf:
             return
-        blk = np.stack(buf)
+        # one vectorized pack per nblock variants (a per-line pack2bit
+        # would pay numpy call overhead 1M times at biobank scale)
+        blk = pack2bit(np.stack(buf))
         buf.clear()
         if store_f is not None:
             store_f.write(blk.tobytes())
@@ -375,7 +377,7 @@ def vcf_to_snpdata(vcf_fn, method="biallelic.only", ref_allele=None,
                             g = np.where(g <= 2, 2 - g, 3).astype(np.uint8)
                             a, b = b, a
                     rows.append((chrom, int(pos), vid, a, b, qual, filt))
-                    buf.append(pack2bit(g[None])[0])
+                    buf.append(g)
                     if len(buf) >= nblock:
                         flush()
         flush()

@@ -242,13 +242,16 @@ def save_packed_store(data: SNPData, path: str,
     (ops/tiles.py StoreSlabSource's access pattern).
 
     ``snp_chunk`` bounds the write working set (rows per copy)."""
-    mm = np.memmap(path + ".packed", np.uint8, mode="w+",
-                   shape=data.genotype_packed.shape)
-    for s in range(0, data.genotype_packed.shape[0], snp_chunk):
-        e = min(s + snp_chunk, data.genotype_packed.shape[0])
-        mm[s:e] = data.genotype_packed[s:e]
-    mm.flush()
-    del mm
+    if data.genotype_packed.size == 0:  # memmap rejects 0-byte files
+        open(path + ".packed", "wb").close()
+    else:
+        mm = np.memmap(path + ".packed", np.uint8, mode="w+",
+                       shape=data.genotype_packed.shape)
+        for s in range(0, data.genotype_packed.shape[0], snp_chunk):
+            e = min(s + snp_chunk, data.genotype_packed.shape[0])
+            mm[s:e] = data.genotype_packed[s:e]
+        mm.flush()
+        del mm
     write_packed_meta(
         path, data.sample_id, data.snp_id, data.n_samp,
         data.snp_position, data.snp_chromosome,
@@ -317,12 +320,15 @@ def open_packed_store(path: str, mmap: bool = True) -> SNPData:
         kw["sample_annot"] = {k[len("sannot."):]: z[k].astype(object)
                               for k in z.files if k.startswith("sannot.")}
     nb = -(-n_samp // 4)
-    packed = np.memmap(path + ".packed", np.uint8,
-                       mode="r", shape=(n_snp, nb))
-    if not mmap:
-        # np.asarray on a memmap is a view (no copy): np.array forces the
-        # in-RAM materialization mmap=False promises
-        packed = np.array(packed)
+    if n_snp * nb == 0:  # memmap rejects 0-byte files
+        packed = np.zeros((n_snp, nb), np.uint8)
+    else:
+        packed = np.memmap(path + ".packed", np.uint8,
+                           mode="r", shape=(n_snp, nb))
+        if not mmap:
+            # np.asarray on a memmap is a view (no copy): np.array forces
+            # the in-RAM materialization mmap=False promises
+            packed = np.array(packed)
     sd = SNPData(genotype_packed=packed, **kw)
     if annot:
         sd.snp_annot = annot

@@ -325,11 +325,43 @@ def pca_rank_assemble(workdir: str, world: int, n_samp: int,
                      eigenval, eigenvect, vp, trace2, False, None)
 
 
+def _source_fingerprint(source) -> int:
+    """Cheap cohort identity for the workdir guard. Shape parameters
+    alone cannot distinguish two same-shape runs (e.g. a MAF-filter
+    change that shifts the selected SNP count by under one chunk), so
+    the guard also digests WHAT is being analyzed: the workspace's
+    selection indices plus a strided sample of the packed genotype bytes
+    (<= ~2 MB read, mmap-friendly) for store-backed sources, the PRNG
+    seed for generated ones."""
+    import zlib
+
+    ws = getattr(source, "ws", None)
+    if ws is not None:
+        h = zlib.crc32(np.asarray([ws.n_samp, ws.n_snp], np.int64)
+                       .tobytes())
+        for a in (ws.samp_idx, ws.snp_idx):
+            h = zlib.crc32(np.ascontiguousarray(a, np.int64).tobytes(), h)
+        sel = getattr(source, "chunk_sel", None)
+        if sel is not None:
+            h = zlib.crc32(np.ascontiguousarray(sel, np.int64)
+                           .tobytes(), h)
+        src = ws.data.genotype_packed
+        step = max(1, src.shape[0] // 64)
+        h = zlib.crc32(np.ascontiguousarray(src[::step][:64]).tobytes(),
+                       h)
+        return int(h)
+    seed = getattr(source, "seed", None)
+    if seed is not None:
+        return int(seed) & 0xFFFFFFFF
+    return -1
+
+
 def _guard_workdir(workdir, params: tuple):
     """Refuse a workdir holding another run's artifacts: stale g/p files
-    from a different (cohort, aux, iters, world, seed) would satisfy the
-    barriers and silently poison the reduces. Same-params meta writes are
-    byte-identical pid-tmp atomic replaces (concurrent ranks race-free)."""
+    from a different (cohort fingerprint, shapes, aux, iters, world,
+    seed) would satisfy the barriers and silently poison the reduces.
+    Same-params meta writes are byte-identical pid-tmp atomic replaces
+    (concurrent ranks race-free)."""
     os.makedirs(workdir, exist_ok=True)
     meta = np.asarray(params, np.int64)
     mfn = os.path.join(workdir, "meta.npy")
@@ -385,7 +417,8 @@ def pca_rank_process(source, n_samp: int, workdir: str, rank: int,
         raise ValueError(f"pca rank {rank} outside world {world}")
     _guard_workdir(workdir, (n_samp, source.n_chunks, source.group,
                              source.chunk, aux_dim, iter_num, world,
-                             0 if seed is None else int(seed)))
+                             0 if seed is None else int(seed),
+                             _source_fingerprint(source)))
     for it in range(iter_num):
         if it > 0 and rank != 0:
             _wait_for([_g_path(workdir, it)], poll, timeout,

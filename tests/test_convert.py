@@ -268,3 +268,26 @@ def test_beagle_gprobs_roundtrip(tmp_path):
     back = open_snp_gds(str(out))
     np.testing.assert_array_equal(back.geno(), exp)
     assert np.asarray(back.sample_id, object).tolist() == sids
+
+
+def test_empty_store_container(tmp_path):
+    """A conversion that keeps zero variants must still produce a
+    reopenable container (memmap rejects 0-byte files)."""
+    from snprelate_tpu import vcf_to_snpdata
+    from snprelate_tpu.io.store import open_packed_store, save_packed_store
+
+    vcf = tmp_path / "none.vcf"
+    vcf.write_text(
+        "##fileformat=VCFv4.2\n"
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\ts1\ts2\n"
+        # multi-allelic: filtered by biallelic.only
+        "1\t100\trs1\tA\tG,T\t10\tPASS\t.\tGT\t0/1\t1/1\n")
+    sd = vcf_to_snpdata(str(vcf), out_store=str(tmp_path / "empty"))
+    assert sd.n_snp == 0 and sd.n_samp == 2
+    back = open_packed_store(str(tmp_path / "empty"))
+    assert back.genotype_packed.shape == (0, 1)
+
+    # save_packed_store of a 0-SNP SNPData takes the same guarded path
+    save_packed_store(sd, str(tmp_path / "empty2"))
+    back2 = open_packed_store(str(tmp_path / "empty2"))
+    assert back2.n_snp == 0 and back2.n_samp == 2

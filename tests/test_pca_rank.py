@@ -207,3 +207,21 @@ def test_workdir_guard_rejects_stale_artifacts(tmp_path):
     with pytest.raises(ValueError, match="different"):
         pca_rank_process(src, ws.n_samp, wd, 0, 1, eigen_cnt=4,
                          aux_dim=8, iter_num=1, seed=4)
+
+
+def test_workdir_guard_rejects_same_shape_different_cohort(tmp_path):
+    """Shapes alone cannot identify a run: a different cohort with
+    identical (n, chunks, group, chunk, aux, iters, world, seed) must
+    still be refused — the guard digests the selection + packed bytes."""
+    from snprelate_tpu.models.pca_rank import pca_rank_process
+    from snprelate_tpu.ops.tiles import StoreSlabSource
+
+    ws1 = _structured(n_snp=256, n_samp=60, seed=9)
+    ws2 = _structured(n_snp=256, n_samp=60, seed=10)
+    wd = str(tmp_path / "w")
+    pca_rank_process(StoreSlabSource(ws1, group=64, chunk=64), ws1.n_samp,
+                     wd, 0, 1, eigen_cnt=4, aux_dim=8, iter_num=1, seed=3)
+    with pytest.raises(ValueError, match="different"):
+        pca_rank_process(StoreSlabSource(ws2, group=64, chunk=64),
+                         ws2.n_samp, wd, 0, 1, eigen_cnt=4, aux_dim=8,
+                         iter_num=1, seed=3)

@@ -166,6 +166,8 @@ def run(args):
                                                 write_packed_meta)
 
             prefix = args.store_path or "/tmp/biobank_store"
+            if prefix.endswith(".packed"):  # accept the file path too
+                prefix = prefix[: -len(".packed")]
             pfn = prefix + ".packed"
             if not (os.path.exists(pfn)
                     and os.path.getsize(pfn) == s * nb
