@@ -93,13 +93,58 @@ class GDSNode:
         return list(self.children)
 
 
+class _LazyBlocks:
+    """Block-id -> content mapping over the mmapped file.
+
+    ``[bid]`` materializes one block's bytes on demand (joining its
+    fragment spans); ``iter_chunks(bid, step)`` streams a block's bytes
+    without ever joining it — the path that keeps ``read_leaf_rows`` on
+    a tens-of-GB GRM leaf in O(step) memory."""
+
+    def __init__(self, data, frags):
+        self._data = data
+        self._frags = frags  # bid -> (bsize, [(start, stop), ...])
+
+    def __contains__(self, bid) -> bool:
+        return bid in self._frags
+
+    def __getitem__(self, bid) -> bytes:
+        bsize, spans = self._frags[bid]
+        return b"".join(self._data[a:b] for a, b in spans)[:bsize]
+
+    def size(self, bid) -> int:
+        return self._frags[bid][0]
+
+    def iter_chunks(self, bid, step: int = 1 << 20):
+        bsize, spans = self._frags[bid]
+        left = bsize
+        for a, b in spans:
+            for p in range(a, b, step):
+                if left <= 0:
+                    return
+                piece = self._data[p: min(p + step, b)]
+                if len(piece) > left:
+                    piece = piece[:left]
+                left -= len(piece)
+                yield piece
+
+
 class GDSFile:
     """A parsed CoreArray GDS file. Read-only."""
 
     def __init__(self, path: str):
+        import mmap as _mmap
+
         self.path = path
         with open(path, "rb") as f:
-            self._data = f.read()
+            try:
+                # map instead of read: a biobank GRM artifact is tens of
+                # GB — header parsing touches KBs, and block content is
+                # materialized lazily (only what a caller asks for)
+                self._data = _mmap.mmap(f.fileno(), 0,
+                                        access=_mmap.ACCESS_READ)
+            except (ValueError, OSError):  # 0-byte / mmap-less fs
+                self._data = f.read()
         if self._data[:12] != MAGIC:
             raise ValueError(f"{path}: not a GDS file (bad magic)")
         self.version = struct.unpack_from("<H", self._data, 12)[0]
@@ -109,7 +154,7 @@ class GDSFile:
 
     # --- low-level ---
 
-    def _scan_blocks(self) -> dict[int, bytes]:
+    def _scan_blocks(self) -> "_LazyBlocks":
         data = self._data
         heads: dict[int, tuple[int, int, int]] = {}  # id -> (pos, size, next)
         conts: dict[int, tuple[int, int]] = {}  # pos -> (size, next)
@@ -127,18 +172,18 @@ class GDSFile:
             else:
                 conts[pos] = (size, nxt)
             pos += size
-        blocks: dict[int, bytes] = {}
+        frags: dict[int, tuple[int, list[tuple[int, int]]]] = {}
         for bid, (pos, size, nxt) in heads.items():
             bsize = _u48(data, pos + 16)
-            chunks = [data[pos + 22 : pos + size]]
+            spans = [(pos + 22, pos + size)]
             got = size - 22
             while nxt and got < bsize:
                 csize, cnext = conts[nxt]
-                chunks.append(data[nxt + 12 : nxt + csize])
+                spans.append((nxt + 12, nxt + csize))
                 got += csize - 12
                 nxt = cnext
-            blocks[bid] = b"".join(chunks)[:bsize]
-        return blocks
+            frags[bid] = (bsize, spans)
+        return _LazyBlocks(data, frags)
 
     # --- node parsing ---
 
@@ -382,7 +427,15 @@ def _lz4_frame_compress(data: bytes, block: int = 65536) -> bytes:
 
 
 def _decompress_ra(raw: bytes, total_bytes: int, kind: str) -> bytes:
-    """Decode a gdsfmt random-access blocked stream (ZIP_RA / LZMA_RA).
+    """Decode a gdsfmt random-access blocked stream (ZIP_RA / LZMA_RA)
+    into one bytes object (see ``_decompress_ra_iter``)."""
+    return b"".join(_decompress_ra_iter(raw, total_bytes, kind))
+
+
+def _decompress_ra_iter(raw: bytes, total_bytes: int, kind: str):
+    """Decode a gdsfmt random-access blocked stream (ZIP_RA / LZMA_RA),
+    yielding one decompressed block at a time (so a large leaf never
+    materializes its full uncompressed size — read_leaf_rows streams).
 
     The RA layout (gdsfmt dStream 'CdRA' classes) is a short stream header
     (algorithm magic, version, block-size code, block count) followed by
@@ -395,7 +448,6 @@ def _decompress_ra(raw: bytes, total_bytes: int, kind: str) -> bytes:
     by actually decompressing. Output is truncated at ``total_bytes`` (the
     node's uncompressed size), which also skips any trailing seek index.
     """
-    out: list[bytes] = []
     got, pos, n = 0, 0, len(raw)
     # RA streams use a FIXED uncompressed block size: every block but the
     # last must decode to the same length, and the per-block header gap
@@ -477,10 +529,11 @@ def _decompress_ra(raw: bytes, total_bytes: int, kind: str) -> bytes:
             # calibrate from the SECOND block: the first gap also spans
             # the stream header, which is longer than per-block headers
             header_gap = p - pos
-        out.append(chunk)
+        if got + len(chunk) > total_bytes:
+            chunk = chunk[: total_bytes - got]
         got += len(chunk)
         pos = p + consumed
-    return b"".join(out)[:total_bytes]
+        yield chunk
 
 
 def _unpack_bit2(packed: np.ndarray, n: int) -> np.ndarray:
@@ -955,61 +1008,59 @@ def read_leaf_rows(path: str, name: str, block_rows: int = 4096):
     """Stream a 2-D float/int leaf back as (row0, rows) blocks in bounded
     memory (incremental decompression; the scale-viable read-back for
     GRM artifacts written by ``save_grm``/``grm_tiles_to_gds``)."""
-    f = GDSFile(path)  # header-only cost is small; _data holds the file
+    f = GDSFile(path)  # mmapped; leaf bytes stream in O(step) pieces
     node = f.index(name)
     nrow, ncol = node.dims
     dt = np.dtype(GDSFile._DTYPES[node.classname]).newbyteorder("<")
-    raw = f._blocks[node.data_blockid]
-    if node.coder == "":
-        dec = None
-    elif node.coder.startswith("ZIP_RA"):
-        dec = None
-        raw = _decompress_ra(raw, node.total_bytes, "zlib")
-    elif node.coder.startswith("LZMA_RA"):
-        dec = None
-        raw = _decompress_ra(raw, node.total_bytes, "xz")
-    elif node.coder.startswith("ZIP"):
-        dec = zlib.decompressobj()
-    elif node.coder.startswith("LZMA"):
-        dec = lzma.LZMADecompressor()
-    else:
-        raise NotImplementedError(f"GDS coder {node.coder!r}")
-    row_bytes = ncol * dt.itemsize
-    buf = b""
-    pos = 0
-    r0 = 0
     step = 1 << 20
-    is_zlib = node.coder.startswith("ZIP") and dec is not None
-    while r0 < nrow:
-        need = min(block_rows, nrow - r0) * row_bytes
-        while len(buf) < need:
-            if dec is None:
-                if pos >= len(raw):
-                    break
-                buf += raw[pos: pos + step]
-                pos += step
-            elif is_zlib:
-                data = dec.unconsumed_tail
-                if not data:
-                    if pos >= len(raw):
-                        buf += dec.flush()
-                        break
-                    data = raw[pos: pos + step]
-                    pos += step
-                buf += dec.decompress(data, need)
-            else:  # lzma
+    bid = node.data_blockid
+    coder = node.coder
+
+    def decoded_chunks():
+        """Uniform decompressed-bytes stream for every coder — nothing
+        larger than one compressed piece + one decoded piece lives at a
+        time (the RA scanners still materialize the COMPRESSED block,
+        whose self-calibrating boundary search needs random access)."""
+        if coder == "":
+            yield from f._blocks.iter_chunks(bid, step)
+        elif coder.startswith("ZIP_RA"):
+            yield from _decompress_ra_iter(f._blocks[bid],
+                                           node.total_bytes, "zlib")
+        elif coder.startswith("LZMA_RA"):
+            yield from _decompress_ra_iter(f._blocks[bid],
+                                           node.total_bytes, "xz")
+        elif coder.startswith("ZIP"):
+            dec = zlib.decompressobj()
+            for piece in f._blocks.iter_chunks(bid, step):
+                yield dec.decompress(piece)
+            yield dec.flush()
+        elif coder.startswith("LZMA"):
+            dec = lzma.LZMADecompressor()
+            for piece in f._blocks.iter_chunks(bid, step):
                 if dec.eof:
                     break
-                if dec.needs_input:
-                    if pos >= len(raw):
-                        break
-                    data = raw[pos: pos + step]
-                    pos += step
-                else:
-                    data = b""
-                buf += dec.decompress(data, max_length=need)
+                yield dec.decompress(piece)
+        else:
+            raise NotImplementedError(f"GDS coder {coder!r}")
+
+    row_bytes = ncol * dt.itemsize
+    src = decoded_chunks()
+    parts: list[bytes] = []
+    have = 0
+    r0 = 0
+    while r0 < nrow:
         take = min(block_rows, nrow - r0)
-        chunk, buf = buf[: take * row_bytes], buf[take * row_bytes:]
+        need = take * row_bytes
+        while have < need:
+            piece = next(src, None)
+            if piece is None:
+                break
+            parts.append(piece)
+            have += len(piece)
+        buf = b"".join(parts)
+        chunk, rest = buf[:need], buf[need:]
+        parts = [rest] if rest else []
+        have = len(rest)
         arr = np.frombuffer(chunk, dt).reshape(take, ncol)
         yield r0, arr
         r0 += take

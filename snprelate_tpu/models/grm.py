@@ -313,8 +313,9 @@ def _load_tile(checkpoint: str, i: int, j: int):
     fn = f"{checkpoint}.tile{i:05d}_{j:05d}.npz"
     if not _o.path.exists(fn):
         return None
-    with np.load(fn) as z:
-        return {k: z[k] for k in z.files}
+    from ..utils.fastnpz import fast_npz_load
+
+    return fast_npz_load(fn)
 
 
 def grm_tile_row_blocks(checkpoint: str, method: str, n: int, group: int,
@@ -327,6 +328,8 @@ def grm_tile_row_blocks(checkpoint: str, method: str, n: int, group: int,
     dtype=np.float32 assembles in the tiles' native precision (half the
     block RAM/bandwidth — the right choice for a single-precision
     artifact)."""
+    from ..native import transpose_into
+
     k = -(-n // group)
     for i in range(k):
         nr = min(group, n - i * group)
@@ -340,7 +343,16 @@ def grm_tile_row_blocks(checkpoint: str, method: str, n: int, group: int,
             t = saved["grm"]
             c0 = j * group
             nc = min(group, n - c0)
-            rows[:, c0: c0 + nc] = t[:nr, :nc] if j >= i else t[:nc, :nr].T
+            if j >= i:
+                rows[:, c0: c0 + nc] = t[:nr, :nc]
+            else:
+                # t^T into the strided column view: cache-blocked native
+                # transpose (numpy's strided copy is the assembly hot
+                # spot at ~60 MB/s for 12k-wide tiles)
+                src = t[:nc, :nr]
+                if src.dtype != dtype:
+                    src = np.ascontiguousarray(src, dtype)
+                transpose_into(rows[:, c0: c0 + nc], src)
         yield i * group, rows
 
 

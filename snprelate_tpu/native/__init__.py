@@ -72,6 +72,13 @@ def get_lib():
             lib.codec_lz4_block.restype = i64
         except AttributeError:
             pass  # stale .so without LZ4: wrapper falls back
+        try:
+            lib.codec_transpose_f32.argtypes = [u8p, i64, i64, i64, u8p,
+                                                i64]
+            lib.codec_transpose_f64.argtypes = [u8p, i64, i64, i64, u8p,
+                                                i64]
+        except AttributeError:
+            pass  # stale .so without transpose: wrapper falls back
         lib.codec_num_threads.restype = ctypes.c_int
         _lib = lib
         return _lib
@@ -143,6 +150,40 @@ def vcf_gt_line(rest: bytes, gt_idx: int, n: int):
     out = np.full(n, 3, np.uint8)
     lib.codec_vcf_gt(rest, len(rest), gt_idx, _u8p(out), n)
     return out
+
+
+def transpose_into(dst: np.ndarray, src: np.ndarray) -> None:
+    """dst[:] = src.T with a cache-blocked kernel (float32/float64).
+
+    numpy's strided transpose copy runs ~60 MB/s at super-tile sizes —
+    this is the GRM-artifact assembly's hot spot (half the tile volume
+    crosses it). Both arrays must have contiguous ELEMENTS within a row
+    (arbitrary row pitch is fine, so ``rows[:, c0:c0+nc]`` views work).
+    Falls back to a 512-block numpy transpose without the library."""
+    n, m = src.shape
+    assert dst.shape == (m, n), (dst.shape, src.shape)
+    assert dst.dtype == src.dtype
+    lib = get_lib()
+    esz = src.dtype.itemsize
+    fn = None
+    if lib is not None and src.dtype in (np.float32, np.float64):
+        fn = getattr(lib, f"codec_transpose_f{esz * 8}", None)
+    if (fn is not None and src.strides[1] == esz
+            and dst.strides[1] == esz and src.strides[0] > 0
+            and dst.strides[0] > 0):
+        fn(_as_u8(src), n, m, src.strides[0], _as_u8(dst), dst.strides[0])
+        return
+    B = 512
+    for i0 in range(0, n, B):
+        i1 = min(i0 + B, n)
+        for j0 in range(0, m, B):
+            j1 = min(j0 + B, m)
+            dst[j0:j1, i0:i1] = src[i0:i1, j0:j1].T
+
+
+def _as_u8(a: np.ndarray):
+    """Raw base pointer of ``a`` as uint8* (works for strided views)."""
+    return ctypes.cast(a.ctypes.data, ctypes.POINTER(ctypes.c_uint8))
 
 
 def lz4_block(src: bytes, expected: int | None = None):

@@ -141,6 +141,42 @@ int codec_num_threads(void)
 #endif
 }
 
+// Cache-blocked strided matrix transpose: dst[j,i] = src[i,j] for an
+// (n x m) source. Strides are in BYTES between consecutive rows; element
+// size 4 or 8. Powers the GRM-artifact row assembly (tile(i,j)^T into
+// the row block) where numpy's strided copy runs ~60 MB/s at 12k tiles;
+// 64x64 blocks keep both access patterns inside L1/L2.
+#define TRANSPOSE_IMPL(T)                                                  \
+    const int64_t B = 64;                                                  \
+    _Pragma("omp parallel for schedule(static)")                           \
+    for (int64_t i0 = 0; i0 < n; i0 += B) {                                \
+        int64_t i1 = i0 + B < n ? i0 + B : n;                              \
+        for (int64_t j0 = 0; j0 < m; j0 += B) {                            \
+            int64_t j1 = j0 + B < m ? j0 + B : m;                          \
+            for (int64_t i = i0; i < i1; i++) {                            \
+                const T *s = (const T *)(src + i * src_stride);            \
+                for (int64_t j = j0; j < j1; j++) {                        \
+                    *(T *)(dst + j * dst_stride + i * (int64_t)sizeof(T))  \
+                        = s[j];                                            \
+                }                                                          \
+            }                                                              \
+        }                                                                  \
+    }
+
+void codec_transpose_f32(const uint8_t *src, int64_t n, int64_t m,
+                         int64_t src_stride, uint8_t *dst,
+                         int64_t dst_stride)
+{
+    TRANSPOSE_IMPL(float)
+}
+
+void codec_transpose_f64(const uint8_t *src, int64_t n, int64_t m,
+                         int64_t src_stride, uint8_t *dst,
+                         int64_t dst_stride)
+{
+    TRANSPOSE_IMPL(double)
+}
+
 // Decode one raw LZ4 block (token / literals / 2-byte offset / match
 // with overlap-replication semantics) — the native path behind
 // io/gds.py::_lz4_block_decompress (the reference reads LZ4 nodes

@@ -706,12 +706,13 @@ class Checkpointer:
         """Returns (start_chunk, carry arrays or None)."""
         if not self.path or not self._os.path.exists(self.path):
             return 0, None
-        with open(self.path, "rb") as f:
-            z = np.load(f)
-            if not np.array_equal(z["meta"], self.meta):
-                return 0, None  # different selection/chunking: start over
-            n = int(z["n"])
-            return int(z["step"]), [z[f"a{i}"] for i in range(n)]
+        from ..utils.fastnpz import fast_npz_load
+
+        z = fast_npz_load(self.path)
+        if not np.array_equal(z["meta"], self.meta):
+            return 0, None  # different selection/chunking: start over
+        n = int(z["n"])
+        return int(z["step"]), [z[f"a{i}"] for i in range(n)]
 
     def save(self, step: int, arrays):
         if not self.path:

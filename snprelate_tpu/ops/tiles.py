@@ -364,8 +364,9 @@ class TileGridCheckpointer:
     def load(self, i: int, j: int):
         if not self.path or not self._os.path.exists(self._fn(i, j)):
             return None
-        with np.load(self._fn(i, j)) as z:
-            return {k: z[k] for k in z.files}
+        from ..utils.fastnpz import fast_npz_load
+
+        return fast_npz_load(self._fn(i, j))
 
     def save(self, i: int, j: int, **arrays):
         if not self.path:
