@@ -14,6 +14,7 @@ Methods:
 from __future__ import annotations
 
 import math
+import os
 from dataclasses import dataclass
 
 import numpy as np
@@ -438,7 +439,16 @@ def merge_grm(filelist, out_fn=None, out_prec="double",
     """snpgdsMergeGRM (R/IBD.R:624-748): weighted merge of per-SNP-subset
     GRMs; IndivBeta uses the baseline re-centering of gnrGRMMerge
     (genPCA.cpp:1744-1832). out_prec/out_compress mirror the reference's
-    out.prec ("double"/"single") and out.compress arguments."""
+    out.prec ("double"/"single") and out.compress arguments.
+
+    File inputs merging into a file stream row-block-wise in
+    O(P x block x n) memory (the reference holds one full n x n target
+    buffer, genPCA.cpp:1736-1742 — at biobank n neither that nor P
+    densified parts fit; see ``_merge_grm_stream``)."""
+    if out_fn is not None and all(
+            isinstance(fn, (str, bytes, os.PathLike)) for fn in filelist):
+        return _merge_grm_stream(filelist, out_fn, out_prec, out_compress,
+                                 weight, verbose)
     parts = []
     avg_vals = []
     for fn in filelist:
@@ -455,22 +465,8 @@ def merge_grm(filelist, out_fn=None, out_prec="double",
         if r.method != method or r.grm.shape != (n, n):
             raise ValueError("GRM files are not compatible.")
 
-    nums = np.array([len(r.snp_id) for r in parts], float)
-    if weight is None:
-        weight = nums / nums.sum()
-    elif np.asarray(weight).dtype == bool:
-        nums[~np.asarray(weight)] *= -1
-        weight = nums / nums.sum()
-    weight = np.asarray(weight, float)
-
-    snp_id = []
-    for r, wt in zip(parts, weight):
-        if wt >= 0:
-            snp_id.extend(np.asarray(r.snp_id).tolist())
-        else:
-            drop = set(np.asarray(r.snp_id).tolist())
-            snp_id = [s for s in snp_id if s not in drop]
-    snp_id = np.asarray(snp_id)
+    weight = _merge_weights([len(r.snp_id) for r in parts], weight)
+    snp_id = _merge_snp_ids([r.snp_id for r in parts], weight)
 
     if method == "IndivBeta":
         off = ~np.eye(n, dtype=bool)
@@ -502,3 +498,128 @@ def merge_grm(filelist, out_fn=None, out_prec="double",
         save_grm(res, out_fn, prec=out_prec, compress=out_compress)
         return None
     return res
+
+
+def _merge_weights(snp_counts, weight) -> np.ndarray:
+    nums = np.asarray(snp_counts, float)
+    if weight is None:
+        return nums / nums.sum()
+    if np.asarray(weight).dtype == bool:
+        nums[~np.asarray(weight)] *= -1
+        return nums / nums.sum()
+    return np.asarray(weight, float)
+
+
+def _merge_snp_ids(snp_id_lists, weight) -> np.ndarray:
+    snp_id: list = []
+    for sid, wt in zip(snp_id_lists, weight):
+        if wt >= 0:
+            snp_id.extend(np.asarray(sid).tolist())
+        else:
+            drop = set(np.asarray(sid).tolist())
+            snp_id = [s for s in snp_id if s not in drop]
+    return np.asarray(snp_id)
+
+
+def _merge_grm_stream(filelist, out_fn, out_prec, out_compress, weight,
+                      verbose, block_rows: int = 4096):
+    """File->file snpgdsMergeGRM in O(P x block x n) memory: the parts
+    stream through ``load_grm_rows`` in lockstep row blocks and the
+    merged rows stream straight into ``save_grm_rows`` — no n x n buffer
+    anywhere (the reference fills one full target matrix,
+    genPCA.cpp:1736-1742, which cannot exist at biobank n). IndivBeta's
+    baseline re-centering needs global statistics, so that method makes
+    two extra metadata passes (per-part off-diagonal means; merged
+    min/mean) before the writing pass — each still row-blocked."""
+    from ..io.gds import open_gds
+
+    paths = [os.fspath(fn) for fn in filelist]
+    metas = []
+    for fn in paths:
+        f = open_gds(fn)
+        if f.root.attributes.get("FileFormat") != "SNPRELATE_OUTPUT":
+            raise ValueError(f"'{fn}' is not valid.")
+        cmd = f.index("command").read()
+        if cmd[0] != "snpgdsGRM":
+            raise ValueError("The file should be created by snpgdsGRM()")
+        method = cmd[1].split("=", 1)[1].strip()
+        sampid = np.asarray(f.index("sample.id").read(), object)
+        sid = np.asarray(f.index("snp.id").read())
+        av = (float(np.asarray(f.index("avg_val").read())[0])
+              if "avg_val" in f.root.children else None)
+        metas.append((method, sampid, sid, av))
+    method, sampid = metas[0][0], metas[0][1]
+    n = len(sampid)
+    for m, s, _, _ in metas:
+        if m != method or len(s) != n:
+            raise ValueError("GRM files are not compatible.")
+    weight = _merge_weights([len(m[2]) for m in metas], weight)
+    snp_id = _merge_snp_ids([m[2] for m in metas], weight)
+
+    def lockstep():
+        for pieces in zip(*(load_grm_rows(fn, block_rows)
+                            for fn in paths)):
+            r0 = pieces[0][0]
+            assert all(p[0] == r0 for p in pieces)
+            yield r0, [np.asarray(p[1], np.float64) for p in pieces]
+
+    if method != "IndivBeta":
+        def blocks():
+            for r0, rows_list in lockstep():
+                acc = np.zeros_like(rows_list[0])
+                for rows, wt in zip(rows_list, weight):
+                    acc += rows * wt
+                if verbose:
+                    print(f"merge rows {r0 + acc.shape[0]}/{n}")
+                yield r0, acc
+        save_grm_rows(out_fn, sampid, snp_id, method, blocks(), n,
+                      prec=out_prec, compress=out_compress)
+        return None
+
+    # IndivBeta (gnrGRMMerge, genPCA.cpp:1744-1832): per-part baseline
+    # m_b = mean of off-diagonal * 0.5, merged = sum wt * re-centered
+    # part; then a global min-rescale
+    tot = np.zeros(len(paths))
+    dia = np.zeros(len(paths))
+    for r0, rows_list in lockstep():
+        for p, rows in enumerate(rows_list):
+            tot[p] += rows.sum()
+            dia[p] += np.trace(rows[:, r0: r0 + rows.shape[0]])
+    m_bs = (tot - dia) / (n * n - n) * 0.5
+    avs = np.asarray([m[3] for m in metas], float)
+
+    def merged_blocks():
+        for r0, rows_list in lockstep():
+            acc = np.zeros_like(rows_list[0])
+            nr = acc.shape[0]
+            for rows, m_b, av, wt in zip(rows_list, m_bs, avs, weight):
+                inv = 1.0 / (1.0 - m_b)
+                m = (rows * 0.5 - m_b) * inv * (1 - av) + av
+                d = np.arange(nr)
+                dv = (rows[d, r0 + d] - 1 - m_b) * inv * (1 - av) + av
+                m[d, r0 + d] = dv
+                acc += m * wt
+            yield r0, acc
+
+    osum = 0.0
+    mn = np.inf
+    for r0, acc in merged_blocks():
+        nr = acc.shape[0]
+        mn = min(mn, float(acc.min()))
+        osum += acc.sum() - np.trace(acc[:, r0: r0 + nr])
+    avg = osum / (n * n - n)
+    scale = 2.0 / (1.0 - mn)
+
+    def final_blocks():
+        for r0, acc in merged_blocks():
+            nr = acc.shape[0]
+            out = (acc - mn) * scale
+            d = np.arange(nr)
+            out[d, r0 + d] = out[d, r0 + d] * 0.5 + 1.0
+            if verbose:
+                print(f"merge rows {r0 + nr}/{n}")
+            yield r0, out
+
+    save_grm_rows(out_fn, sampid, snp_id, method, final_blocks(), n,
+                  avg_val=avg, prec=out_prec, compress=out_compress)
+    return None

@@ -57,3 +57,63 @@ def test_grm_weighted_is_eigmix(hapmap):
     e = grm(hapmap, method="EIGMIX", **kw)
     assert w.method == "EIGMIX"
     np.testing.assert_array_equal(w.grm, e.grm)
+
+
+def test_merge_stream_equals_dense(hapmap, tmp_path):
+    """File->file merge (streamed, O(block x n)) == in-memory merge for
+    both the weighted-average family and IndivBeta's re-centering; the
+    streamed route must never call load_grm (no densified parts)."""
+    from snprelate_tpu import grm
+    from snprelate_tpu.models import grm as G
+
+    _, s1, s2, s3 = _split_snps(hapmap)
+    for method, tol in (("GCTA", 0), ("IndivBeta", 1e-12)):
+        fns = []
+        for i, s in enumerate([s1, s2, s3]):
+            fn = str(tmp_path / f"{method}{i}.gds")
+            grm(hapmap, snp_id=s, method=method, out_fn=fn)
+            fns.append(fn)
+        parts = []
+        for fn in fns:
+            r, av = G.load_grm(fn)
+            r.avg_val = av
+            parts.append(r)
+        dense = G.merge_grm(parts)
+
+        out = str(tmp_path / f"{method}_merged.gds")
+        orig = G.load_grm
+        G.load_grm = lambda fn: (_ for _ in ()).throw(
+            AssertionError("streamed merge densified a part"))
+        try:
+            G.merge_grm(fns, out)
+        finally:
+            G.load_grm = orig
+        merged, av = G.load_grm(out)
+        np.testing.assert_allclose(merged.grm, dense.grm,
+                                   rtol=tol, atol=tol)
+        assert np.array_equal(merged.snp_id, dense.snp_id)
+        if method == "IndivBeta":
+            assert av is not None and np.isclose(av, dense.avg_val)
+
+
+def test_merge_stream_weight_modes(hapmap, tmp_path):
+    """Boolean drop-weights flow through the streamed route identically
+    (the reference's weight=c(TRUE,FALSE,...) subset-removal semantics,
+    R/IBD.R:657-668)."""
+    from snprelate_tpu import grm
+    from snprelate_tpu.models import grm as G
+
+    _, s1, s2, s3 = _split_snps(hapmap)
+    fns = []
+    for i, s in enumerate([s1, s2, s3]):
+        fn = str(tmp_path / f"w{i}.gds")
+        grm(hapmap, snp_id=s, method="GCTA", out_fn=fn)
+        fns.append(fn)
+    w = np.asarray([True, True, False])
+    parts = [G.load_grm(fn)[0] for fn in fns]
+    dense = G.merge_grm(parts, weight=w)
+    out = str(tmp_path / "wm.gds")
+    G.merge_grm(fns, out, weight=w)
+    merged, _ = G.load_grm(out)
+    np.testing.assert_allclose(merged.grm, dense.grm, rtol=0, atol=0)
+    assert np.array_equal(merged.snp_id, dense.snp_id)
