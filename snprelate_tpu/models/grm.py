@@ -445,6 +445,7 @@ def merge_grm(filelist, out_fn=None, out_prec="double",
     O(P x block x n) memory (the reference holds one full n x n target
     buffer, genPCA.cpp:1736-1742 — at biobank n neither that nor P
     densified parts fit; see ``_merge_grm_stream``)."""
+    filelist = list(filelist)
     if out_fn is not None and all(
             isinstance(fn, (str, bytes, os.PathLike)) for fn in filelist):
         return _merge_grm_stream(filelist, out_fn, out_prec, out_compress,

@@ -79,6 +79,13 @@ def get_lib():
                                                 i64]
         except AttributeError:
             pass  # stale .so without transpose: wrapper falls back
+        try:
+            lib.codec_gen_cohort.argtypes = [
+                ctypes.c_uint64, i64, i64, i64, i64, ctypes.c_double,
+                ctypes.c_uint8, i64p, i64p, i64, i64p, i64p, i64, u8p,
+                i64]
+        except AttributeError:
+            pass  # stale .so without the generator: wrapper falls back
         lib.codec_num_threads.restype = ctypes.c_int
         _lib = lib
         return _lib
@@ -161,8 +168,12 @@ def transpose_into(dst: np.ndarray, src: np.ndarray) -> None:
     (arbitrary row pitch is fine, so ``rows[:, c0:c0+nc]`` views work).
     Falls back to a 512-block numpy transpose without the library."""
     n, m = src.shape
-    assert dst.shape == (m, n), (dst.shape, src.shape)
-    assert dst.dtype == src.dtype
+    if dst.shape != (m, n):
+        raise ValueError(f"dst shape {dst.shape} != transpose of "
+                         f"src shape {src.shape}")
+    if dst.dtype != src.dtype:
+        raise ValueError(f"dtype mismatch: dst {dst.dtype} vs src "
+                         f"{src.dtype}")
     lib = get_lib()
     esz = src.dtype.itemsize
     fn = None
@@ -205,3 +216,107 @@ def lz4_block(src: bytes, expected: int | None = None):
         if n < 0:
             raise ValueError("LZ4 block: malformed input")
         return out[:n].tobytes()
+
+
+def _py_splitmix64(state: int):
+    state = (state + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    z = state
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+    return state, z ^ (z >> 31)
+
+
+def _py_gen_row(seed, snp, n_samp, pop_boundary, structure, miss_u8,
+                dup, pc):
+    """Pure-python replication of one codec_gen_cohort row (compiler-less
+    fallback + differential test oracle). Returns uint8 genotypes."""
+    M = 0xFFFFFFFFFFFFFFFF
+    z = (seed ^ ((snp * 0x9E3779B97F4A7C15) & M)) & M
+    s = []
+    for _ in range(4):
+        z, v = _py_splitmix64(z)
+        s.append(v)
+    z, pu = _py_splitmix64(z)
+    p = 0.1 + 0.8 * ((pu >> 11) / 9007199254740992.0)
+    p15 = []
+    for shift in (-structure, structure):
+        q = min(max(p + shift, 0.01), 0.99)
+        p15.append(int(q * 32768.0))
+
+    def rotl(x, k):
+        return ((x << k) | (x >> (64 - k))) & M
+
+    def nxt():
+        r = (rotl((s[1] * 5) & M, 7) * 9) & M
+        t = (s[1] << 17) & M
+        s[2] ^= s[0]
+        s[3] ^= s[1]
+        s[1] ^= s[2]
+        s[0] ^= s[3]
+        s[2] ^= t
+        s[3] = rotl(s[3], 45)
+        return r
+
+    row = np.empty(n_samp, np.uint8)
+    for i in range(n_samp):
+        th = p15[0] if i < pop_boundary else p15[1]
+        u = nxt()
+        v = int((u & 0x7FFF) < th) + int(((u >> 15) & 0x7FFF) < th)
+        if ((u >> 30) & 0xFF) < miss_u8:
+            v = 3
+        row[i] = v
+    for a, b in dup:
+        row[b] = row[a]
+    for a, b in pc:
+        u = nxt()
+        gs = row[a]
+        if gs == 3:
+            continue
+        trans = 1 if gs == 2 else (u & 1 if gs == 1 else 0)
+        th = p15[0] if b < pop_boundary else p15[1]
+        v = int(trans) + int(((u >> 1) & 0x7FFF) < th)
+        if ((u >> 16) & 0xFF) < miss_u8:
+            v = 3
+        row[b] = v
+    return row
+
+
+def gen_cohort_rows(seed: int, snp0: int, n_rows: int, n_samp: int,
+                    pop_boundary: int, structure: float, miss_u8: int,
+                    dup_pairs=None, pc_pairs=None,
+                    dst_bytes: int | None = None) -> np.ndarray:
+    """Packed 2-bit rows [snp0, snp0+n_rows) of the synthetic two-
+    population cohort with planted relatives (see codec_gen_cohort).
+    Deterministic in (seed, absolute SNP index) alone — any row-range
+    partition regenerates identical bytes."""
+    if dst_bytes is None:
+        dst_bytes = -(-n_samp // 4)
+    dup = np.asarray(dup_pairs if dup_pairs is not None else [],
+                     np.int64).reshape(-1, 2)
+    pc = np.asarray(pc_pairs if pc_pairs is not None else [],
+                    np.int64).reshape(-1, 2)
+    for arr in (dup, pc):
+        if arr.size and (arr.min() < 0 or arr.max() >= n_samp):
+            raise ValueError("planted pair index outside the cohort")
+    out = np.empty((n_rows, dst_bytes), np.uint8)
+    lib = get_lib()
+    if lib is not None and hasattr(lib, "codec_gen_cohort"):
+        ds = np.ascontiguousarray(dup[:, 0])
+        dd = np.ascontiguousarray(dup[:, 1])
+        ps = np.ascontiguousarray(pc[:, 0])
+        pd = np.ascontiguousarray(pc[:, 1])
+        lib.codec_gen_cohort(
+            ctypes.c_uint64(seed), snp0, n_rows, n_samp, pop_boundary,
+            ctypes.c_double(structure), ctypes.c_uint8(miss_u8),
+            _i64p(ds), _i64p(dd), len(ds), _i64p(ps), _i64p(pd),
+            len(ps), _u8p(out), dst_bytes)
+        return out
+    from ..io.store import pack2bit
+
+    dupl = [tuple(x) for x in dup]
+    pcl = [tuple(x) for x in pc]
+    for r in range(n_rows):
+        row = _py_gen_row(seed, snp0 + r, n_samp, pop_boundary,
+                          structure, miss_u8, dupl, pcl)
+        out[r] = pack2bit(row[None, :])[0, :dst_bytes]
+    return out

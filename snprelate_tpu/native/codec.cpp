@@ -294,4 +294,106 @@ int64_t codec_vcf_gt(const char *s, int64_t len, int64_t gt_idx,
     return cell;
 }
 
+// ---------------------------------------------------------------------
+// Synthetic-cohort row generator: fills packed 2-bit genotype rows for
+// SNPs [snp0, snp0 + n_rows) of an (n_snp x n_samp) cohort directly on
+// the host — the fast path for building real ON-DISK stores at biobank
+// scale (the device-PRNG GenSlabSource in tools/bench_biobank.py ships
+// every byte over the accelerator link; this writes the same structure
+// at memory speed). Deterministic per (seed, absolute SNP index), so any
+// row-range partitioning regenerates identical data.
+//
+// Structure (mirrors GenSlabSource, tools/bench_biobank.py:38-128):
+//   - per-SNP base allele freq p ~ U(0.1, 0.9), keyed by SNP index;
+//   - two populations split at sample pop_boundary, freqs shifted by
+//     -+structure (clipped to [0.01, 0.99]) so PC1 separates them;
+//   - HWE genotypes via two 15-bit threshold draws; missing where an
+//     8-bit field < miss_u8 (3 -> ~1.17%);
+//   - planted relatives, applied after the base row: n_dup duplicate
+//     pairs (dst := src, KING kinship 0.5) and n_pc parent-child pairs
+//     (dst := one transmitted allele of src + one population allele,
+//     kinship 0.25, IBS0 ~ 0) — ground truth for relatedness screens.
+// dst: (n_rows, dst_bytes) packed rows, samples padded with missing.
+
+static inline uint64_t gen_splitmix64(uint64_t *x)
+{
+    uint64_t z = (*x += 0x9E3779B97F4A7C15ULL);
+    z = (z ^ (z >> 30)) * 0xBF58476D1CE4E5B9ULL;
+    z = (z ^ (z >> 27)) * 0x94D049BB133111EBULL;
+    return z ^ (z >> 31);
+}
+
+typedef struct { uint64_t s[4]; } gen_xoshiro;
+
+static inline uint64_t gen_rotl(uint64_t x, int k)
+{
+    return (x << k) | (x >> (64 - k));
+}
+
+static inline uint64_t gen_next(gen_xoshiro *g)
+{
+    // xoshiro256** (public-domain construction)
+    uint64_t *s = g->s;
+    uint64_t r = gen_rotl(s[1] * 5, 7) * 9;
+    uint64_t t = s[1] << 17;
+    s[2] ^= s[0]; s[3] ^= s[1]; s[1] ^= s[2]; s[0] ^= s[3];
+    s[2] ^= t; s[3] = gen_rotl(s[3], 45);
+    return r;
+}
+
+void codec_gen_cohort(uint64_t seed, int64_t snp0, int64_t n_rows,
+                      int64_t n_samp, int64_t pop_boundary,
+                      double structure, uint8_t miss_u8,
+                      const int64_t *dup_src, const int64_t *dup_dst,
+                      int64_t n_dup, const int64_t *pc_src,
+                      const int64_t *pc_dst, int64_t n_pc,
+                      uint8_t *dst, int64_t dst_bytes)
+{
+#pragma omp parallel
+    {
+        uint8_t *row = new uint8_t[(size_t)n_samp];
+#pragma omp for schedule(static)
+        for (int64_t r = 0; r < n_rows; r++) {
+            int64_t snp = snp0 + r;
+            uint64_t z = seed ^ ((uint64_t)snp * 0x9E3779B97F4A7C15ULL);
+            gen_xoshiro g;
+            uint64_t zc = z;
+            for (int k = 0; k < 4; k++) g.s[k] = gen_splitmix64(&zc);
+            double p = 0.1 + 0.8 * ((double)(gen_splitmix64(&zc) >> 11)
+                                    * (1.0 / 9007199254740992.0));
+            double pa = p - structure, pb = p + structure;
+            if (pa < 0.01) pa = 0.01; if (pa > 0.99) pa = 0.99;
+            if (pb < 0.01) pb = 0.01; if (pb > 0.99) pb = 0.99;
+            uint32_t p15a = (uint32_t)(pa * 32768.0);
+            uint32_t p15b = (uint32_t)(pb * 32768.0);
+            uint32_t p15 = p15a;
+            for (int64_t i = 0; i < n_samp; i++) {
+                if (i == pop_boundary) p15 = p15b;
+                uint64_t u = gen_next(&g);
+                uint8_t a1 = ((uint32_t)u & 0x7FFF) < p15;
+                uint8_t a2 = ((uint32_t)(u >> 15) & 0x7FFF) < p15;
+                uint8_t v = (uint8_t)(a1 + a2);
+                if (((uint32_t)(u >> 30) & 0xFF) < miss_u8) v = 3;
+                row[i] = v;
+            }
+            for (int64_t d = 0; d < n_dup; d++)
+                row[dup_dst[d]] = row[dup_src[d]];
+            for (int64_t d = 0; d < n_pc; d++) {
+                uint64_t u = gen_next(&g);
+                uint8_t gs = row[pc_src[d]];
+                if (gs == 3) continue;  // src missing: keep own genotype
+                uint8_t trans = (gs == 2) ? 1
+                              : (gs == 1 ? (uint8_t)(u & 1) : 0);
+                uint32_t pc15 = pc_dst[d] < pop_boundary ? p15a : p15b;
+                uint8_t other = ((uint32_t)(u >> 1) & 0x7FFF) < pc15;
+                uint8_t v = (uint8_t)(trans + other);
+                if (((uint32_t)(u >> 16) & 0xFF) < miss_u8) v = 3;
+                row[pc_dst[d]] = v;
+            }
+            codec_pack2bit(row, 1, n_samp, dst + r * dst_bytes, dst_bytes);
+        }
+        delete[] row;
+    }
+}
+
 }  // extern "C"

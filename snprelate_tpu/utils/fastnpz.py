@@ -35,7 +35,13 @@ def _stored_member_offset(f, info) -> int | None:
 def fast_npz_load(fn) -> dict:
     """Load every array of ``fn`` (a ``np.savez``/``np.savez_compressed``
     path) into a dict, bypassing zipfile's CRC/copy streaming for
-    uncompressed members. Returns {name: ndarray}."""
+    uncompressed members. Returns {name: ndarray}.
+
+    Weakened guarantee vs ``np.load``: STORED members skip the CRC32
+    check (torn writes are covered by the callers' atomic tmp+replace
+    saves, bit-rot is not). A byte-count sanity check re-routes members
+    whose parsed payload size disagrees with the zip directory through
+    the normal CRC-verified zipfile path."""
     out = {}
     with open(fn, "rb") as f:
         with zipfile.ZipFile(f) as z:
@@ -48,8 +54,14 @@ def fast_npz_load(fn) -> dict:
                     if off is not None:
                         f.seek(off)
                         try:
-                            out[key] = np.lib.format.read_array(
+                            arr = np.lib.format.read_array(
                                 f, allow_pickle=False)
+                            if f.tell() - off != info.file_size:
+                                raise ValueError(
+                                    f"{fn}:{name}: payload size "
+                                    f"{f.tell() - off} != zip directory "
+                                    f"size {info.file_size} (corrupt?)")
+                            out[key] = arr
                             continue
                         except ValueError:
                             pass  # pickled/odd member: safe path below

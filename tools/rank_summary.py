@@ -60,6 +60,14 @@ def main():
         },
         "assembly_scan_s": (a.scan_s if a.scan_s is not None
                             else asm["grm"]["wall_s"]),
+        # provenance: which numbers are measured vs substituted/modeled
+        "assembly_scan_s_overridden": a.scan_s is not None,
+        "provenance": {
+            "rank_walls": "measured (sequential runs on one chip; see "
+                          "note for tunnel-period spread)",
+            "wall_multihost_model_s": "model: critical path from "
+                                      "measured per-rank phase walls",
+        },
         "end_to_end": {
             "total_1proc_s": round(t_1proc, 1),
             "total_multihost_model_s": round(t_multi, 1),
