@@ -152,7 +152,11 @@ def ind_inb(data, sample_id=None, snp_id=None, autosome_only=True,
         if method == "mom.weir":
             ok = valid
             num += np.where(ok, v, 0.0).sum(0)
-            cnt += (ok * np.broadcast_to(h, v.shape)).sum(0)
+            # where(): an all-missing SNP has af (hence h) = NaN, and
+            # ok * h would poison the denominator (0 * NaN = NaN); the
+            # reference's per-genotype g<=2 guard never touches h there
+            # (genIBD.cpp:1979-1996)
+            cnt += np.where(ok, np.broadcast_to(h, v.shape), 0.0).sum(0)
         else:
             ok = valid & np.isfinite(v)
             num += np.where(ok, v, 0.0).sum(0)

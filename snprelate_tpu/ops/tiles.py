@@ -73,6 +73,15 @@ class StoreSlabSource:
       (``SNPRELATE_TPU_SLAB_CACHE``, default 4 GB), uploaded slabs stay
       HBM-resident and every revisit is free — total H2D is exactly 1x
       the packed selection;
+    - with an EXPLICIT budget (env var set, or cache_budget= passed)
+      that holds only part of the selection, the first slabs to load
+      stay pinned up to the budget and the rest stream — partial
+      pinning. Under the serpentine tile walk the first-touched slabs
+      are the low-index rows, which are exactly the most-revisited
+      tiles' slabs; for the rank-distributed PCA a budget covering most
+      of the rank's SNP share turns every power pass after the first
+      into a ~free revisit. (Opt-in because pinned slabs add to the
+      two-active-slab HBM peak the tile engines are sized for.)
     - past the budget, ``prefetch(j)`` (hinted by the tile walk) builds
       and uploads the next slab on a background thread so H2D overlaps
       the current tile's compute.
@@ -95,11 +104,17 @@ class StoreSlabSource:
         self.n_samp = ws.n_samp
         self.n_snp = ws.n_snp
         self.meter = meter if meter is not None else TransferMeter()
+        explicit = (cache_budget is not None
+                    or "SNPRELATE_TPU_SLAB_CACHE" in os.environ)
         if cache_budget is None:
             cache_budget = int(float(os.environ.get(
                 "SNPRELATE_TPU_SLAB_CACHE", 4e9)))
         slab_bytes = self.n_chunks * chunk * (group // 4)
         self._cache_all = slab_bytes * self.n_groups <= cache_budget
+        # partial pinning only on an explicit budget (see class docstring)
+        self._cache_limit = (self.n_groups if self._cache_all
+                             else int(cache_budget // max(slab_bytes, 1))
+                             if explicit else 0)
         self._cache = {}
         self._pending = (None, None)  # (j, Future) from prefetch()
         self._pool = None
@@ -182,7 +197,7 @@ class StoreSlabSource:
             arr = fut.result()
         else:
             arr = self._load(j)
-        if self._cache_all:
+        if len(self._cache) < self._cache_limit:
             self._cache[j] = arr
         return arr
 

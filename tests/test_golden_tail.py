@@ -234,8 +234,11 @@ def _inb_loop(geno_s, af, method):
             with np.errstate(divide="ignore", invalid="ignore"):
                 v = (g - 2 * p) ** 2 / h - 1 if h != 0 else np.nan
         elif method == "gcta2":
-            v = 1 - g * (2 - g) / h if h != 0 else \
-                (np.nan if g == 1 else 1.0)
+            # h == 0: the reference computes 1 - g(2-g)/0.0 in IEEE
+            # (0/0 -> NaN for g in {0,2}, -inf for g == 1), so the SNP
+            # is always skipped by its R_FINITE guard
+            # (genIBD.cpp:1936-1955)
+            v = 1 - g * (2 - g) / h if h != 0 else np.nan
         elif method in ("mom.visscher", "gcta3"):
             v = (g * g - g * (1 + 2 * p) + 2 * p * p) / h if h != 0 \
                 else np.nan

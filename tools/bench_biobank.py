@@ -407,11 +407,17 @@ def run(args):
                                    iter_num=args.iters,
                                    seed=11, verbose=args.verbose)
     pca_s = time.time() - t0
-    # correctness probe: PC1 separates the two planted populations
-    # (group index determines the population in both source modes)
+    # correctness probe: PC1 separates the two planted populations.
+    # Stores built by io/synth.py carry the truth as a sample
+    # annotation; the device-PRNG source splits at the group midpoint.
     pc1 = pca.eigenvect[:, 0]
-    half = src.n_groups // 2
-    lab = np.asarray([1 if (i // group) >= half else 0 for i in range(n)])
+    if args.source != "gen" and "pop" in getattr(data, "sample_annot",
+                                                 {}):
+        lab = np.asarray(data.sample_annot["pop"], int)
+    else:
+        half = src.n_groups // 2
+        lab = np.asarray([1 if (i // group) >= half else 0
+                          for i in range(n)])
     sep = (np.median(pc1[lab == 1]) - np.median(pc1[lab == 0]))
     polarity = np.sign(sep) if sep != 0 else 1.0
     frac = float(((pc1 * polarity > 0) == (lab == 1)).mean())

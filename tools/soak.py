@@ -21,10 +21,13 @@ Checks (per dataset):
 
 import argparse
 import itertools
+import math
 import sys
 import os
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+# scalar oracles shared with the golden test suite
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
 
 import jax
 
@@ -541,6 +544,189 @@ def one(seed, n_snp, n_samp, miss):
         fin = np.isfinite(kin) & np.isfinite(got)
         np.testing.assert_array_equal(np.isfinite(kin), np.isfinite(got))
         np.testing.assert_allclose(got[fin], kin[fin], rtol=1e-12)
+
+    # --- Fst, both methods, vs the scalar genFst.cpp transcriptions
+    # (oracles shared with tests/test_golden_tail.py). Random 2-3
+    # population assignment; empty-pop SNPs nan on both sides.
+    if n_samp >= 6:
+        from snprelate_tpu.models.fst import fst as fst_fn
+        from test_golden_tail import _wc84_snp, _wh02_beta, _wh02_snp
+
+        n_pop = 2 + (seed % 2)
+        codes = np.asarray([i % n_pop for i in range(n_samp)])
+        rng.shuffle(codes)
+        pops = np.asarray([f"p{c}" for c in codes], object)
+
+        res = fst_fn(data, population=pops, method="W&C84", **kw)
+        num = den = 0.0
+        snp_ref = np.full(n_snp, np.nan)
+        for i in range(n_snp):
+            r = _wc84_snp(g[i], codes, n_pop)
+            if r is not None:
+                num += r[0]
+                den += r[1]
+                snp_ref[i] = r[0] / r[1] if r[1] != 0 else np.nan
+        with np.errstate(invalid="ignore", divide="ignore"):
+            np.testing.assert_allclose(res.FstSNP, snp_ref, rtol=1e-9,
+                                       atol=1e-12, equal_nan=True)
+            if den != 0:
+                np.testing.assert_allclose(res.Fst, num / den, rtol=1e-9)
+
+        res = fst_fn(data, population=pops, method="W&H02", **kw)
+        sum_h = np.zeros((n_pop, n_pop))
+        snp_ref = np.full(n_snp, np.nan)
+        any_ok = False
+        for i in range(n_snp):
+            H = _wh02_snp(g[i], codes, n_pop)
+            if H is not None:
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    snp_ref[i] = _wh02_beta(H, n_pop)[0]
+                sum_h += H
+                any_ok = True
+        np.testing.assert_allclose(res.FstSNP, snp_ref, rtol=1e-9,
+                                   atol=1e-12, equal_nan=True)
+        if any_ok:
+            total, beta = _wh02_beta(sum_h, n_pop)
+            np.testing.assert_allclose(res.Fst, total, rtol=1e-9)
+            np.testing.assert_allclose(res.Beta, beta, rtol=1e-9,
+                                       atol=1e-12)
+
+    # --- HWE exact test vs the independent log-gamma enumeration.
+    # Ties: two het classes can have EXACTLY equal probability (symmetric
+    # counts); the recurrence and the lgamma arithmetic then disagree by
+    # roundoff on `<= p_obs`, flipping a whole class in/out of the tail.
+    # Accept any value inside the [exclusive, inclusive] tie band.
+    from snprelate_tpu.models.hwe import hwe as hwe_fn
+
+    def _hwe_band(n_ab, n_aa, n_bb):
+        n = n_ab + n_aa + n_bb
+        if n <= 0:
+            return np.nan, np.nan
+        rare = 2 * min(n_aa, n_bb) + n_ab
+        lg = math.lgamma
+
+        def logp(h):
+            r_hom = (rare - h) // 2
+            c_hom = n - h - r_hom
+            return (lg(n + 1) - lg(r_hom + 1) - lg(h + 1) - lg(c_hom + 1)
+                    + h * math.log(2) + lg(rare + 1)
+                    + lg(2 * n - rare + 1) - lg(2 * n + 1))
+
+        hs = list(range(rare % 2, rare + 1, 2))
+        ps = np.asarray([math.exp(logp(h)) for h in hs])
+        ps /= ps.sum()
+        obs = ps[hs.index(n_ab)]
+        lo = min(ps[ps <= obs * (1 - 1e-9)].sum() + obs, 1.0)
+        hi = min(ps[ps <= obs * (1 + 1e-9)].sum(), 1.0)
+        return lo, hi
+
+    pv = np.asarray(hwe_fn(data, sample_id=None, snp_id=None), float)
+    for i in range(n_snp):
+        lo, hi = _hwe_band(int((g[i] == 1).sum()), int((g[i] == 0).sum()),
+                           int((g[i] == 2).sum()))
+        if not np.isfinite(lo):
+            assert not np.isfinite(pv[i]), (i, pv[i])
+        else:
+            assert lo - 1e-9 <= pv[i] <= hi + 1e-9, (i, pv[i], lo, hi)
+
+    # --- inbreeding estimators vs the scalar gnrIndInb transcriptions
+    if n_samp >= 2:
+        from snprelate_tpu.models.inbreeding import ind_inb
+        from snprelate_tpu.workspace import init_workspace, snp_stats
+        from test_golden_tail import _inb_loop, _inb_mle_scalar
+
+        ws_i, _ = init_workspace(data, autosome_only=False,
+                                 remove_monosnp=False,
+                                 missing_rate=np.nan)
+        af, _, _, _ = snp_stats(ws_i)  # allele frequency (not dosage mean)
+        af = np.asarray(af, float)
+        geno_i = ws_i.geno()
+        with np.errstate(invalid="ignore", divide="ignore"):
+            def _inb_or_nan(col, method):
+                try:
+                    return _inb_loop(geno_i[:, col], af, method)
+                except ZeroDivisionError:  # no usable locus: 0.0/0.0
+                    return np.nan
+
+            for method in ("mom.weir", "mom.visscher", "gcta1", "gcta2",
+                           "gcta3"):
+                res = ind_inb(data, method=method, **kw)
+                ref = np.asarray([_inb_or_nan(j, method)
+                                  for j in range(n_samp)])
+                got = np.asarray(res.inbreeding, float)
+                fin = np.isfinite(ref) & np.isfinite(got)
+                np.testing.assert_array_equal(np.isfinite(ref), fin,
+                                              err_msg=method)
+                np.testing.assert_allclose(got[fin], ref[fin], rtol=1e-9,
+                                           atol=1e-12, err_msg=method)
+            if miss <= 0.5:
+                reltol = np.finfo(float).eps ** 0.75
+                res = ind_inb(data, method="mle", reltol=reltol, **kw)
+                ref = np.asarray([
+                    _inb_mle_scalar(geno_i[:, j], af, reltol)
+                    for j in range(n_samp)])
+                got = np.asarray(res.inbreeding, float)
+                fin = np.isfinite(ref) & np.isfinite(got)
+                np.testing.assert_allclose(got[fin], ref[fin], rtol=1e-7,
+                                           err_msg="mle")
+
+    # --- IBD MLE: EM vs the literal scalar EMAlg port; the numpy batch
+    # NM vs the device while_loop NM (two independent implementations),
+    # both at small iteration budgets
+    if n_samp >= 4:
+        from snprelate_tpu.models.ibd_mle import (
+            _gather_pr, em_3state, mle_allele_freq, pr_ibd_table,
+            simplex_3state_batch, simplex_3state_dev)
+        from test_ibd_mle import _scalar_em
+
+        af_m = mle_allele_freq(g, None)
+        table = pr_ibd_table(af_m)
+        gT = np.where(g < 3, g, 3).T.astype(np.intp)
+        npair = min(4, n_samp * (n_samp - 1) // 2)
+        ii = rng.integers(0, n_samp, 4 * npair)
+        jj = rng.integers(0, n_samp, 4 * npair)
+        keep = ii != jj
+        ii, jj = ii[keep][:npair], jj[keep][:npair]
+        if len(ii):
+            both = ((g[:, ii] < 3) & (g[:, jj] < 3)).sum(0)
+            ok_pairs = both >= 2
+            ii, jj = ii[ok_pairs], jj[ok_pairs]
+        if len(ii):
+            pr = _gather_pr(table, gT[ii], gT[jj])
+            reltol = math.sqrt(np.finfo(float).eps)
+            k0 = rng.uniform(0.1, 0.8, len(ii))
+            k1 = rng.uniform(0.05, 1 - k0)
+            k0o, k1o, ll, _ = em_3state(pr, k0.copy(), k1.copy(), 25,
+                                        reltol, loglik_adjust=False)
+            for b in range(len(ii)):
+                sk0, sk1, sll = _scalar_em(pr[b], k0[b], k1[b], 25,
+                                           reltol)
+                np.testing.assert_allclose(k0o[b], sk0, rtol=1e-10,
+                                           atol=1e-12)
+                np.testing.assert_allclose(k1o[b], sk1, rtol=1e-10,
+                                           atol=1e-12)
+                np.testing.assert_allclose(ll[b], sll, rtol=1e-10)
+            if seed % 3 == 0:  # device-NM compile cost: subsample
+                import jax.numpy as jnp
+
+                prn = pr.copy()
+                prn[:, :, 0] -= pr[:, :, 2]
+                prn[:, :, 1] -= pr[:, :, 2]
+                ref = simplex_3state_batch(prn, k0.copy(), k1.copy(),
+                                           40, reltol, False)
+                dev = simplex_3state_dev(
+                    jnp.asarray(table), jnp.asarray(g[:, ii].T),
+                    jnp.asarray(g[:, jj].T), k0.copy(), k1.copy(), 40,
+                    reltol, False)
+                # f64 CPU: converged loglik agrees tightly; k within the
+                # simplex-collapse resolution; trajectories mostly exact
+                # (XLA reduction-order near-ties flip rarely, STATUS.md)
+                np.testing.assert_allclose(np.asarray(dev[2]), ref[2],
+                                           rtol=1e-8, atol=1e-10)
+                np.testing.assert_allclose(np.asarray(dev[0]), ref[0],
+                                           atol=1e-3)
+                exact = (np.abs(np.asarray(dev[0]) - ref[0]) < 1e-9)
+                assert exact.mean() >= 0.5, f"device NM: {exact.mean()}"
 
 
 def main():
