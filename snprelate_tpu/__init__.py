@@ -40,7 +40,8 @@ from .io.store import (SNPData, create_geno, open_snp_gds,
 from .io.seqarray import open_seq_gds, write_seq_gds
 from .io.gds import open_gds, write_snp_gds
 from .io.convert import (bed_to_snpdata, snpdata_to_bed, vcf_to_snpdata,
-                         ped_to_snpdata, snpdata_to_ped, gen_to_snpdata,
+                         vcf_to_store_sharded, ped_to_snpdata,
+                         snpdata_to_ped, gen_to_snpdata,
                          gen_prob_to_snpdata, snpdata_to_eigen)
 from .workspace import Workspace, init_workspace, snp_stats
 from .utils.packed import PackedSymmetric

@@ -21,7 +21,7 @@ import os
 import numpy as np
 
 from .store import SNPData, pack2bit
-from ..native import vcf_gt_line
+from ..native import flip_packed_rows, vcf_gt_line, vcf_parse_block
 
 _BED_CVT = np.array([2, 3, 1, 0], np.uint8)  # ConvToGDS.cpp:586
 _BED_INV = {2: 0, 3: 1, 1: 2, 0: 3}
@@ -323,8 +323,82 @@ def vcf_to_snpdata(vcf_fn, method="biallelic.only", ref_allele=None,
         else:
             packed_blocks.append(blk)
 
+    from ..native import get_lib
+
+    lib = get_lib()
+    fast = lib is not None and hasattr(lib, "codec_vcf_block")
+
+    def _fast_file(fn):
+        """Block-parse one file through codec_vcf_block: the native
+        parser emits packed rows + field offsets per 16 MB block, so no
+        per-line text decode/split/encode runs in Python (that path
+        measured ~54 MB/s; this runs at parser speed)."""
+        nonlocal sample_id
+        with _open(fn, "rb") as f:
+            while True:  # header
+                line = f.readline()
+                if not line:
+                    return
+                if line.startswith(b"##"):
+                    continue
+                if line.startswith(b"#CHROM"):
+                    sids = line.decode().rstrip("\r\n").split("\t")[9:]
+                    if sample_id is None:
+                        sample_id = sids
+                    elif sample_id != sids:
+                        raise ValueError(
+                            "Different samples across VCF files")
+                    break
+            nsp = len(sample_id)
+            carry = b""
+            while True:
+                blk = f.read(16 << 20)
+                data = carry + blk if carry else blk
+                if not data:
+                    break
+                if not blk and not data.endswith(b"\n"):
+                    data += b"\n"
+                packed_rows, meta, consumed = vcf_parse_block(
+                    data, nsp, method == "biallelic.only")
+                carry = data[consumed:] if consumed < len(data) else b""
+                flips = []
+                for r in range(meta.shape[0]):
+                    mv = meta[r]
+                    chrom = data[mv[0]:mv[1]].decode()
+                    a = data[mv[6]:mv[7]].decode()
+                    b = data[mv[8]:mv[9]].decode().split(",")[0]
+                    if ignore_chr_prefix and chrom.startswith(
+                            ignore_chr_prefix):
+                        chrom = chrom[len(ignore_chr_prefix):]
+                    if ref_allele is not None:
+                        i = len(rows)
+                        want = ref_allele[i] if i < len(ref_allele) \
+                            else None
+                        if want is not None and want == b and want != a:
+                            flips.append(r)
+                            a, b = b, a
+                    rows.append((chrom, int(data[mv[2]:mv[3]]),
+                                 data[mv[4]:mv[5]].decode(), a, b,
+                                 data[mv[10]:mv[11]].decode(),
+                                 data[mv[12]:mv[13]].decode()))
+                if flips:
+                    idx = np.asarray(flips)
+                    sub = packed_rows[idx]  # gather: fancy index copies
+                    flip_packed_rows(sub)
+                    packed_rows[idx] = sub
+                if packed_rows.shape[0]:
+                    if store_f is not None:
+                        store_f.write(packed_rows.tobytes())
+                    else:
+                        packed_blocks.append(packed_rows)
+                if not blk:
+                    break
+
     try:
         for fn in fns:
+            if fast:
+                _fast_file(fn)
+                continue
             with _open(fn) as f:
                 for line in f:
                     if line.startswith("##"):
@@ -418,6 +492,165 @@ def vcf_to_snpdata(vcf_fn, method="biallelic.only", ref_allele=None,
         snp_rs_id=np.asarray([r[2] for r in rows], object))
     sd.snp_annot = annot
     return _maybe_write_gds(sd, out_fn, snpfirstdim)
+
+
+def _vcf_shard_worker(args):
+    """Parse one byte range [start, end) of a plain VCF into
+    ``<out>.shard<k>`` packed rows + a metadata npz. A worker owns the
+    lines that START inside its range (it reads past ``end`` to finish
+    the final line), so the shards tile the file exactly."""
+    (fn, start, end, nsp, biallelic, ignore_chr_prefix, out, k) = args
+    rows = []
+    with open(fn, "rb") as f, \
+            open(f"{out}.shard{k}", "wb") as pf:
+        # a worker owns the lines that START in [start, end): position
+        # to the first line start >= start (seek one byte back so a
+        # start that IS a line start is kept, not discarded)
+        if start:
+            f.seek(start - 1)
+            if f.read(1) != b"\n":
+                f.readline()
+        else:
+            f.seek(start)
+        abs_off = f.tell()  # absolute offset of the next unparsed byte
+        carry = b""
+        done = abs_off >= end
+        while not done:
+            blk = f.read(16 << 20)
+            data = carry + blk if carry else blk
+            if not data:
+                break
+            if not blk and not data.endswith(b"\n"):
+                data += b"\n"
+            rel_end = end - abs_off  # first absolute offset NOT owned
+            if rel_end <= len(data):
+                # cut at the newline ending the last owned line; a line
+                # starting at >= end belongs to the next shard
+                jn = data.find(b"\n", max(rel_end - 1, 0))
+                if jn >= 0:
+                    data = data[: jn + 1]
+                    done = True
+                elif not blk:
+                    done = True  # final owned line had no newline (EOF)
+            elif not blk:
+                done = True
+            packed_rows, meta, consumed = vcf_parse_block(
+                data, nsp, biallelic)
+            carry = data[consumed:] if consumed < len(data) else b""
+            abs_off += consumed
+            for r in range(meta.shape[0]):
+                mv = meta[r]
+                chrom = data[mv[0]:mv[1]].decode()
+                if ignore_chr_prefix and chrom.startswith(
+                        ignore_chr_prefix):
+                    chrom = chrom[len(ignore_chr_prefix):]
+                rows.append((chrom, int(data[mv[2]:mv[3]]),
+                             data[mv[4]:mv[5]].decode(),
+                             data[mv[6]:mv[7]].decode(),
+                             data[mv[8]:mv[9]].decode().split(",")[0],
+                             data[mv[10]:mv[11]].decode(),
+                             data[mv[12]:mv[13]].decode()))
+            if packed_rows.shape[0]:
+                pf.write(packed_rows.tobytes())
+    np.savez(f"{out}.shardmeta{k}.npz",
+             chrom=np.asarray([r[0] for r in rows], object),
+             pos=np.asarray([r[1] for r in rows], np.int64),
+             vid=np.asarray([r[2] for r in rows], object),
+             ref=np.asarray([r[3] for r in rows], object),
+             alt=np.asarray([r[4] for r in rows], object),
+             qual=np.asarray([r[5] for r in rows], object),
+             filt=np.asarray([r[6] for r in rows], object))
+    return len(rows)
+
+
+def vcf_to_store_sharded(vcf_fn, out_store, workers=2,
+                         method="biallelic.only",
+                         ignore_chr_prefix="chr", verbose=False):
+    """Multi-process VCF -> packed-store ingestion: the file splits into
+    ``workers`` byte ranges (aligned to line starts), each worker block-
+    parses its range through the native codec into a packed shard, and
+    the shards byte-concatenate into ``<out_store>.packed`` (the store
+    is snp-major, so shard order IS variant order). The reference's
+    parser is single-threaded (ConvToGDS.cpp:645-1013); this scales
+    ingestion with cores while each worker runs the same native block
+    parser as :func:`vcf_to_snpdata`.
+
+    Plain (uncompressed) single-file VCF only — gzip streams are not
+    byte-addressable. Returns the opened store."""
+    import multiprocessing as mp
+
+    from .store import open_packed_store, write_packed_meta
+
+    fn = str(vcf_fn)
+    if fn.endswith(".gz"):
+        raise ValueError("sharded ingestion needs an uncompressed VCF "
+                         "(byte ranges are not seekable in gzip); use "
+                         "vcf_to_snpdata(out_store=) instead")
+    from ..native import get_lib
+
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "codec_vcf_block"):
+        raise RuntimeError("sharded ingestion requires the native codec")
+    # header: sample ids + the first data-byte offset
+    sample_id = None
+    with open(fn, "rb") as f:
+        while True:
+            line = f.readline()
+            if not line:
+                raise ValueError("no #CHROM header line")
+            if line.startswith(b"#CHROM"):
+                sample_id = line.decode().rstrip("\r\n").split("\t")[9:]
+                if not line.endswith(b"\n"):
+                    raise ValueError("header-only VCF")
+                data0 = f.tell()
+                break
+            if not line.startswith(b"#"):
+                raise ValueError("data line before #CHROM header")
+        f.seek(0, 2)
+        fsize = f.tell()
+    nsp = len(sample_id)
+    workers = max(1, int(workers))
+    bounds = [data0 + (fsize - data0) * w // workers
+              for w in range(workers + 1)]
+    jobs = [(fn, bounds[w], bounds[w + 1], nsp,
+             method == "biallelic.only", ignore_chr_prefix,
+             str(out_store), w) for w in range(workers)]
+    if workers == 1:
+        counts = [_vcf_shard_worker(jobs[0])]
+    else:
+        with mp.get_context("fork").Pool(workers) as pool:
+            counts = pool.map(_vcf_shard_worker, jobs)
+    if verbose:
+        print(f"sharded VCF ingest: {counts} variants/shard")
+    # concatenate shards (byte order == variant order)
+    metas = []
+    with open(str(out_store) + ".packed", "wb") as outf:
+        for w in range(workers):
+            sf = f"{out_store}.shard{w}"
+            with open(sf, "rb") as inf:
+                while True:
+                    b = inf.read(64 << 20)
+                    if not b:
+                        break
+                    outf.write(b)
+            os.remove(sf)
+            mf = f"{out_store}.shardmeta{w}.npz"
+            with np.load(mf, allow_pickle=True) as z:
+                metas.append({k: z[k] for k in z.files})
+            os.remove(mf)
+    cat = {k: np.concatenate([m[k] for m in metas])
+           for k in metas[0]}
+    n_snp = len(cat["pos"])
+    qual_arr = np.array([float(q) if q not in (".", "") else np.nan
+                         for q in cat["qual"]])
+    write_packed_meta(
+        str(out_store), np.asarray(sample_id, object),
+        np.arange(1, n_snp + 1), nsp, cat["pos"], cat["chrom"],
+        snp_allele=np.asarray(
+            [f"{a}/{b}" for a, b in zip(cat["ref"], cat["alt"])], object),
+        snp_rs_id=cat["vid"],
+        snp_annot={"qual": qual_arr, "filter": cat["filt"]})
+    return open_packed_store(str(out_store))
 
 
 # ---------------------------------------------------------------------------

@@ -15,10 +15,14 @@ from dataclasses import dataclass
 import numpy as np
 
 from ..workspace import init_workspace
-from ..ops.ld import (band_exceeds_tile, joint_table, ld_from_joint,
-                      ld_values_tile, snp_planes_np)
+from ..ops.ld import (PackedLD, band_exceeds_tile, joint_table,
+                      ld_from_joint, ld_values_tile, snp_planes_np)
 
 _METHODS = ("composite", "r", "dprime", "corr", "cov")
+
+# sample count past which the window kernels switch to the device-
+# resident packed route (dense uint8 tiles would dominate the link)
+PACKED_LD_MIN_SAMPLES = 4096
 
 
 def ld_pair(snp1, snp2, method="composite"):
@@ -60,8 +64,20 @@ def ld_mat(data, sample_id=None, snp_id=None, slide=250,
         slide = n_snp
 
     # LD values are evaluated on device (ops/ld.ld_values_tile): only the
-    # (Si, Sj) measures cross the host boundary, not the 36x joint tables.
-    def tile_vals(gi, gj):
+    # (Si, Sj) measures cross the host boundary, not the 36x joint
+    # tables. Past PACKED_LD_MIN_SAMPLES the genotypes upload ONCE as
+    # device-resident 2-bit rows (ops/ld.PackedLD) and each tile decodes
+    # on device — dense uint8 tile pairs would dominate the link.
+    wj = tile + slide if slide > 0 else tile
+    pld = (PackedLD(geno, pad_rows=wj)
+           if ws.n_samp >= PACKED_LD_MIN_SAMPLES else None)
+
+    def tile_vals(i0, i1, j0, j1, cols):
+        if pld is not None:
+            v = np.asarray(pld.vals(i0, j0, tile, cols, method),
+                           dtype=np.float64)
+            return v[: i1 - i0, : j1 - j0]
+        gi, gj = geno[i0:i1], geno[j0:j1]
         if gi.shape[0] * gj.shape[0] > 4096:
             return np.asarray(ld_values_tile(gi, gj, method),
                               dtype=np.float64)
@@ -73,7 +89,7 @@ def ld_mat(data, sample_id=None, snp_id=None, slide=250,
             i1 = min(i0 + tile, n_snp)
             for j0 in range(i0, n_snp, tile):
                 j1 = min(j0 + tile, n_snp)
-                v = tile_vals(geno[i0:i1], geno[j0:j1])
+                v = tile_vals(i0, i1, j0, j1, tile)
                 out[i0:i1, j0:j1] = v
                 out[j0:j1, i0:i1] = v.T
         return LDMatResult(ws.sample_id if with_id else None,
@@ -85,7 +101,7 @@ def ld_mat(data, sample_id=None, snp_id=None, slide=250,
     for i0 in range(0, ncol, tile):
         i1 = min(i0 + tile, ncol)
         j1 = min(i1 + slide, n_snp)
-        v = tile_vals(geno[i0:i1], geno[i0:j1])  # (i1-i0, j1-i0)
+        v = tile_vals(i0, i1, i0, j1, wj)  # (i1-i0, j1-i0)
         for local_i in range(i1 - i0):
             i = i0 + local_i
             kmax = min(slide, n_snp - i - 1)
@@ -128,23 +144,39 @@ def _prune_chromosome_banded(geno, pos, start_idx, slide_max_bp,
     out = np.zeros(n, bool)
     out[start_idx] = True
 
+    # Past PACKED_LD_MIN_SAMPLES the dense tiles themselves dominate the
+    # host->device link (one (block x n_samp) uint8 pair per window, i.e.
+    # ~0.3 GB per window at 65k samples): upload the chromosome ONCE as
+    # device-resident 2-bit rows and decode inside the band kernel
+    # (ops/ld.PackedLD) — H2D is 1x the packed chromosome.
+    pld = (PackedLD(geno, pad_rows=block + col_tile)
+           if geno.shape[1] >= PACKED_LD_MIN_SAMPLES else None)
+
     def band_rows(i0, i1, lo, hi):
         """Boolean |LD| > threshold band, evaluated on device so only the
         decision bits cross the host boundary (ops/ld.band_exceeds_tile).
         Tiles are padded to fixed (block, col_tile) shapes with missing
         genotypes (NaN LD -> False) so only ONE kernel shape compiles."""
         band = np.empty((i1 - i0, hi - lo), bool)
-        gi = geno[i0:i1]
-        if gi.shape[0] < block:
-            gi = np.pad(gi, ((0, block - gi.shape[0]), (0, 0)),
-                        constant_values=3)
+        gi = None
+        if pld is None:
+            gi = geno[i0:i1]
+            if gi.shape[0] < block:
+                gi = np.pad(gi, ((0, block - gi.shape[0]), (0, 0)),
+                            constant_values=3)
         for c0 in range(lo, hi, col_tile):
             c1 = min(c0 + col_tile, hi)
-            gj = geno[c0:c1]
-            if gj.shape[0] < col_tile:
-                gj = np.pad(gj, ((0, col_tile - gj.shape[0]), (0, 0)),
-                            constant_values=3)
-            tile = np.asarray(band_exceeds_tile(gi, gj, threshold, method))
+            if pld is not None:
+                tile = np.asarray(pld.band(i0, c0, threshold, block,
+                                           col_tile, method))
+            else:
+                gj = geno[c0:c1]
+                if gj.shape[0] < col_tile:
+                    gj = np.pad(gj,
+                                ((0, col_tile - gj.shape[0]), (0, 0)),
+                                constant_values=3)
+                tile = np.asarray(band_exceeds_tile(gi, gj, threshold,
+                                                    method))
             band[:, c0 - lo:c1 - lo] = tile[: i1 - i0, : c1 - c0]
         return band
 

@@ -23,18 +23,20 @@ _tried = False
 
 
 def _build() -> bool:
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-fopenmp", "-o", _SO, _SRC]
-    try:
-        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-        return True
-    except Exception:
-        try:  # retry without OpenMP
-            subprocess.run(["g++", "-O3", "-shared", "-fPIC", "-o", _SO,
-                            _SRC], check=True, capture_output=True,
+    # -march=native unlocks the AVX2 VCF cell parser and wider codegen
+    # for the byte loops; the .so is built on (and private to) the host
+    # that runs it. Fallback chain for toolchains without the flags.
+    for flags in (["-O3", "-march=native", "-funroll-loops", "-fopenmp"],
+                  ["-O3", "-fopenmp"],
+                  ["-O3"]):
+        try:
+            subprocess.run(["g++", *flags, "-shared", "-fPIC", "-o",
+                            _SO, _SRC], check=True, capture_output=True,
                            timeout=120)
             return True
         except Exception:
-            return False
+            continue
+    return False
 
 
 def get_lib():
@@ -86,6 +88,14 @@ def get_lib():
                 i64]
         except AttributeError:
             pass  # stale .so without the generator: wrapper falls back
+        try:
+            lib.codec_vcf_block.argtypes = [u8p, i64, i64, ctypes.c_int,
+                                            i64, u8p, u8p, i64, i64p,
+                                            i64p]
+            lib.codec_vcf_block.restype = i64
+            lib.codec_flip_packed.argtypes = [u8p, i64, i64]
+        except AttributeError:
+            pass  # stale .so without the block VCF parser
         lib.codec_num_threads.restype = ctypes.c_int
         _lib = lib
         return _lib
@@ -320,3 +330,62 @@ def gen_cohort_rows(seed: int, snp0: int, n_rows: int, n_samp: int,
                           structure, miss_u8, dupl, pcl)
         out[r] = pack2bit(row[None, :])[0, :dst_bytes]
     return out
+
+
+def vcf_parse_block(data: bytes, nsamp: int, biallelic_only: bool,
+                    max_rows: int = 1 << 16):
+    """Parse complete VCF data lines from a byte block (codec_vcf_block).
+
+    Returns (packed_rows (R, nb) uint8, meta (R, 14) int64 field
+    offsets into ``data``, consumed_bytes) or None without the native
+    library. Header lines are skipped; an incomplete trailing line is
+    left unconsumed for the caller to carry into the next block."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "codec_vcf_block"):
+        return None
+    buf = np.frombuffer(data, np.uint8)
+    nb = -(-nsamp // 4)
+    total_rows = 0
+    total_consumed = 0
+    outs, metas = [], []
+    row_tmp = np.empty(max(nsamp, 1), np.uint8)
+    while True:
+        packed = np.empty((max_rows, nb), np.uint8)
+        meta = np.empty((max_rows, 14), np.int64)
+        consumed = np.zeros(1, np.int64)
+        sub = buf[total_consumed:]
+        n = lib.codec_vcf_block(
+            _u8p(sub), len(sub), nsamp, 0 if biallelic_only else 1,
+            max_rows, _u8p(row_tmp), _u8p(packed), nb, _i64p(meta),
+            _i64p(consumed))
+        if n:
+            outs.append(packed[:n])
+            metas.append(meta[:n] + total_consumed)
+        total_rows += int(n)
+        total_consumed += int(consumed[0])
+        if n < max_rows:
+            break
+    if not outs:
+        return (np.zeros((0, nb), np.uint8), np.zeros((0, 14), np.int64),
+                total_consumed)
+    return (np.concatenate(outs), np.concatenate(metas), total_consumed)
+
+
+def flip_packed_rows(rows: np.ndarray) -> None:
+    """In-place REF<->ALT dosage flip of packed 2-bit rows (codes 0<->2,
+    1/3 unchanged)."""
+    lib = get_lib()
+    rows = np.ascontiguousarray(rows)
+    if lib is not None and hasattr(lib, "codec_flip_packed"):
+        lib.codec_flip_packed(_u8p(rows), rows.shape[0], rows.shape[1])
+        return rows
+    lut = np.empty(256, np.uint8)
+    for v in range(256):
+        o = 0
+        for k in range(4):
+            c = (v >> (2 * k)) & 3
+            c = 2 if c == 0 else (0 if c == 2 else c)
+            o |= c << (2 * k)
+        lut[v] = o
+    rows[:] = lut[rows]
+    return rows

@@ -15,6 +15,10 @@
 #include <omp.h>
 #endif
 
+#if defined(__AVX2__)
+#include <immintrin.h>
+#endif
+
 extern "C" {
 
 // Decode 2-bit packed rows to uint8 genotypes.
@@ -242,6 +246,79 @@ int64_t codec_vcf_gt(const char *s, int64_t len, int64_t gt_idx,
 {
     int64_t i = 0, cell = 0;
     while (cell < n && i <= len) {
+#if defined(__AVX2__)
+        // vector fast path: 8 consecutive 4-byte "a/b\t" diploid cells
+        // per 32-byte load (the dominant shape when FORMAT is GT-only).
+        // movemask bit patterns prove every group is exactly
+        // [allele, '/'|'|', allele, '\t'] with single-char non-tab
+        // alleles; any other shape falls to the scalar paths below for
+        // one cell and the vector loop resumes.
+        if (gt_idx == 0) {
+            const __m256i v_sl = _mm256_set1_epi8('/');
+            const __m256i v_pi = _mm256_set1_epi8('|');
+            const __m256i v_tb = _mm256_set1_epi8('\t');
+            const __m256i v_z0 = _mm256_set1_epi8('0');
+            const __m256i v_dot = _mm256_set1_epi8('.');
+            const __m256i v_one = _mm256_set1_epi8(1);
+            const __m256i v_three = _mm256_set1_epi8(3);
+            const __m256i pick = _mm256_setr_epi8(
+                0, 4, 8, 12, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1,
+                -1, -1, 0, 4, 8, 12, -1, -1, -1, -1, -1, -1, -1, -1,
+                -1, -1, -1, -1);
+            while (cell + 8 <= n && i + 32 <= len) {
+                __m256i v = _mm256_loadu_si256((const __m256i *)(s + i));
+                uint32_t msep = (uint32_t)_mm256_movemask_epi8(
+                    _mm256_or_si256(_mm256_cmpeq_epi8(v, v_sl),
+                                    _mm256_cmpeq_epi8(v, v_pi)));
+                uint32_t mtab = (uint32_t)_mm256_movemask_epi8(
+                    _mm256_cmpeq_epi8(v, v_tb));
+                if ((msep & 0x22222222u) != 0x22222222u ||
+                    (mtab & 0x88888888u) != 0x88888888u ||
+                    ((msep | mtab) & 0x55555555u) != 0)
+                    break;
+                __m256i is0 = _mm256_and_si256(
+                    _mm256_cmpeq_epi8(v, v_z0), v_one);
+                __m256i dos = _mm256_add_epi8(
+                    is0, _mm256_srli_epi32(is0, 16));
+                __m256i isdot = _mm256_cmpeq_epi8(v, v_dot);
+                __m256i mis = _mm256_or_si256(
+                    isdot, _mm256_srli_epi32(isdot, 16));
+                __m256i res = _mm256_blendv_epi8(
+                    _mm256_shuffle_epi8(dos, pick), v_three,
+                    _mm256_shuffle_epi8(mis, pick));
+                uint32_t lo = (uint32_t)_mm256_extract_epi32(res, 0);
+                uint32_t hi = (uint32_t)_mm256_extract_epi32(res, 4);
+                memcpy(out + cell, &lo, 4);
+                memcpy(out + cell + 4, &hi, 4);
+                cell += 8;
+                i += 32;
+            }
+            if (cell >= n || i > len) break;
+        }
+#endif
+        // fast path for the dominant shape when GT is the first FORMAT
+        // field: a 3-char "x/y" (or "x|y") diploid call followed by
+        // '\t', ':' or end-of-region. Anything else (haploid, multi-
+        // digit alleles, triploid+) falls through to the general loop.
+        if (gt_idx == 0 && i + 3 <= len) {
+            char a = s[i], m = s[i + 1], b = s[i + 2];
+            char t = (i + 3 < len) ? s[i + 3] : '\t';
+            if ((m == '/' || m == '|') && (t == '\t' || t == ':') &&
+                a != '/' && a != '|' && b != '/' && b != '|') {
+                if (a != '.' && b != '.')
+                    out[cell] = (uint8_t)((a == '0') + (b == '0'));
+                cell++;
+                if (t == ':') {
+                    i += 3;
+                    const char *nt = (const char *)memchr(
+                        s + i, '\t', (size_t)(len - i));
+                    i = nt ? (nt - s) + 1 : len + 1;
+                } else {
+                    i += 4;
+                }
+                continue;
+            }
+        }
         int64_t end = i;
         while (end < len && s[end] != '\t') end++;
         // locate the GT field inside [i, end)
@@ -292,6 +369,107 @@ int64_t codec_vcf_gt(const char *s, int64_t len, int64_t gt_idx,
         i = end + 1;
     }
     return cell;
+}
+
+// ---------------------------------------------------------------------
+// Block VCF parser: processes every COMPLETE data line in buf[0, len),
+// emitting packed 2-bit genotype rows and the byte offsets of the nine
+// fixed fields — the whole-line hot loop of gnrParseVCF4
+// (ConvToGDS.cpp:645-1013) without any per-line work on the Python
+// side (text decode + split + re-encode ran ~54 MB/s; this runs at
+// memory speed and the caller only materializes small metadata
+// strings from the offset table).
+//
+// mode 0 = biallelic.only (skip lines whose REF/ALT are not single
+// A/C/G/T bases), mode 1 = copy.num.of.ref (keep everything).
+// Header lines ('#') are skipped and counted into *consumed.
+// meta_out row r holds 14 int64s: start/end offsets (absolute in buf)
+// of CHROM, POS, ID, REF, ALT, QUAL, FILTER.
+// Returns rows emitted; *consumed = bytes up to the end of the last
+// processed (or skipped) line. Parsing stops at max_rows or when the
+// next line is incomplete (no '\n' in the buffer).
+int64_t codec_vcf_block(const uint8_t *buf, int64_t len, int64_t nsamp,
+                        int mode, int64_t max_rows, uint8_t *row_tmp,
+                        uint8_t *packed_out, int64_t nb,
+                        int64_t *meta_out, int64_t *consumed)
+{
+    int64_t i = 0, rows = 0;
+    *consumed = 0;
+    while (i < len && rows < max_rows) {
+        const uint8_t *nl =
+            (const uint8_t *)memchr(buf + i, '\n', (size_t)(len - i));
+        if (!nl) break;  // incomplete line: caller carries it over
+        int64_t end = nl - buf;
+        int64_t line_end = end;
+        if (line_end > i && buf[line_end - 1] == '\r') line_end--;
+        if (buf[i] == '#') { i = end + 1; *consumed = i; continue; }
+        // locate the 9 fixed fields
+        int64_t fs[10], fe[10];
+        int nf = 0;
+        int64_t p = i;
+        while (nf < 9 && p <= line_end) {
+            fs[nf] = p;
+            while (p < line_end && buf[p] != '\t') p++;
+            fe[nf] = p;
+            nf++;
+            p++;
+        }
+        if (nf == 9 && p <= line_end) { fs[9] = p; fe[9] = line_end; nf = 10; }
+        if (nf < 10) { i = end + 1; *consumed = i; continue; }
+        if (mode == 0) {
+            // biallelic SNV only: REF and ALT single A/C/G/T
+            int64_t rl = fe[3] - fs[3], al = fe[4] - fs[4];
+            uint8_t rc = rl == 1 ? buf[fs[3]] : 0;
+            uint8_t ac = al == 1 ? buf[fs[4]] : 0;
+            const char *ok = "ACGTacgt";
+            if (rl != 1 || al != 1 || !rc || !ac ||
+                !memchr(ok, rc, 8) || !memchr(ok, ac, 8)) {
+                i = end + 1; *consumed = i; continue;
+            }
+        }
+        // GT index within FORMAT
+        int64_t gt_idx = -1, fcount = 0, cur = fs[8];
+        for (int64_t k = fs[8]; k <= fe[8]; k++) {
+            if (k == fe[8] || buf[k] == ':') {
+                if (k - cur == 2 && buf[cur] == 'G' && buf[cur + 1] == 'T')
+                    { gt_idx = fcount; break; }
+                fcount++; cur = k + 1;
+            }
+        }
+        if (gt_idx < 0) { i = end + 1; *consumed = i; continue; }
+        memset(row_tmp, 3, (size_t)nsamp);
+        codec_vcf_gt((const char *)(buf + fs[9]), fe[9] - fs[9], gt_idx,
+                     row_tmp, nsamp);
+        codec_pack2bit(row_tmp, 1, nsamp, packed_out + rows * nb, nb);
+        int64_t *m = meta_out + rows * 14;
+        for (int k = 0; k < 7; k++) { m[2 * k] = fs[k]; m[2 * k + 1] = fe[k]; }
+        rows++;
+        i = end + 1;
+        *consumed = i;
+    }
+    return rows;
+}
+
+// Flip REF<->ALT dosage on packed rows in place: 2-bit codes 0<->2,
+// 1 and 3 unchanged (the ref.allele switch of gnrParseVCF4, applied
+// after parsing because the variant index is defined by parse order).
+void codec_flip_packed(uint8_t *rows, int64_t n_rows, int64_t nb)
+{
+    uint8_t lut[256];
+    for (int v = 0; v < 256; v++) {
+        int o = 0;
+        for (int k = 0; k < 4; k++) {
+            int c = (v >> (2 * k)) & 3;
+            if (c == 0) c = 2; else if (c == 2) c = 0;
+            o |= c << (2 * k);
+        }
+        lut[v] = (uint8_t)o;
+    }
+#pragma omp parallel for schedule(static)
+    for (int64_t r = 0; r < n_rows; r++) {
+        uint8_t *p = rows + r * nb;
+        for (int64_t b = 0; b < nb; b++) p[b] = lut[p[b]];
+    }
 }
 
 // ---------------------------------------------------------------------

@@ -270,6 +270,62 @@ def band_exceeds_tile(gi, gj, threshold, method: str):
     return jnp.abs(ld) > threshold
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("block", "cols", "method", "band"))
+def _ld_packed_tile(packed, i0, c0, threshold, block: int, cols: int,
+                    method: str, band: bool):
+    """LD tile between row slices of a DEVICE-RESIDENT packed 2-bit
+    matrix: rows [i0, i0+block) x [c0, c0+cols), decoded on device.
+    band=True returns the |LD| > threshold boolean tile, else the values.
+    Padding rows (0xFF) decode to all-missing -> NaN -> False."""
+    from .decode import decode2bit
+
+    gi = decode2bit(jax.lax.dynamic_slice_in_dim(packed, i0, block, 0))
+    gj = decode2bit(jax.lax.dynamic_slice_in_dim(packed, c0, cols, 0))
+    fdt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    pi = [(gi == k).astype(jnp.int8) for k in range(3)]
+    pj = [(gj == k).astype(jnp.int8) for k in range(3)]
+    J = [[jnp.matmul(pi[a], pj[b].T,
+                     preferred_element_type=jnp.int32).astype(fdt)
+          for b in range(3)] for a in range(3)]
+    ld = _ld_from_joint_jnp(J, method)
+    return jnp.abs(ld) > threshold if band else ld
+
+
+class PackedLD:
+    """Device-resident 2-bit genotypes for repeated LD tile evaluation
+    at biobank sample counts.
+
+    The dense band/tile kernels ship one (block x n_samp) uint8 genotype
+    pair per window — at 65k samples that is ~0.3 GB of H2D per window
+    and the scan becomes link-bound. Here the packed rows upload ONCE
+    (2 bits/genotype; a 229k x 65k chromosome set is 3.8 GB total) and
+    every tile decodes on device, so the host boundary carries only
+    decision bits/values. Same counts as the dense path: padding samples
+    and padding rows decode to missing and drop out of the joint tables.
+    """
+
+    def __init__(self, geno: np.ndarray, pad_rows: int):
+        from ..io.store import pack2bit
+
+        self.n = geno.shape[0]
+        packed = pack2bit(np.ascontiguousarray(geno))
+        if pad_rows:
+            packed = np.pad(packed, ((0, pad_rows), (0, 0)),
+                            constant_values=0xFF)
+        self.dev = jnp.asarray(packed)
+        self.h2d_bytes = packed.nbytes
+
+    def band(self, i0: int, c0: int, threshold: float, block: int,
+             cols: int, method: str):
+        return _ld_packed_tile(self.dev, i0, c0, threshold, block, cols,
+                               method, True)
+
+    def vals(self, i0: int, c0: int, block: int, cols: int, method: str):
+        return _ld_packed_tile(self.dev, i0, c0, 0.0, block, cols,
+                               method, False)
+
+
 def haplo_counts(J: np.ndarray):
     """Known haplotype counts from the joint table (IncArray,
     genLD.cpp:155-172)."""

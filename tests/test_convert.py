@@ -291,3 +291,46 @@ def test_empty_store_container(tmp_path):
     save_packed_store(sd, str(tmp_path / "empty2"))
     back2 = open_packed_store(str(tmp_path / "empty2"))
     assert back2.n_snp == 0 and back2.n_samp == 2
+
+
+def test_vcf_sharded_ingest_equals_single(tmp_path):
+    """vcf_to_store_sharded (multi-process byte-range workers) must
+    produce the identical store as the single-stream parser, for any
+    worker count and shard boundary placement."""
+    import snprelate_tpu as sr
+    from snprelate_tpu.io.convert import vcf_to_store_sharded
+
+    # synthetic VCF large enough for interesting boundaries
+    rng = np.random.default_rng(3)
+    n_samp, n_var = 37, 211
+    lines = ["##fileformat=VCFv4.2",
+             "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
+             + "\t".join(f"s{i}" for i in range(n_samp))]
+    bases = "ACGT"
+    for v in range(n_var):
+        ref, alt = rng.choice(list(bases), 2, replace=False)
+        if v % 17 == 0:
+            alt = ref + "T"  # indel: dropped by biallelic.only
+        gts = []
+        for s in range(n_samp):
+            a, b = rng.integers(0, 2, 2)
+            gts.append("./." if rng.random() < 0.05 else f"{a}/{b}")
+        lines.append(f"{1 + v % 3}\t{100 + v}\trs{v}\t{ref}\t{alt}\t"
+                     f"{v % 50}\tPASS\t.\tGT\t" + "\t".join(gts))
+    fn = tmp_path / "big.vcf"
+    fn.write_text("\n".join(lines) + "\n")
+
+    ref_store = str(tmp_path / "single")
+    d1 = sr.vcf_to_snpdata(str(fn), out_store=ref_store)
+    for workers in (1, 2, 5):
+        out = str(tmp_path / f"shard{workers}")
+        d2 = vcf_to_store_sharded(str(fn), out, workers=workers)
+        np.testing.assert_array_equal(np.asarray(d1.genotype_packed),
+                                      np.asarray(d2.genotype_packed))
+        np.testing.assert_array_equal(d1.snp_position, d2.snp_position)
+        assert list(d1.snp_chromosome) == list(d2.snp_chromosome)
+        assert list(d1.snp_allele) == list(d2.snp_allele)
+        assert list(d1.snp_rs_id) == list(d2.snp_rs_id)
+        assert list(d1.sample_id) == list(d2.sample_id)
+        np.testing.assert_array_equal(d1.snp_annot["qual"],
+                                      d2.snp_annot["qual"])

@@ -212,3 +212,56 @@ def test_joint_table_host_path_above_127_samples():
     bf = b[m].astype(float)
     want = np.corrcoef(af, bf)[0, 1]
     np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+def test_packed_ld_route_equals_dense():
+    """The device-resident packed route (ops/ld.PackedLD, auto-enabled
+    past PACKED_LD_MIN_SAMPLES) must reproduce the dense-tile kernels
+    exactly: same band decisions in the pruning scan, same ld_mat
+    values. 4100 samples crosses the switch threshold."""
+    import snprelate_tpu.models.ld as mld
+    from snprelate_tpu.io.store import create_geno
+    from snprelate_tpu.models.ld import ld_mat, ld_pruning
+
+    rng = np.random.default_rng(11)
+    n_snp, n_samp = 220, 4100
+    p = rng.uniform(0.05, 0.95, n_snp)
+    g = (rng.random((n_snp, n_samp)) < p[:, None]).astype(np.uint8)
+    g += (rng.random((n_snp, n_samp)) < p[:, None]).astype(np.uint8)
+    g[rng.random((n_snp, n_samp)) < 0.02] = 3
+    # plant perfect-LD twins: even rows duplicated into the next row
+    for j in range(0, 40, 2):
+        g[j + 1] = g[j]
+    data = create_geno(g, [f"s{i}" for i in range(n_samp)],
+                       np.arange(n_snp), np.arange(n_snp) * 100,
+                       np.ones(n_snp, np.int32))
+
+    assert n_samp >= mld.PACKED_LD_MIN_SAMPLES  # packed route active
+    kw = dict(autosome_only=False, remove_monosnp=False,
+              maf=float("nan"), missing_rate=float("nan"))
+    kept_packed = ld_pruning(data, seed=5, start_pos="first", **kw)
+    band_packed = ld_mat(data, slide=16, method="composite",
+                         with_id=False).LD
+    full_packed = ld_mat(data, slide=-1, method="r", with_id=False).LD
+
+    old = mld.PACKED_LD_MIN_SAMPLES
+    mld.PACKED_LD_MIN_SAMPLES = 10**9  # force the dense route
+    try:
+        kept_dense = ld_pruning(data, seed=5, start_pos="first", **kw)
+        band_dense = ld_mat(data, slide=16, method="composite",
+                            with_id=False).LD
+        full_dense = ld_mat(data, slide=-1, method="r", with_id=False).LD
+    finally:
+        mld.PACKED_LD_MIN_SAMPLES = old
+
+    assert list(kept_packed) == list(kept_dense)
+    for ch in kept_packed:
+        np.testing.assert_array_equal(kept_packed[ch], kept_dense[ch])
+    np.testing.assert_allclose(band_packed, band_dense, rtol=1e-12,
+                               equal_nan=True)
+    np.testing.assert_allclose(full_packed, full_dense, rtol=1e-12,
+                               equal_nan=True)
+    # the planted twins must be dropped (exactly one of each pair kept)
+    kept_ids = set(np.concatenate(list(kept_packed.values())).tolist())
+    for j in range(0, 40, 2):
+        assert (j in kept_ids) != (j + 1 in kept_ids)
