@@ -322,6 +322,13 @@ def main(argv=None) -> int:
                                 "(biobank-scale ingestion; every other "
                                 "command accepts the prefix as its GDS "
                                 "argument)")
+            if name == "vcf2gds":
+                p.add_argument("--workers", type=int, default=1,
+                               help="with --store and a plain "
+                                    "(uncompressed) VCF: parse this many "
+                                    "line-aligned byte ranges in parallel "
+                                    "worker processes "
+                                    "(vcf_to_store_sharded)")
 
     a = ap.parse_args(argv)
     from .utils.profile import maybe_env_trace
@@ -660,7 +667,12 @@ def run(a) -> str:
     quiet = getattr(a, "quiet", True)
     if cmd == "vcf2gds":
         if getattr(a, "store", False):
-            cv.vcf_to_snpdata(a.src, verbose=not quiet, out_store=a.dst)
+            if getattr(a, "workers", 1) > 1:
+                cv.vcf_to_store_sharded(a.src, a.dst, workers=a.workers,
+                                        verbose=not quiet)
+            else:
+                cv.vcf_to_snpdata(a.src, verbose=not quiet,
+                                  out_store=a.dst)
             return f"{cmd}: wrote {a.dst}.packed"
         write_snp_gds(cv.vcf_to_snpdata(a.src, verbose=not quiet), a.dst)
     elif cmd == "bed2gds":

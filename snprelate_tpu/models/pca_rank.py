@@ -58,13 +58,33 @@ def subset_chunks(source, rank: int, world: int):
     native chunk_sel support (StoreSlabSource, the bench's GenSlabSource)
     rebuild themselves; anything else is wrapped with an on-device
     gather (the slab is already device-resident, so the gather costs no
-    host traffic)."""
+    host traffic).
+
+    The sub-source is memoized on the parent: every power/project pass
+    of a rank then reuses ONE source, so a pinned slab cache
+    (StoreSlabSource with an explicit budget) survives across passes —
+    without this, each pass rebuilt the sub-source and re-uploaded the
+    whole rank share. Sequential in-process multi-rank runs share the
+    chip, so size the budget for world x pins."""
     sel = rank_chunk_sel(source.n_chunks, rank, world)
     if world == 1:
         return source
-    if hasattr(source, "with_chunk_sel"):
-        return source.with_chunk_sel(sel)
-    return _GatherSubset(source, sel)
+    memo = getattr(source, "_rank_sub_memo", None)
+    if memo is None:
+        memo = {}
+        try:
+            source._rank_sub_memo = memo
+        except AttributeError:
+            memo = None
+    key = (rank, world)
+    if memo is not None and key in memo:
+        return memo[key]
+    sub = (source.with_chunk_sel(sel)
+           if hasattr(source, "with_chunk_sel")
+           else _GatherSubset(source, sel))
+    if memo is not None:
+        memo[key] = sub
+    return sub
 
 
 class _GatherSubset:

@@ -96,6 +96,12 @@ def get_lib():
             lib.codec_flip_packed.argtypes = [u8p, i64, i64]
         except AttributeError:
             pass  # stale .so without the block VCF parser
+        try:
+            lib.codec_packed_to_vcf.argtypes = [u8p, i64, i64, i64, i64,
+                                                i64, ctypes.c_char_p]
+            lib.codec_packed_to_vcf.restype = i64
+        except AttributeError:
+            pass  # stale .so without the VCF renderer
         lib.codec_num_threads.restype = ctypes.c_int
         _lib = lib
         return _lib
@@ -389,3 +395,28 @@ def flip_packed_rows(rows: np.ndarray) -> None:
         lut[v] = o
     rows[:] = lut[rows]
     return rows
+
+
+def packed_rows_to_vcf(rows: np.ndarray, n_samp: int, chrom: int,
+                       pos0: int) -> bytes:
+    """Render packed 2-bit rows as VCF data lines (codec_packed_to_vcf);
+    the synthetic-VCF writer for ingestion benchmarks."""
+    rows = np.ascontiguousarray(rows, np.uint8)
+    n_rows, nb = rows.shape
+    cap = int(n_rows * (48 + 4 * n_samp))
+    out = ctypes.create_string_buffer(cap)
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "codec_packed_to_vcf"):
+        from ..io.store import unpack2bit
+
+        cells = np.array(["1/1", "0/1", "0/0", "./."])
+        lines = []
+        dense = unpack2bit(rows, n_samp)
+        for r in range(n_rows):
+            pos = pos0 + r
+            lines.append(f"{chrom}\t{pos}\trs{pos}\tA\tG\t.\tPASS\t.\t"
+                         "GT\t" + "\t".join(cells[dense[r]]))
+        return ("\n".join(lines) + "\n").encode()
+    n = lib.codec_packed_to_vcf(_u8p(rows), n_rows, nb, n_samp, chrom,
+                                pos0, out)
+    return out.raw[:n]
