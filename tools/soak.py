@@ -742,10 +742,11 @@ def main():
         one(seed * 1000 + idx, n_snp, n_samp, miss)
         print(f"ok {idx + 1}/{len(cases)}: snp={n_snp} samp={n_samp} "
               f"miss={miss}", flush=True)
-    print(f"SOAK PASS: {len(cases)} datasets x 14 engine families "
+    print(f"SOAK PASS: {len(cases)} datasets x 19 engine families "
           f"(counts/KING-robust/KING-homo/GCTA/EIGMIX/Diss/IndivBeta/"
           f"PCA-genmat/MoM/MoM-constrained/Corr-GRM/LD 5 measures+banded/"
-          f"cross counts/KING-cross)")
+          f"cross counts/KING-cross/Fst WC84+WH02/HWE/inbreeding x6/"
+          f"IBD-MLE EM/NM batch-vs-device)")
 
 
 if __name__ == "__main__":
