@@ -884,11 +884,20 @@ class _StreamCoder:
         if self.coder == "":
             return raw
         if self.coder == "ZIP_RA":
-            self._buf += raw
+            # offset walk over a memoryview — `buf = buf[block:]` would
+            # recopy the remainder per 64 KB block, O(n^2) on the
+            # multi-GB row blocks the GRM artifact streams (a 4.9 GB
+            # feed stalled for hours at 100k samples)
+            if self._buf:
+                raw = self._buf + raw
+            mv = memoryview(raw)
             out = []
-            while len(self._buf) >= self._ra_block:
-                out.append(self._ra_emit(self._buf[: self._ra_block]))
-                self._buf = self._buf[self._ra_block:]
+            off = 0
+            end = len(raw) - self._ra_block
+            while off <= end:
+                out.append(self._ra_emit(mv[off: off + self._ra_block]))
+                off += self._ra_block
+            self._buf = bytes(mv[off:])
             return b"".join(out)
         return self._c.compress(raw)
 

@@ -429,3 +429,30 @@ def test_seqarray_foreign_fixture(tmp_path):
 
     d2 = open_snp_gds(fn)
     np.testing.assert_array_equal(d2.geno(), expect)
+
+
+def test_stream_coder_large_feed_linear():
+    """ZIP_RA streaming must be O(n) in the feed size (the GRM artifact
+    feeds multi-GB row blocks; a slice-per-64KB-block walk was O(n^2)
+    and stalled at 100k samples) and byte-identical however the input
+    is chunked."""
+    import time
+
+    from snprelate_tpu.io.gds import _StreamCoder
+
+    data = np.random.default_rng(3).integers(
+        0, 255, 48 << 20, dtype=np.uint8).tobytes()  # 48 MB
+    t0 = time.time()
+    c1 = _StreamCoder("ZIP_RA")
+    one = c1.header() + c1.feed(data) + c1.finish()
+    single_s = time.time() - t0
+    c2 = _StreamCoder("ZIP_RA")
+    parts = [c2.header()]
+    for off in range(0, len(data), 3 << 20):
+        parts.append(c2.feed(data[off:off + (3 << 20)]))
+    parts.append(c2.finish())
+    assert b"".join(parts) == one
+    assert c1.nblocks == c2.nblocks
+    # O(n): a 48 MB feed deflates in seconds (the quadratic walk took
+    # minutes at this size)
+    assert single_s < 30, single_s
