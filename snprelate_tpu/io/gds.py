@@ -476,25 +476,38 @@ def _decompress_ra_iter(raw: bytes, total_bytes: int, kind: str):
             p += 1
         return -1
 
+    rawmv = memoryview(raw)
+
     def try_decode(p: int):
-        """Attempt to decode one member at p: (chunk, consumed) or None."""
-        try:
-            if kind == "zlib":
-                d = zlib.decompressobj()
-                chunk = d.decompress(raw[p:])
-                if not d.eof:
-                    return None
-                return chunk, (n - p) - len(d.unused_data)
-            if kind == "xz":
-                d = lzma.LZMADecompressor(lzma.FORMAT_XZ)
-                chunk = d.decompress(raw[p:])
-                if not d.eof:
-                    return None
-                return chunk, (n - p) - len(d.unused_data)
-            return _lz4_frame_decompress(raw, p)
-        except (zlib.error, lzma.LZMAError, ValueError, IndexError,
-                struct.error):
-            return None
+        """Attempt to decode one member at p: (chunk, consumed) or None.
+
+        Feeds the decompressor a bounded window (grown geometrically on
+        incomplete members) — ``raw[p:]`` would copy the whole remaining
+        payload per block, O(n^2) over a multi-GB RA stream (a 33 GB
+        GRM artifact read-back ran for an hour without yielding its
+        first block)."""
+        cap = 1 << 20
+        while True:
+            end = min(n, p + cap)
+            try:
+                if kind == "zlib":
+                    d = zlib.decompressobj()
+                    chunk = d.decompress(rawmv[p:end])
+                    if d.eof:
+                        return chunk, (end - p) - len(d.unused_data)
+                elif kind == "xz":
+                    d = lzma.LZMADecompressor(lzma.FORMAT_XZ)
+                    chunk = d.decompress(rawmv[p:end])
+                    if d.eof:
+                        return chunk, (end - p) - len(d.unused_data)
+                else:
+                    return _lz4_frame_decompress(raw, p)
+            except (zlib.error, lzma.LZMAError, ValueError, IndexError,
+                    struct.error):
+                return None
+            if end >= n:
+                return None  # member truncated at stream end
+            cap *= 4
 
     def block_ok(chunk: bytes) -> bool:
         if block_len is None:

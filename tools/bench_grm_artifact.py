@@ -33,6 +33,11 @@ def main():
     ap.add_argument("--compress", default="ZIP_RA")
     ap.add_argument("--prec", default="single")
     ap.add_argument("--keep", action="store_true")
+    ap.add_argument("--readback-only", action="store_true",
+                    help="skip the write; verify an existing --out "
+                         "(pass the recorded write wall via "
+                         "--write-wall)")
+    ap.add_argument("--write-wall", type=float, default=None)
     ap.add_argument("-o", "--json", default="ARTIFACT.json")
     a = ap.parse_args()
 
@@ -47,11 +52,14 @@ def main():
     sample_id = np.asarray([f"s{i}" for i in range(n)], object)
     snp_id = np.arange(s)
 
-    t0 = time.time()
-    grm_tiles_to_gds(a.checkpoint, a.out, sample_id, snp_id,
-                     method="GCTA", prec=a.prec, compress=a.compress,
-                     verbose=True)
-    write_s = time.time() - t0
+    if a.readback_only:
+        write_s = a.write_wall if a.write_wall is not None else float("nan")
+    else:
+        t0 = time.time()
+        grm_tiles_to_gds(a.checkpoint, a.out, sample_id, snp_id,
+                         method="GCTA", prec=a.prec, compress=a.compress,
+                         verbose=True)
+        write_s = time.time() - t0
     size = os.path.getsize(a.out)
     raw = n * n * (4 if a.prec in ("single", "float32") else 8)
     print(json.dumps({"phase": "artifact_write",
@@ -67,8 +75,9 @@ def main():
     dcnt = 0
     tiles_stream = grm_tile_row_blocks(a.checkpoint, "GCTA", n, group,
                                        dtype=dt)
-    for (r0a, rows_a), (r0b, rows_b) in zip(load_grm_rows(a.out),
-                                            tiles_stream):
+    # block_rows=group aligns the artifact stream with the tile blocks
+    for (r0a, rows_a), (r0b, rows_b) in zip(
+            load_grm_rows(a.out, block_rows=group), tiles_stream):
         assert r0a == r0b, (r0a, r0b)
         rows_a = np.asarray(rows_a, dt)
         if not np.array_equal(rows_a, np.asarray(rows_b, dt)):
